@@ -1,0 +1,79 @@
+"""Image pyramid + Gaussian blur.
+
+Replaces reference ORBextractor::ComputePyramid (src/ORBextractor.cc:497-515,
+8 levels, scale 1.2, bilinear resize from the previous level) and the 7x7
+sigma=2 GaussianBlur applied before descriptor computation
+(src/ORBextractor.cc:472-494).
+
+TPU design: every level has a static shape derived from the config at trace
+time; resize is jax.image.resize (lowers to XLA gather/dot fusions); blur is a
+separable depthwise convolution (two 1-D convs) which XLA maps onto the
+MXU/VPU efficiently. All ops carry a leading batch axis.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def level_shapes(height: int, width: int, n_levels: int, scale_factor: float):
+    """Static per-level (H, W) list; level l = round(dim / scale^l)."""
+    shapes = []
+    for l in range(n_levels):
+        inv = 1.0 / (scale_factor ** l)
+        shapes.append((int(round(height * inv)), int(round(width * inv))))
+    return shapes
+
+
+def build_pyramid(img: jnp.ndarray, n_levels: int, scale_factor: float):
+    """img: f32[B, H, W] -> list of f32[B, Hl, Wl], resized successively from
+    the previous level (matching the reference's cascaded cv::resize)."""
+    B, H, W = img.shape
+    shapes = level_shapes(H, W, n_levels, scale_factor)
+    levels = [img]
+    for l in range(1, n_levels):
+        h, w = shapes[l]
+        prev = levels[-1]
+        levels.append(
+            jax.image.resize(prev, (B, h, w), method="linear", antialias=False)
+        )
+    return levels
+
+
+def gaussian_kernel_1d(ksize: int = 7, sigma: float = 2.0) -> np.ndarray:
+    """OpenCV getGaussianKernel semantics: exp(-x^2/(2 sigma^2)), normalized."""
+    half = (ksize - 1) / 2.0
+    x = np.arange(ksize, dtype=np.float64) - half
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return (k / k.sum()).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("ksize",))
+def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0):
+    """Separable Gaussian blur with reflect-101 border (OpenCV default).
+    img: f32[B, H, W]."""
+    k = jnp.asarray(gaussian_kernel_1d(ksize, sigma))
+    pad = ksize // 2
+    x = jnp.pad(img, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+    # Convolve along H: treat W as batch via dot with unrolled slices.
+    x = _conv1d_axis(x, k, axis=1)
+    x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)), mode="reflect")
+    x = _conv1d_axis(x, k, axis=2)
+    return x
+
+
+def _conv1d_axis(x: jnp.ndarray, k: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Valid-mode 1-D convolution along `axis` as a sum of shifted slices —
+    compiles to fused VPU adds, avoiding conv layout shuffles for tiny taps."""
+    n = k.shape[0]
+    L = x.shape[axis] - n + 1
+    out = None
+    for i in range(n):
+        sl = jax.lax.slice_in_dim(x, i, i + L, axis=axis)
+        out = sl * k[i] if out is None else out + sl * k[i]
+    return out
