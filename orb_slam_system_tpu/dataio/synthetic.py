@@ -88,13 +88,19 @@ class PlanarSceneRenderer:
 
 
 def orbit_trajectory(n_frames: int, radius: float = 0.15, depth: float = -2.0,
-                     yaw_amp: float = 0.02, seed: int = 3) -> list[np.ndarray]:
+                     yaw_amp: float = 0.02, tilt: float = 0.25,
+                     seed: int = 3) -> list[np.ndarray]:
     """Smooth lateral-arc camera trajectory above the plane (camera at
     z=depth<0 looking at +z). Returns list of Tcw (world->camera) 4x4.
 
+    `tilt` pitches the camera off the plane normal so the plane is viewed
+    obliquely — a fronto-parallel planar view has the classic two-fold
+    homography decomposition ambiguity and (correctly) cannot initialize.
     Baseline between consecutive frames is small (good for tracking) while
     total translation is large enough for confident two-view initialization.
     """
+    ct, st_ = np.cos(tilt), np.sin(tilt)
+    R_tilt = np.array([[1.0, 0.0, 0.0], [0.0, ct, -st_], [0.0, st_, ct]])
     poses = []
     for i in range(n_frames):
         a = i / max(n_frames - 1, 1)
@@ -103,7 +109,7 @@ def orbit_trajectory(n_frames: int, radius: float = 0.15, depth: float = -2.0,
         cy = 0.5 * radius * (1 - np.cos(2 * np.pi * a * 0.5))
         yaw = yaw_amp * np.sin(2 * np.pi * a)
         cr, sr = np.cos(yaw), np.sin(yaw)
-        Rwc = np.array([[cr, -sr, 0.0], [sr, cr, 0.0], [0.0, 0.0, 1.0]])
+        Rwc = np.array([[cr, -sr, 0.0], [sr, cr, 0.0], [0.0, 0.0, 1.0]]) @ R_tilt
         C = np.array([cx, cy, depth])
         R = Rwc.T
         t = -R @ C

@@ -1,0 +1,345 @@
+"""Host-side map arena: keyframes, map points, covisibility graph.
+
+Replaces the reference's mutex-guarded pointer graph (Map src/Map.cc,
+KeyFrame src/KeyFrame.cc, MapPoint src/MapPoint.cc, ~10 mutexes) with a
+single-writer, integer-keyed store of numpy records. Sequential graph surgery
+(covisibility updates, spanning tree, culling, erase protocols) is cheap and
+inherently host-side; the arena's job is to (a) hold ground truth and (b)
+marshal padded device arrays for the batched kernels.
+
+Behavioral parity notes (reference file:line):
+  * Covisibility edges require >= 15 shared points, always keeping the
+    single best neighbor (KeyFrame::UpdateConnections src/KeyFrame.cc:269-359).
+  * Spanning-tree parent = best covisible at first connection update (:351-357).
+  * MapPoint representative descriptor = min-median-Hamming over observations
+    (ComputeDistinctiveDescriptors src/MapPoint.cc:222-278).
+  * Viewing normal + scale band 0.8/1.2 handled in update_normal_and_depth
+    (UpdateNormalAndDepth src/MapPoint.cc:301-339; PredictScale :353-373).
+  * Erase protocols: MapPoint::SetBadFlag removes observations everywhere;
+    KeyFrame::SetBadFlag reparents children over the covisibility graph
+    (src/KeyFrame.cc:433-525).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+COVIS_THRESHOLD = 15  # reference src/KeyFrame.cc:310
+
+
+def hamming_np(d1: np.ndarray, d2: np.ndarray) -> np.ndarray:
+    """Packed uint32[...,8] Hamming distance on host."""
+    return np.bitwise_count(np.bitwise_xor(d1, d2)).sum(axis=-1)
+
+
+@dataclasses.dataclass
+class FrameFeatures:
+    """Host copy of a frame's padded feature arrays (level-0 coords)."""
+
+    xy: np.ndarray        # f32[N,2] raw pixel coords
+    xy_und: np.ndarray    # f32[N,2] undistorted pixel coords
+    response: np.ndarray  # f32[N]
+    angle: np.ndarray     # f32[N]
+    octave: np.ndarray    # i32[N]
+    desc: np.ndarray      # u32[N,8]
+    valid: np.ndarray     # bool[N]
+
+    @property
+    def n_slots(self) -> int:
+        return self.xy.shape[0]
+
+
+@dataclasses.dataclass
+class MapPointRec:
+    id: int
+    pos: np.ndarray                      # f32[3] world
+    desc: np.ndarray                     # u32[8] representative descriptor
+    obs: Dict[int, int]                  # kf_id -> feature index
+    normal: np.ndarray                   # f32[3]
+    min_dist: float
+    max_dist: float
+    ref_kf: int
+    first_kf_id: int
+    n_visible: int = 1
+    n_found: int = 1
+    bad: bool = False
+    replaced_by: int = -1
+
+    def found_ratio(self) -> float:
+        return self.n_found / max(self.n_visible, 1)
+
+
+@dataclasses.dataclass
+class KeyFrameRec:
+    id: int
+    frame_id: int
+    timestamp: float
+    Tcw: np.ndarray                      # f32[4,4]
+    feats: FrameFeatures
+    mp_ids: np.ndarray                   # i64[N], -1 = none
+    covis: Dict[int, int] = dataclasses.field(default_factory=dict)
+    parent: int = -1
+    children: set = dataclasses.field(default_factory=set)
+    loop_edges: set = dataclasses.field(default_factory=set)
+    bad: bool = False
+    not_erase: bool = False
+    Tcp: Optional[np.ndarray] = None     # pose relative to parent at cull time
+    node_ids: Optional[np.ndarray] = None  # i32[N] BoW direct-index nodes
+
+    def camera_center(self) -> np.ndarray:
+        R = self.Tcw[:3, :3]
+        t = self.Tcw[:3, 3]
+        return -R.T @ t
+
+    def n_tracked_points(self, arena: "MapArena", min_obs: int = 1) -> int:
+        n = 0
+        for mid in self.mp_ids:
+            if mid >= 0:
+                mp = arena.mps.get(int(mid))
+                if mp is not None and not mp.bad and len(mp.obs) >= min_obs:
+                    n += 1
+        return n
+
+
+class MapArena:
+    """Global map registry (reference Map src/Map.cc:13-112)."""
+
+    def __init__(self):
+        self.kfs: Dict[int, KeyFrameRec] = {}
+        # Culled keyframes, kept for trajectory export: the spanning-tree
+        # walk over Tcp needs them (reference System::SaveTrajectoryTUM
+        # src/System.cc:341-345 walks mTcp past bad keyframes).
+        self.dead_kfs: Dict[int, KeyFrameRec] = {}
+        self.mps: Dict[int, MapPointRec] = {}
+        self.next_kf_id = 0
+        self.next_mp_id = 0
+        self.kf_origin_id = -1
+        self.big_change_idx = 0
+
+    # ----- creation -------------------------------------------------------
+
+    def new_keyframe(self, frame_id, timestamp, Tcw, feats: FrameFeatures,
+                     mp_ids=None) -> KeyFrameRec:
+        kf = KeyFrameRec(
+            id=self.next_kf_id,
+            frame_id=frame_id,
+            timestamp=timestamp,
+            Tcw=np.asarray(Tcw, np.float32).copy(),
+            feats=feats,
+            mp_ids=(np.full(feats.n_slots, -1, np.int64)
+                    if mp_ids is None else np.asarray(mp_ids, np.int64).copy()),
+        )
+        self.next_kf_id += 1
+        self.kfs[kf.id] = kf
+        if self.kf_origin_id < 0:
+            self.kf_origin_id = kf.id
+        return kf
+
+    def new_point(self, pos, desc, ref_kf: int, first_kf_id: int) -> MapPointRec:
+        mp = MapPointRec(
+            id=self.next_mp_id,
+            pos=np.asarray(pos, np.float32).copy(),
+            desc=np.asarray(desc, np.uint32).copy(),
+            obs={},
+            normal=np.zeros(3, np.float32),
+            min_dist=0.0,
+            max_dist=0.0,
+            ref_kf=ref_kf,
+            first_kf_id=first_kf_id,
+        )
+        self.next_mp_id += 1
+        self.mps[mp.id] = mp
+        return mp
+
+    # ----- observation bookkeeping ---------------------------------------
+
+    def add_observation(self, mp: MapPointRec, kf: KeyFrameRec, feat_idx: int):
+        if kf.id not in mp.obs:
+            mp.obs[kf.id] = int(feat_idx)
+        kf.mp_ids[feat_idx] = mp.id
+
+    def erase_observation(self, mp: MapPointRec, kf_id: int):
+        idx = mp.obs.pop(kf_id, None)
+        if idx is not None:
+            kf = self.kfs.get(kf_id)
+            if kf is not None and kf.mp_ids[idx] == mp.id:
+                kf.mp_ids[idx] = -1
+        if mp.ref_kf == kf_id and mp.obs:
+            mp.ref_kf = next(iter(mp.obs))
+        # Reference: erase the point once <= 2 observations remain
+        # (MapPoint::EraseObservation src/MapPoint.cc).
+        if len(mp.obs) <= 2 and not mp.bad:
+            self.set_point_bad(mp)
+
+    def set_point_bad(self, mp: MapPointRec):
+        mp.bad = True
+        for kf_id, idx in list(mp.obs.items()):
+            kf = self.kfs.get(kf_id)
+            if kf is not None and kf.mp_ids[idx] == mp.id:
+                kf.mp_ids[idx] = -1
+        mp.obs.clear()
+        self.mps.pop(mp.id, None)
+
+    def replace_point(self, old: MapPointRec, new: MapPointRec):
+        """MapPoint::Replace (src/MapPoint.cc:153-190): move observations,
+        merge visibility counters."""
+        if old.id == new.id:
+            return
+        for kf_id, idx in list(old.obs.items()):
+            kf = self.kfs.get(kf_id)
+            if kf is None:
+                continue
+            if new.id not in {int(v) for v in kf.mp_ids[kf.mp_ids >= 0]}:
+                kf.mp_ids[idx] = new.id
+                new.obs.setdefault(kf_id, idx)
+            else:
+                kf.mp_ids[idx] = -1
+        new.n_visible += old.n_visible
+        new.n_found += old.n_found
+        old.obs.clear()
+        old.bad = True
+        old.replaced_by = new.id
+        self.mps.pop(old.id, None)
+        self.compute_distinctive_descriptor(new)
+
+    # ----- derived state --------------------------------------------------
+
+    def compute_distinctive_descriptor(self, mp: MapPointRec):
+        """Representative descriptor = min-median-Hamming over observations
+        (reference src/MapPoint.cc:222-278)."""
+        descs = []
+        for kf_id, idx in mp.obs.items():
+            kf = self.kfs.get(kf_id)
+            if kf is not None and not kf.bad:
+                descs.append(kf.feats.desc[idx])
+        if not descs:
+            return
+        D = np.stack(descs)                       # [M,8]
+        dist = hamming_np(D[:, None, :], D[None, :, :])  # [M,M]
+        medians = np.median(dist, axis=1)
+        mp.desc = D[int(np.argmin(medians))].copy()
+
+    def update_normal_and_depth(self, mp: MapPointRec, scale_factors: np.ndarray):
+        """Reference src/MapPoint.cc:301-351."""
+        if not mp.obs:
+            return
+        normal = np.zeros(3, np.float64)
+        for kf_id in mp.obs:
+            kf = self.kfs.get(kf_id)
+            if kf is None:
+                continue
+            v = mp.pos - kf.camera_center()
+            n = np.linalg.norm(v)
+            if n > 1e-9:
+                normal += v / n
+        mp.normal = (normal / max(len(mp.obs), 1)).astype(np.float32)
+        ref = self.kfs.get(mp.ref_kf)
+        if ref is None:
+            return
+        idx = mp.obs.get(mp.ref_kf)
+        if idx is None:
+            return
+        dist = float(np.linalg.norm(mp.pos - ref.camera_center()))
+        level = int(ref.feats.octave[idx])
+        n_levels = len(scale_factors)
+        mp.max_dist = dist * float(scale_factors[level])
+        mp.min_dist = mp.max_dist / float(scale_factors[n_levels - 1])
+
+    def update_connections(self, kf: KeyFrameRec):
+        """Covisibility recount (reference src/KeyFrame.cc:269-359)."""
+        counter: Dict[int, int] = {}
+        for mid in kf.mp_ids:
+            if mid < 0:
+                continue
+            mp = self.mps.get(int(mid))
+            if mp is None or mp.bad:
+                continue
+            for other_id in mp.obs:
+                if other_id != kf.id:
+                    counter[other_id] = counter.get(other_id, 0) + 1
+        if not counter:
+            return
+        best_id = max(counter, key=counter.get)
+        edges = {k: w for k, w in counter.items() if w >= COVIS_THRESHOLD}
+        if not edges:
+            edges = {best_id: counter[best_id]}
+        kf.covis = edges
+        for other_id, w in edges.items():
+            other = self.kfs.get(other_id)
+            if other is not None:
+                other.covis[kf.id] = w
+        # Spanning tree: first connection update sets parent = best covis.
+        if kf.parent < 0 and kf.id != self.kf_origin_id:
+            kf.parent = best_id
+            self.kfs[best_id].children.add(kf.id)
+
+    def covisible_ordered(self, kf: KeyFrameRec, n: Optional[int] = None) -> List[int]:
+        """Best covisible keyframes by weight (GetBestCovisibilityKeyFrames)."""
+        items = sorted(kf.covis.items(), key=lambda kv: -kv[1])
+        ids = [k for k, _ in items if not self.kfs[k].bad]
+        return ids if n is None else ids[:n]
+
+    def erase_keyframe(self, kf: KeyFrameRec):
+        """KeyFrame::SetBadFlag (src/KeyFrame.cc:433-525): detach
+        observations, reparent children to the best covisible candidate
+        within the already-connected set, record Tcp for trajectory export."""
+        if kf.id == self.kf_origin_id or kf.not_erase:
+            return
+        for idx, mid in enumerate(kf.mp_ids):
+            if mid >= 0:
+                mp = self.mps.get(int(mid))
+                if mp is not None:
+                    idx2 = mp.obs.pop(kf.id, None)
+                    if idx2 is not None and len(mp.obs) <= 2:
+                        self.set_point_bad(mp)
+                    elif idx2 is not None:
+                        if mp.ref_kf == kf.id and mp.obs:
+                            mp.ref_kf = next(iter(mp.obs))
+        for other_id in kf.covis:
+            other = self.kfs.get(other_id)
+            if other is not None:
+                other.covis.pop(kf.id, None)
+        # Reparent children: greedy over covisibility with candidate parents.
+        candidates = {kf.parent} if kf.parent >= 0 else set()
+        children = set(kf.children)
+        while children:
+            best = None  # (weight, child, parent)
+            for c in children:
+                ckf = self.kfs.get(c)
+                if ckf is None:
+                    children.discard(c)
+                    break
+                for cand in candidates:
+                    w = ckf.covis.get(cand)
+                    if w is not None and (best is None or w > best[0]):
+                        best = (w, c, cand)
+            if best is None:
+                break
+            _, c, p = best
+            self.kfs[c].parent = p
+            self.kfs[p].children.add(c)
+            candidates.add(c)
+            children.discard(c)
+        # Orphans fall back to the erased KF's parent.
+        for c in children:
+            ckf = self.kfs.get(c)
+            if ckf is not None and kf.parent >= 0:
+                ckf.parent = kf.parent
+                self.kfs[kf.parent].children.add(c)
+        if kf.parent >= 0 and kf.parent in self.kfs:
+            self.kfs[kf.parent].children.discard(kf.id)
+            kf.Tcp = kf.Tcw @ np.linalg.inv(self.kfs[kf.parent].Tcw)
+        kf.bad = True
+        self.kfs.pop(kf.id, None)
+        self.dead_kfs[kf.id] = kf
+
+    # ----- stats ----------------------------------------------------------
+
+    def n_keyframes(self) -> int:
+        return len(self.kfs)
+
+    def n_points(self) -> int:
+        return len(self.mps)

