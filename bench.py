@@ -1,0 +1,95 @@
+"""Benchmark: ORB extraction + matching throughput on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the SLAM front-end hot path (SURVEY.md §3.2: Frame construction is
+the dominant per-frame cost in the reference) as a single fused device
+program: 8-level pyramid + FAST + orientation + rBRIEF over a batch of
+640x480 frames, then the 1024x1024 MXU Hamming match against the previous
+frame. Throughput unit is extracted+matched keypoints per second.
+
+Baseline: the reference's ORB front end is OpenCV CPU; at its configured
+1000 features/frame it spends ~15 ms/frame on extraction+matching on a
+desktop CPU (upstream ORB-SLAM2 reports 25-30 ms for the whole tracking
+loop, BASELINE.md) => ~66,700 keypoints/sec. vs_baseline = value / 66700.
+BASELINE.json's north star is >=10x this.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from orb_slam_system_tpu.config import ORBConfig
+    from orb_slam_system_tpu.ops.extractor import ORBExtractor
+    from orb_slam_system_tpu.ops.hamming import distance_matrix
+
+    H, W = 480, 640
+    B = 8
+    cfg = ORBConfig(n_features=1000)
+    extractor = ORBExtractor(cfg, H, W)
+    N = extractor.n_slots
+
+    def frontend(imgs, prev_desc, prev_valid):
+        feats = extractor._extract(imgs)
+        def match_one(desc, valid, pdesc, pvalid):
+            D = distance_matrix(desc, pdesc)
+            D = jnp.where(valid[:, None] & pvalid[None, :], D, 1 << 20)
+            best = jnp.min(D, axis=1)
+            return jnp.argmin(D, axis=1), best <= 50
+        idx, ok = jax.vmap(match_one)(feats.desc, feats.valid,
+                                      prev_desc, prev_valid)
+        # Keep results device-resident (the multi-sequence mapping pipeline
+        # consumes them on device); return a checksum so timing can force
+        # completion with a scalar fetch. NOTE: on the axon TPU tunnel,
+        # jax.block_until_ready returns at enqueue time — only a value fetch
+        # actually synchronizes, so the checksum is the sync point.
+        checksum = (jnp.sum(feats.xy) + jnp.sum(idx)
+                    + jnp.sum(ok.astype(jnp.int32))
+                    + jnp.sum(feats.valid.astype(jnp.int32)))
+        n_valid = jnp.sum(feats.valid.astype(jnp.int32))
+        return checksum, n_valid
+
+    step = jax.jit(frontend)
+
+    # Textured frames generated on device (no host transfer in the loop).
+    key = jax.random.PRNGKey(0)
+    base = jax.random.uniform(key, (B, H // 8, W // 8)) * 255.0
+    imgs = jnp.repeat(jnp.repeat(base, 8, axis=1), 8, axis=2)
+    rng = np.random.default_rng(0)
+    prev_desc = jnp.asarray(
+        rng.integers(0, 2 ** 32, size=(B, N, 8), dtype=np.uint32))
+    prev_valid = jnp.ones((B, N), bool)
+
+    # Warmup/compile.
+    out = step(imgs, prev_desc, prev_valid)
+    n_valid = float(np.asarray(out[1])) / B  # avg valid kps per frame
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(imgs, prev_desc, prev_valid)
+    _ = float(np.asarray(out[0]))  # scalar fetch = real synchronization
+    dt = time.perf_counter() - t0
+    frames_per_sec = B * iters / dt
+    kps_per_sec = frames_per_sec * n_valid
+
+    baseline = 66700.0  # OpenCV CPU ORB extraction+matching, kp/s (see doc)
+    print(json.dumps({
+        "metric": "orb_extract_match_throughput",
+        "value": round(kps_per_sec, 1),
+        "unit": "keypoints/sec",
+        "vs_baseline": round(kps_per_sec / baseline, 2),
+    }))
+    print(f"# frames/sec={frames_per_sec:.1f} avg_kp/frame={n_valid:.0f} "
+          f"batch={B} device={jax.devices()[0].platform}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -86,6 +86,29 @@ class PlanarSceneRenderer:
         vals = np.where(ok, vals, 127.0)
         return vals.reshape(self.height, self.width).astype(np.float32)
 
+    def render_depth(self, Tcw: np.ndarray) -> np.ndarray:
+        """Analytic depth map (camera-frame z) of the plane per pixel; 0
+        where the ray misses the plane. For RGB-D pipeline tests."""
+        R = Tcw[:3, :3].astype(np.float64)
+        t = Tcw[:3, 3].astype(np.float64)
+        C = -R.T @ t
+        u, v = np.meshgrid(np.arange(self.width), np.arange(self.height))
+        pix = np.stack([u.ravel(), v.ravel(), np.ones(u.size)], axis=0)
+        rays_world = R.T @ (self.Kinv @ pix)
+        dz = rays_world[2]
+        s = np.where(np.abs(dz) > 1e-9, -C[2] / np.where(np.abs(dz) > 1e-9, dz, 1.0), -1.0)
+        depth = np.where(s > 0, s, 0.0)  # Xc = s * Kinv pix -> z_cam = s
+        return depth.reshape(self.height, self.width).astype(np.float32)
+
+    def render_stereo(self, Tcw: np.ndarray, baseline: float):
+        """Rectified stereo pair: right camera displaced by `baseline` along
+        the camera x-axis (Xc_right = Xc_left - (b,0,0))."""
+        left = self.render(Tcw)
+        Tr = Tcw.copy()
+        Tr[0, 3] -= baseline
+        right = self.render(Tr)
+        return left, right
+
 
 def orbit_trajectory(n_frames: int, radius: float = 0.15, depth: float = -2.0,
                      yaw_amp: float = 0.02, tilt: float = 0.25,

@@ -36,6 +36,9 @@ class Frame:
     mp_ids: Optional[np.ndarray] = None    # i64[N] map point per feature
     outlier: Optional[np.ndarray] = None   # bool[N]
     ref_kf_id: int = -1
+    # Stereo / RGB-D channel (reference mvuRight / mvDepth, src/Frame.cc):
+    u_right: Optional[np.ndarray] = None   # f32[N], -1 = mono feature
+    depth: Optional[np.ndarray] = None     # f32[N], -1 = no depth
 
     def __post_init__(self):
         n = self.feats.n_slots
@@ -93,4 +96,66 @@ class FrameBuilder:
         )
         f = Frame(id=self._next_id, timestamp=timestamp, feats=feats)
         self._next_id = self._next_id + 1
+        return f
+
+    def build_stereo(self, img_left: np.ndarray, img_right: np.ndarray,
+                     timestamp: float) -> Frame:
+        """Rectified stereo frame: one batched extraction over both images
+        (the TPU-native version of the reference's two extraction threads,
+        src/Frame.cc:58-61) + row-banded stereo matching."""
+        from orb_slam_system_tpu.ops.stereo import stereo_match
+
+        cam = self.cfg.camera
+        x = jnp.stack([jnp.asarray(img_left, jnp.float32),
+                       jnp.asarray(img_right, jnp.float32)])
+        fs = self.extractor(x)
+        und = self._undistort(fs.xy)
+        u_right, depth = stereo_match(
+            x[0], x[1],
+            fs.xy[0], fs.octave[0], fs.desc[0], fs.valid[0],
+            fs.xy[1], fs.octave[1], fs.desc[1], fs.valid[1],
+            jnp.asarray(self.scale_factors), cam.bf,
+            0.0, cam.fx)
+        feats = FrameFeatures(
+            xy=np.asarray(fs.xy[0]),
+            xy_und=np.asarray(und[0]),
+            response=np.asarray(fs.response[0]),
+            angle=np.asarray(fs.angle[0]),
+            octave=np.asarray(fs.octave[0]),
+            desc=np.asarray(fs.desc[0]),
+            valid=np.asarray(fs.valid[0]),
+        )
+        f = Frame(id=self._next_id, timestamp=timestamp, feats=feats,
+                  u_right=np.asarray(u_right), depth=np.asarray(depth))
+        self._next_id += 1
+        return f
+
+    def build_rgbd(self, img: np.ndarray, depth_map: np.ndarray,
+                   timestamp: float) -> Frame:
+        """RGB-D frame: extraction + pseudo-stereo from the depth map
+        (reference src/Frame.cc:99-151, :623-644)."""
+        from orb_slam_system_tpu.ops.stereo import rgbd_pseudo_stereo
+
+        cam = self.cfg.camera
+        x = jnp.asarray(img, jnp.float32)[None]
+        fs = self.extractor(x)
+        und = self._undistort(fs.xy)
+        # Reference src/Tracking.cc:90-96: scale raw depth by 1/DepthMapFactor.
+        df = self.cfg.depth_map_factor
+        depth_scale = 1.0 / df if abs(df) > 1e-5 else 1.0
+        u_right, depth = rgbd_pseudo_stereo(
+            jnp.asarray(depth_map, jnp.float32), fs.xy[0], und[0],
+            fs.valid[0], cam.bf, depth_scale)
+        feats = FrameFeatures(
+            xy=np.asarray(fs.xy[0]),
+            xy_und=np.asarray(und[0]),
+            response=np.asarray(fs.response[0]),
+            angle=np.asarray(fs.angle[0]),
+            octave=np.asarray(fs.octave[0]),
+            desc=np.asarray(fs.desc[0]),
+            valid=np.asarray(fs.valid[0]),
+        )
+        f = Frame(id=self._next_id, timestamp=timestamp, feats=feats,
+                  u_right=np.asarray(u_right), depth=np.asarray(depth))
+        self._next_id += 1
         return f

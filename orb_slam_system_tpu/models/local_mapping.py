@@ -41,6 +41,10 @@ class LocalMapper:
         self.inv_sigma2 = (1.0 / self.scale_factors ** 2).astype(np.float32)
         self.enable_local_ba = True
         self.enable_kf_culling = True
+        # MapPointCulling obs threshold: 2 mono, 3 stereo/RGBD
+        # (reference src/LocalMapping.cc:137-151 cnThObs).
+        from orb_slam_system_tpu.config import Sensor
+        self.cull_obs_th = 2 if cfg.sensor == Sensor.MONOCULAR else 3
 
     # ----- thread-protocol surface (reference :305-458) -------------------
 
@@ -104,7 +108,7 @@ class LocalMapper:
             age = cur_kf_id - birth
             if mp.found_ratio() < 0.25:
                 self.arena.set_point_bad(mp)
-            elif age >= 2 and len(mp.obs) <= 2:   # mono threshold
+            elif age >= 2 and len(mp.obs) <= self.cull_obs_th:
                 self.arena.set_point_bad(mp)
             elif age >= 3:
                 pass  # survives culling; leaves the recent list

@@ -63,8 +63,37 @@ class System:
         self._timings.append(time.perf_counter() - t0)
         return Tcw
 
+    def track_stereo(self, img_left: np.ndarray, img_right: np.ndarray,
+                     timestamp: float):
+        """Reference TrackStereo (src/System.cc:95-144). Rectified pair in,
+        Tcw out."""
+        if self.sensor != Sensor.STEREO:
+            raise RuntimeError("track_stereo called on non-stereo system")
+        if img_left.ndim == 3:
+            img_left = rgb_to_gray(img_left, self.cfg.camera.rgb)
+            img_right = rgb_to_gray(img_right, self.cfg.camera.rgb)
+        t0 = time.perf_counter()
+        Tcw = self.tracker.grab_stereo(img_left, img_right, timestamp)
+        self.local_mapper.process_pending()
+        self._timings.append(time.perf_counter() - t0)
+        return Tcw
+
+    def track_rgbd(self, img: np.ndarray, depth: np.ndarray, timestamp: float):
+        """Reference TrackRGBD (src/System.cc:146-195)."""
+        if self.sensor != Sensor.RGBD:
+            raise RuntimeError("track_rgbd called on non-RGBD system")
+        if img.ndim == 3:
+            img = rgb_to_gray(img, self.cfg.camera.rgb)
+        t0 = time.perf_counter()
+        Tcw = self.tracker.grab_rgbd(img, depth, timestamp)
+        self.local_mapper.process_pending()
+        self._timings.append(time.perf_counter() - t0)
+        return Tcw
+
     # Aliases matching the reference's exact method names.
     TrackMonocular = track_monocular
+    TrackStereo = track_stereo
+    TrackRGBD = track_rgbd
 
     # ------------------------------------------------------------------
 

@@ -25,7 +25,7 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from orb_slam_system_tpu.config import SlamConfig, TrackingState
+from orb_slam_system_tpu.config import Sensor, SlamConfig, TrackingState
 from orb_slam_system_tpu.mapping.arena import FrameFeatures, MapArena
 from orb_slam_system_tpu.models.frame import Frame, FrameBuilder
 from orb_slam_system_tpu.ops import frustum as frustum_ops
@@ -100,12 +100,30 @@ class Tracker:
         self.track()
         return None if self.current.Tcw is None else self.current.Tcw.copy()
 
+    def grab_stereo(self, img_left: np.ndarray, img_right: np.ndarray,
+                    timestamp: float):
+        """Reference GrabImageStereo (src/Tracking.cc:114-136)."""
+        self.current = self.builder.build_stereo(img_left, img_right, timestamp)
+        self.track()
+        return None if self.current.Tcw is None else self.current.Tcw.copy()
+
+    def grab_rgbd(self, img: np.ndarray, depth: np.ndarray, timestamp: float):
+        """Reference GrabImageRGBD (src/Tracking.cc:138-150)."""
+        self.current = self.builder.build_rgbd(img, depth, timestamp)
+        self.track()
+        return None if self.current.Tcw is None else self.current.Tcw.copy()
+
     def track(self):
         if self.state == TrackingState.NO_IMAGES_YET:
             self.state = TrackingState.NOT_INITIALIZED
 
         if self.state == TrackingState.NOT_INITIALIZED:
-            self.monocular_initialization()
+            # Sensor-correct dispatch (the fork always runs the mono path,
+            # SURVEY.md §0.1 row 4 — upstream semantics restored here).
+            if self.cfg.sensor == Sensor.MONOCULAR:
+                self.monocular_initialization()
+            else:
+                self.stereo_initialization()
             self._store_trajectory()
             self.last_frame = self.current
             return
@@ -277,6 +295,42 @@ class Tracker:
         self.local_mapper.insert_keyframe(kf1.id)
         self.local_mapper.insert_keyframe(kf2.id)
         self.init_ref = None
+        self.state = TrackingState.OK
+
+    def stereo_initialization(self):
+        """Upstream StereoInitialization semantics (reference
+        src/Tracking.cc:275-303, dead code in the fork §0.1 row 4): a single
+        frame with enough features seeds the map from depth, metric scale."""
+        cur = self.current
+        if cur.n_valid <= 500:
+            return
+        cam = self.cfg.camera
+        cur.Tcw = np.eye(4, dtype=np.float32)
+        kf = self.arena.new_keyframe(cur.id, cur.timestamp, cur.Tcw, cur.feats)
+        created = 0
+        for i in np.nonzero(cur.feats.valid)[0]:
+            z = float(cur.depth[i]) if cur.depth is not None else -1.0
+            if z <= 0:
+                continue
+            uv = cur.feats.xy_und[i]
+            x3d = np.array([
+                (uv[0] - cam.cx) / cam.fx * z,
+                (uv[1] - cam.cy) / cam.fy * z,
+                z], np.float32)
+            mp = self.arena.new_point(x3d, cur.feats.desc[i], kf.id, kf.id)
+            self.arena.add_observation(mp, kf, int(i))
+            self.arena.update_normal_and_depth(mp, self.scale_factors)
+            cur.mp_ids[i] = mp.id
+            created += 1
+        if created < 100:
+            self._reset_map()
+            return
+        self.arena.update_connections(kf)
+        cur.ref_kf_id = kf.id
+        self.ref_kf_id = kf.id
+        self.last_kf_frame_id = cur.id
+        self.last_kf_id = kf.id
+        self.local_mapper.insert_keyframe(kf.id)
         self.state = TrackingState.OK
 
     def _reset_map(self):
@@ -547,15 +601,35 @@ class Tracker:
         mapper_idle = self.local_mapper.accepting()
         c1a = frames_since_kf >= self.max_frames
         c1b = frames_since_kf >= self.min_frames and mapper_idle
+        # Stereo/RGBD: count tracked vs. trackable close points
+        # (reference :590-600).
+        c1c = False
+        if self.cfg.sensor != Sensor.MONOCULAR:
+            n_tracked_close, n_nontracked_close = self._close_point_counts()
+            need_close = (n_tracked_close < 100) and (n_nontracked_close > 70)
+            c1c = need_close
         # Upstream-complete condition (§0.1 row 5): current inliers vs the
-        # reference KF's tracked points, 0.9 ratio for mono.
-        c2 = (self.n_inliers < n_ref_matches * 0.9) and self.n_inliers > 15
-        if (c1a or c1b) and c2:
+        # reference KF's tracked points; ratio 0.9 mono, 0.75 stereo/RGBD.
+        th_ratio = 0.9 if self.cfg.sensor == Sensor.MONOCULAR else 0.75
+        c2 = ((self.n_inliers < n_ref_matches * th_ratio) or c1c) \
+            and self.n_inliers > 15
+        if (c1a or c1b or c1c) and c2:
             if mapper_idle:
                 return True
             self.local_mapper.interrupt_ba()
             return False
         return False
+
+    def _close_point_counts(self):
+        """Tracked / non-tracked close-depth features (reference :590-600)."""
+        cur = self.current
+        if cur.depth is None:
+            return 0, 0
+        close = (cur.depth > 0) & (cur.depth < self.cfg.th_depth)
+        tracked = (cur.mp_ids >= 0) & ~cur.outlier
+        n_tracked_close = int((close & tracked).sum())
+        n_nontracked_close = int((close & ~tracked).sum())
+        return n_tracked_close, n_nontracked_close
 
     def create_new_keyframe(self):
         cur = self.current
@@ -565,7 +639,37 @@ class Tracker:
         self.ref_kf_id = kf.id
         self.last_kf_frame_id = cur.id
         self.last_kf_id = kf.id
+        if self.cfg.sensor != Sensor.MONOCULAR:
+            self._seed_depth_points(kf)
         self.local_mapper.insert_keyframe(kf.id)
+
+    def _seed_depth_points(self, kf):
+        """Stereo/RGBD keyframes seed map points from depth for unmatched
+        close features (reference CreateNewKeyFrame :619-659: sort by depth,
+        create all closer than ThDepth, at least the 100 closest)."""
+        cur = self.current
+        cam = self.cfg.camera
+        Twc = np.linalg.inv(cur.Tcw)
+        cand = [(float(cur.depth[i]), int(i))
+                for i in np.nonzero(cur.feats.valid)[0]
+                if cur.depth is not None and cur.depth[i] > 0
+                and cur.mp_ids[i] < 0]
+        cand.sort()
+        created = 0
+        for z, i in cand:
+            if z > self.cfg.th_depth and created >= 100:
+                break
+            uv = cur.feats.xy_und[i]
+            xc = np.array([(uv[0] - cam.cx) / cam.fx * z,
+                           (uv[1] - cam.cy) / cam.fy * z, z, 1.0], np.float32)
+            x3d = (Twc @ xc)[:3]
+            mp = self.arena.new_point(x3d, cur.feats.desc[i], kf.id, kf.id)
+            self.arena.add_observation(mp, kf, int(i))
+            self.arena.update_normal_and_depth(mp, self.scale_factors)
+            cur.mp_ids[i] = mp.id
+            kf.mp_ids[i] = mp.id
+            self.local_mapper.recent_points.append((mp.id, kf.id))
+            created += 1
 
     # ------------------------------------------------------------------
     # Relocalization placeholder (round 2: BoW candidate search + EPnP)

@@ -69,6 +69,15 @@ class ORBExtractor:
         self.sigma2 = (self.scales ** 2).astype(np.float32)
         self.inv_sigma2 = (1.0 / self.sigma2).astype(np.float32)
         self.cell = cell
+        # FAST score: fused Pallas kernel on TPU, XLA formulation elsewhere
+        # (identical contract; see ops/fast_pallas.py).
+        from orb_slam_system_tpu.ops import fast_pallas
+        if fast_pallas.use_pallas():
+            self._score_fn = lambda lvl, border: fast_pallas.fast_score_map_pallas(
+                lvl, border)
+        else:
+            self._score_fn = lambda lvl, border: fast_ops.fast_score_map(
+                lvl, border=border)
         self._fn = jax.jit(self._extract)
 
     def __call__(self, img: jnp.ndarray) -> FeatureSet:
@@ -83,7 +92,7 @@ class ORBExtractor:
             n_l = self.budgets[l]
             if n_l <= 0:
                 continue
-            score = fast_ops.fast_score_map(lvl, border=EDGE_MARGIN)
+            score = self._score_fn(lvl, EDGE_MARGIN)
             xy_l, resp, valid = fast_ops.select_keypoints(
                 score,
                 n_max=n_l,

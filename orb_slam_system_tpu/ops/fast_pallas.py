@@ -1,0 +1,94 @@
+"""Pallas TPU kernel for the dense FAST-9 corner score map.
+
+The XLA formulation in ops/fast.py materializes [16, B, H, W] diff stacks in
+HBM several times (~GBs of traffic per frame batch). This kernel processes
+the image in VMEM row tiles: each grid step DMAs a (TILE_H + 6)-row halo
+slab into VMEM once, forms all 16 ring diffs and the circular windowed min
+entirely on-chip (bf16), and writes one score tile back — HBM traffic drops
+to ~2 passes over the image.
+
+Same contract as ops/fast.fast_score_map: score(p) > t  <=>  p is a FAST-9
+corner at threshold t; border pixels score 0.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from orb_slam_system_tpu.ops.fast import ARC_LEN, CIRCLE
+
+TILE_H = 32
+HALO = 3  # ring radius
+
+
+def _kernel(img_ref, out_ref, scratch, diffs, sem, *, H, W, border):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        img_ref.at[b, pl.ds(i * TILE_H, TILE_H + 2 * HALO), :],
+        scratch, sem)
+    cp.start()
+    cp.wait()
+    center = scratch[HALO:HALO + TILE_H, :]
+    for k in range(16):
+        dy, dx = int(CIRCLE[k, 0]), int(CIRCLE[k, 1])
+        ring = scratch[HALO + dy:HALO + dy + TILE_H, :]
+        if dx != 0:
+            ring = pltpu.roll(ring, -dx, axis=1)
+        diffs[k] = ring - center
+    d = diffs[:]                                   # [16, TILE_H, W] bf16
+    # Circular windowed min of length 9 along axis 0 (log-step doubling).
+    m = jnp.minimum(d, pltpu.roll(d, -1, axis=0))   # win 2
+    m = jnp.minimum(m, pltpu.roll(m, -2, axis=0))   # win 4
+    m = jnp.minimum(m, pltpu.roll(m, -4, axis=0))   # win 8
+    m = jnp.minimum(m, pltpu.roll(d, -(ARC_LEN - 1), axis=0))  # win 9
+    bright = jnp.max(m, axis=0)
+    # Dark arcs: windowed min of -d == -(windowed max of d).
+    n = jnp.maximum(d, pltpu.roll(d, -1, axis=0))
+    n = jnp.maximum(n, pltpu.roll(n, -2, axis=0))
+    n = jnp.maximum(n, pltpu.roll(n, -4, axis=0))
+    n = jnp.maximum(n, pltpu.roll(d, -(ARC_LEN - 1), axis=0))
+    dark = jnp.max(-n, axis=0)
+    score = jnp.maximum(bright, dark).astype(jnp.float32)
+    # Border mask in global coordinates.
+    gy = i * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, W), 0)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, W), 1)
+    ok = (gy >= border) & (gy < H - border) & (gx >= border) & (gx < W - border)
+    out_ref[0] = jnp.where(ok, score, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("border",))
+def fast_score_map_pallas(img: jnp.ndarray, border: int) -> jnp.ndarray:
+    """img: f32[B,H,W] -> score f32[B,H,W]. TPU-only (caller gates)."""
+    B, H, W = img.shape
+    n_tiles = -(-H // TILE_H)
+    # Pad so every tile's haloed slab [i*TILE_H, i*TILE_H + TILE_H + 6) is
+    # in-bounds: 3 rows on top, (n_tiles*TILE_H + 3 - H) on the bottom.
+    pad_bottom = n_tiles * TILE_H + HALO - H
+    x = jnp.pad(img.astype(jnp.bfloat16),
+                ((0, 0), (HALO, pad_bottom), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_kernel, H=H, W=W, border=border),
+        grid=(B, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, TILE_H, W), lambda b, i: (b, i, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE_H, W), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_H + 2 * HALO, W), jnp.bfloat16),
+            pltpu.VMEM((16, TILE_H, W), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(x)
+    return out[:, :H, :]
+
+
+def use_pallas() -> bool:
+    return jax.default_backend() == "tpu"

@@ -1,0 +1,139 @@
+"""Multi-chip batched multi-sequence SLAM front-end.
+
+The reference is a single-process, shared-memory system (SURVEY.md §2.4);
+multi-chip scale-out is this framework's extension axis (BASELINE.json
+config 5: batched EuRoC MH01-05 mapping). The parallelization is TPU-native:
+
+  * **dp over sequences** ('data' mesh axis): each device tracks a shard of
+    independent sequences — extraction, matching, pose LM all batched.
+  * **sp over keypoint slots** ('model' mesh axis): the Hamming distance
+    matrix of the matching step is sharded over query keypoints, each
+    device computing its row block (popcount-as-matmul on its MXU).
+  * XLA collectives ride ICI: per-step global statistics (inlier counts,
+    matched features) are psum'd over the whole mesh; nothing is
+    host-gathered mid-step.
+
+`make_multiseq_step` builds the jitted sharded step; `dryrun` runs one step
+on tiny shapes — used by __graft_entry__.dryrun_multichip to validate the
+sharding on a virtual device mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from orb_slam_system_tpu.config import ORBConfig
+from orb_slam_system_tpu.ops.extractor import ORBExtractor
+from orb_slam_system_tpu.ops.hamming import N_BITS, to_pm1_int8
+from orb_slam_system_tpu.solvers.pose_opt import pose_optimization
+
+
+def make_mesh(n_devices: int, model_parallel: int = 2) -> Mesh:
+    """2D mesh: ('data', 'model'). data shards sequences, model shards the
+    keypoint axis of the matching step."""
+    mp = model_parallel if n_devices % model_parallel == 0 else 1
+    dp = n_devices // mp
+    devices = np.asarray(jax.devices()[:n_devices]).reshape(dp, mp)
+    return Mesh(devices, ("data", "model"))
+
+
+def make_multiseq_step(mesh: Mesh, height: int, width: int,
+                       n_features: int = 256, n_levels: int = 4):
+    """Returns (step_fn, example_args). step_fn is jitted over the mesh:
+
+    (imgs f32[S,H,W], prev_desc u32[S,N,8], prev_xy f32[S,N,2],
+     prev_valid bool[S,N], pts f32[S,N,3], Tcw0 f32[S,4,4])
+      -> (Tcw f32[S,4,4], n_inliers i32, n_matched i32)
+
+    The front half (extract+match) runs under shard_map with dp/sp
+    shardings; the pose LM is vmapped per-sequence under dp.
+    """
+    cfg = ORBConfig(n_features=n_features, n_levels=n_levels)
+    extractor = ORBExtractor(cfg, height, width)
+    N = extractor.n_slots
+    S_model = mesh.shape["model"]
+    fx = fy = 0.8 * width
+    cx, cy = width / 2.0, height / 2.0
+
+    def local_step(imgs, prev_desc, prev_xy, prev_valid, pts, Tcw0):
+        # ---- per-device shard of sequences (dp) --------------------------
+        feats = extractor._extract(imgs)              # pure fn, traced here
+        # ---- matching, sharded over query keypoint slots (sp) ------------
+        # Block-local query rows vs full reference set; model-axis shards
+        # each take N / S_model query slots.
+        q = to_pm1_int8(feats.desc)                   # [s, Nq_local? no: N]
+        r = to_pm1_int8(prev_desc)
+        # Shard query rows over 'model' by dynamic slice on axis index.
+        m_idx = jax.lax.axis_index("model")
+        nq = N // S_model
+        q_loc = jax.lax.dynamic_slice_in_dim(q, m_idx * nq, nq, axis=1)
+        dot = jnp.einsum("sqb,srb->sqr", q_loc.astype(jnp.int8),
+                         r.astype(jnp.int8),
+                         preferred_element_type=jnp.int32)
+        dist = (N_BITS - dot) // 2                    # [s, nq, N]
+        v_loc = jax.lax.dynamic_slice_in_dim(feats.valid, m_idx * nq, nq, axis=1)
+        mask = v_loc[:, :, None] & prev_valid[:, None, :]
+        dist = jnp.where(mask, dist, 1 << 20)
+        best = jnp.min(dist, axis=2)
+        best_j = jnp.argmin(dist, axis=2)
+        matched = best <= 50
+        n_matched_loc = jnp.sum(matched.astype(jnp.int32))
+        # ---- per-sequence pose refinement (dp; model shards replicate) ---
+        obs_xy = jax.lax.dynamic_slice_in_dim(feats.xy, m_idx * nq, nq, axis=1)
+        pt_loc = jnp.take_along_axis(pts, best_j[..., None], axis=1)
+        T_opt, inl, n_in = jax.vmap(
+            lambda T0, X, uv, ok: pose_optimization(
+                T0, X, uv, jnp.ones(uv.shape[0], jnp.float32), ok,
+                fx, fy, cx, cy)
+        )(Tcw0, pt_loc, obs_xy, matched)
+        # ---- global statistics over the whole mesh (ICI collectives) -----
+        n_in_tot = jax.lax.psum(jnp.sum(n_in), axis_name="data")
+        n_in_tot = jax.lax.psum(n_in_tot, axis_name="model")
+        n_match_tot = jax.lax.psum(n_matched_loc, axis_name="data")
+        n_match_tot = jax.lax.psum(n_match_tot, axis_name="model")
+        # Average the model-shard pose estimates (each solved on its own
+        # keypoint shard) — a pmean over 'model'.
+        T_avg = jax.lax.pmean(T_opt, axis_name="model")
+        return T_avg, n_in_tot, n_match_tot
+
+    smapped = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data"), P("data"),
+                  P("data")),
+        out_specs=(P("data"), P(), P()),
+        check_vma=False,
+    )
+    step = jax.jit(smapped)
+
+    S = mesh.shape["data"] * 2   # 2 sequences per data shard
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 255, size=(S, height, width)).astype(np.float32)
+    prev_desc = rng.integers(0, 2 ** 32, size=(S, N, 8), dtype=np.uint32)
+    prev_xy = rng.uniform(20, min(height, width) - 20,
+                          size=(S, N, 2)).astype(np.float32)
+    prev_valid = np.ones((S, N), bool)
+    pts = rng.uniform(-2, 2, size=(S, N, 3)).astype(np.float32)
+    pts[..., 2] = rng.uniform(3, 8, size=(S, N))
+    Tcw0 = np.tile(np.eye(4, dtype=np.float32), (S, 1, 1))
+    sharding = NamedSharding(mesh, P("data"))
+    args = tuple(
+        jax.device_put(a, sharding)
+        for a in (imgs, prev_desc, prev_xy, prev_valid, pts, Tcw0))
+    return step, args
+
+
+def dryrun(n_devices: int, height: int = 96, width: int = 128):
+    """One multi-chip step on tiny shapes; raises on sharding errors."""
+    mesh = make_mesh(n_devices)
+    step, args = make_multiseq_step(mesh, height, width,
+                                    n_features=128, n_levels=2)
+    T, n_in, n_match = step(*args)
+    jax.block_until_ready((T, n_in, n_match))
+    assert np.isfinite(np.asarray(T)).all()
+    return int(n_in), int(n_match)
