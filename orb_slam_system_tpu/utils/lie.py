@@ -37,13 +37,16 @@ def hat(w: jnp.ndarray) -> jnp.ndarray:
 
 @jax.jit
 def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
-    """Rodrigues formula, numerically safe near theta=0."""
+    """Rodrigues formula, numerically safe near theta=0 (denominators are
+    double-where-guarded so gradients at theta=0 are NaN-free)."""
     theta2 = jnp.dot(w, w)
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     W = hat(w)
+    big = theta2 > _EPS
+    theta2_safe = jnp.where(big, theta2, 1.0)
     # sin(x)/x and (1-cos x)/x^2 with Taylor guards.
-    A = jnp.where(theta2 > _EPS, jnp.sin(theta) / theta, 1.0 - theta2 / 6.0)
-    B = jnp.where(theta2 > _EPS, (1.0 - jnp.cos(theta)) / theta2, 0.5 - theta2 / 24.0)
+    A = jnp.where(big, jnp.sin(theta) / theta, 1.0 - theta2 / 6.0)
+    B = jnp.where(big, (1.0 - jnp.cos(theta)) / theta2_safe, 0.5 - theta2 / 24.0)
     return jnp.eye(3, dtype=w.dtype) + A * W + B * (W @ W)
 
 
@@ -55,12 +58,15 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     # Enforce w >= 0 so the angle lands in [0, pi].
     q = jnp.where(q[3] < 0, -q, q)
     qv = q[:3]
-    sin_half = jnp.linalg.norm(qv)
     cos_half = q[3]
+    # ||qv|| with a NaN-free gradient at zero (norm's grad is 0/0 there).
+    norm2 = jnp.dot(qv, qv)
+    big = norm2 > 1e-12
+    sin_half = jnp.sqrt(jnp.where(big, norm2, 1.0))
     theta = 2.0 * jnp.arctan2(sin_half, cos_half)
-    # theta / sin(theta/2), guarded near zero: -> 2 + theta^2/12.
-    scale = jnp.where(sin_half > 1e-6, theta / jnp.maximum(sin_half, _EPS),
-                      2.0 + theta * theta / 12.0)
+    # theta / sin(theta/2); near zero -> 2 (error O(theta^2), below the
+    # branch threshold).
+    scale = jnp.where(big, theta / sin_half, 2.0)
     return scale * qv
 
 
@@ -68,9 +74,12 @@ def _so3_left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.dot(w, w)
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     W = hat(w)
-    B = jnp.where(theta2 > _EPS, (1.0 - jnp.cos(theta)) / theta2, 0.5 - theta2 / 24.0)
+    big = theta2 > _EPS
+    theta2_safe = jnp.where(big, theta2, 1.0)
+    B = jnp.where(big, (1.0 - jnp.cos(theta)) / theta2_safe, 0.5 - theta2 / 24.0)
     C = jnp.where(
-        theta2 > _EPS, (theta - jnp.sin(theta)) / (theta2 * theta), 1.0 / 6.0 - theta2 / 120.0
+        big, (theta - jnp.sin(theta)) / (theta2_safe * theta),
+        1.0 / 6.0 - theta2 / 120.0
     )
     return jnp.eye(3, dtype=w.dtype) + B * W + C * (W @ W)
 
