@@ -88,6 +88,7 @@ class KeyFrameRec:
     not_erase: bool = False
     Tcp: Optional[np.ndarray] = None     # pose relative to parent at cull time
     node_ids: Optional[np.ndarray] = None  # i32[N] BoW direct-index nodes
+    bow: Optional[dict] = None           # word id -> normalized TF-IDF weight
 
     def camera_center(self) -> np.ndarray:
         R = self.Tcw[:3, :3]
@@ -118,6 +119,9 @@ class MapArena:
         self.next_mp_id = 0
         self.kf_origin_id = -1
         self.big_change_idx = 0
+        # Callbacks fired when a keyframe is erased (e.g. keyframe-database
+        # index maintenance, reference KeyFrameDatabase::erase).
+        self.erase_hooks = []
 
     # ----- creation -------------------------------------------------------
 
@@ -335,6 +339,8 @@ class MapArena:
         kf.bad = True
         self.kfs.pop(kf.id, None)
         self.dead_kfs[kf.id] = kf
+        for hook in self.erase_hooks:
+            hook(kf.id)
 
     # ----- stats ----------------------------------------------------------
 

@@ -30,9 +30,11 @@ BA_EDGES = 8192
 
 
 class LocalMapper:
-    def __init__(self, cfg: SlamConfig, arena: MapArena):
+    def __init__(self, cfg: SlamConfig, arena: MapArena, place_rec=None):
         self.cfg = cfg
         self.arena = arena
+        self.place_rec = place_rec
+        self.loop_closer = None  # wired by System
         self.queue: deque[int] = deque()
         self.recent_points: list[tuple[int, int]] = []  # (mp_id, birth_kf_id)
         self._abort_ba = False
@@ -80,6 +82,9 @@ class LocalMapper:
                 self.local_ba(kf)
             if self.enable_kf_culling:
                 self.cull_keyframes(kf)
+            # Hand off to loop closing (reference :72, the thread boundary).
+            if self.loop_closer is not None and kf.id in self.arena.kfs:
+                self.loop_closer.process(kf.id)
 
     def process_new_keyframe(self, kf: KeyFrameRec):
         """Reference ProcessNewKeyFrame (:105-132): bind tracked map points,
@@ -96,6 +101,10 @@ class LocalMapper:
                 self.arena.compute_distinctive_descriptor(mp)
                 self.arena.update_normal_and_depth(mp, self.scale_factors)
         self.arena.update_connections(kf)
+        # BoW + keyframe-database indexing (reference ProcessNewKeyFrame
+        # ComputeBoW :108 + KeyFrameDatabase add in LoopClosing).
+        if self.place_rec is not None:
+            self.place_rec.on_new_keyframe(kf, self.arena)
 
     def cull_map_points(self, kf: KeyFrameRec):
         """Reference MapPointCulling (:134-164)."""

@@ -1,0 +1,467 @@
+"""Loop closing: detection, Sim3 computation, loop correction.
+
+Replaces reference LoopClosing (src/LoopClosing.cc) with upstream-complete
+semantics (the fork's CorrectLoop never adds loop edges or runs GBA,
+SURVEY.md §0.1 rows 7-8 — both restored here):
+  * DetectLoop (:55-125): BoW candidates gated by the min covisible score,
+    3-consecutive covisibility-group consistency (consistency threshold 3,
+    :17), candidate list cleared at entry (fixing fork row 8).
+  * ComputeSim3 (:127-208): per-candidate BoW matching >= 20, batched Sim3
+    RANSAC, projection-guided match top-up, OptimizeSim3 >= 20 inliers.
+  * CorrectLoop (:225-300 + upstream RunGlobalBundleAdjustment :340-410):
+    corrected-Sim3 propagation over the covisible group, map-point
+    correction, loop-point fusion, essential-graph optimization, loop edge
+    insertion, and (bounded-size) global BA.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam_system_tpu.config import SlamConfig
+from orb_slam_system_tpu.mapping.arena import KeyFrameRec, MapArena, hamming_np
+from orb_slam_system_tpu.models.place_recognition import PlaceRecognition
+from orb_slam_system_tpu.ops import matching
+from orb_slam_system_tpu.solvers.pose_graph import (
+    optimize_essential_graph,
+    optimize_sim3,
+)
+from orb_slam_system_tpu.solvers.sim3 import make_sim3_sample_sets, sim3_ransac
+from orb_slam_system_tpu.vocab.vocabulary import Vocabulary
+
+CONSISTENCY_TH = 3      # reference src/LoopClosing.cc:17
+MIN_KFS_BETWEEN = 10    # reference :61
+GBA_MAX_CAMS = 48       # bounded synchronous GBA (larger maps rely on the
+                        # essential graph; full-scale async GBA is a later round)
+
+
+class LoopCloser:
+    def __init__(self, cfg: SlamConfig, arena: MapArena,
+                 place_rec: PlaceRecognition, local_mapper):
+        self.cfg = cfg
+        self.arena = arena
+        self.place_rec = place_rec
+        self.local_mapper = local_mapper
+        self.last_loop_kf_id = -1
+        self.consistent_groups: List[tuple[set, int]] = []
+        self.scale_factors = np.asarray(cfg.orb.level_scales(), np.float32)
+        self.inv_sigma2 = (1.0 / self.scale_factors ** 2).astype(np.float32)
+        self.n_loops_closed = 0
+        from orb_slam_system_tpu.config import Sensor
+        self.fix_scale = cfg.sensor != Sensor.MONOCULAR
+
+    # ------------------------------------------------------------------
+
+    def process(self, kf_id: int):
+        """One pass of the loop thread body (reference Run :28-41)."""
+        kf = self.arena.kfs.get(kf_id)
+        if kf is None or not self.place_rec.ready:
+            return False
+        candidates = self.detect_loop(kf)
+        if not candidates:
+            return False
+        ok, matched_kf, Scw, loop_points, cur_matches = self.compute_sim3(
+            kf, candidates)
+        if not ok:
+            return False
+        self.correct_loop(kf, matched_kf, Scw, loop_points, cur_matches)
+        self.n_loops_closed += 1
+        return True
+
+    # ------------------------------------------------------------------
+
+    def detect_loop(self, kf: KeyFrameRec) -> List[int]:
+        """Reference DetectLoop (:55-125)."""
+        if kf.id < self.last_loop_kf_id + MIN_KFS_BETWEEN or \
+                self.arena.n_keyframes() < MIN_KFS_BETWEEN:
+            return []
+        if kf.bow is None:
+            return []
+        # Min score against covisible neighbors (:67-74).
+        min_score = 1.0
+        for nb in kf.covis:
+            nb_kf = self.arena.kfs.get(nb)
+            if nb_kf is not None and nb_kf.bow is not None:
+                s = Vocabulary.score(kf.bow, nb_kf.bow)
+                min_score = min(min_score, s)
+        candidates = self.place_rec.db.detect_loop_candidates(
+            kf.id, kf.bow, min_score, self.arena)
+        if not candidates:
+            self.consistent_groups = []
+            return []
+        # Covisibility-consistency over consecutive detections (:84-117).
+        enough: List[int] = []
+        new_groups: List[tuple[set, int]] = []
+        for cand in candidates:
+            ckf = self.arena.kfs.get(cand)
+            if ckf is None:
+                continue
+            group = set(ckf.covis) | {cand}
+            consistent_for = 0
+            for prev_group, prev_count in self.consistent_groups:
+                if group & prev_group:
+                    consistent_for = max(consistent_for, prev_count + 1)
+            new_groups.append((group, consistent_for))
+            if consistent_for >= CONSISTENCY_TH:
+                enough.append(cand)
+        self.consistent_groups = new_groups
+        return enough
+
+    # ------------------------------------------------------------------
+
+    def compute_sim3(self, kf: KeyFrameRec, candidates: List[int]):
+        """Reference ComputeSim3 (:127-208)."""
+        for cand_id in candidates:
+            ckf = self.arena.kfs.get(cand_id)
+            if ckf is None or ckf.bad:
+                continue
+            # BoW matching between the two keyframes' map-point features.
+            m = self._match_keyframes(kf, ckf)
+            if len(m) < 20:
+                continue
+            rows1 = np.asarray([a for a, b in m])
+            rows2 = np.asarray([b for a, b in m])
+            # Camera-frame 3D positions of the matched map points.
+            P1, ok1 = self._cam_points(kf, rows1)
+            P2, ok2 = self._cam_points(ckf, rows2)
+            ok = ok1 & ok2
+            if ok.sum() < 20:
+                continue
+            N = len(rows1)
+            uv1 = kf.feats.xy_und[rows1].astype(np.float32)
+            uv2 = ckf.feats.xy_und[rows2].astype(np.float32)
+            max1 = 9.21 * (1.0 / self.inv_sigma2)[kf.feats.octave[rows1]]
+            max2 = 9.21 * (1.0 / self.inv_sigma2)[ckf.feats.octave[rows2]]
+            cam = self.cfg.camera
+            sets = make_sim3_sample_sets(N, 300, 0)
+            okr, s12, R12, t12, inl, n = sim3_ransac(
+                jnp.asarray(P1), jnp.asarray(P2), jnp.asarray(uv1),
+                jnp.asarray(uv2), jnp.asarray(max1.astype(np.float32)),
+                jnp.asarray(max2.astype(np.float32)), jnp.asarray(ok),
+                jnp.asarray(sets), cam.fx, cam.fy, cam.cx, cam.cy,
+                fix_scale=self.fix_scale)
+            if not bool(okr):
+                continue
+            # Refine with OptimizeSim3 (>=20 inliers, :195-206).
+            n_in, s_f, R_f, t_f, inl_f = optimize_sim3(
+                s12, R12, t12, jnp.asarray(P1), jnp.asarray(P2),
+                jnp.asarray(uv1), jnp.asarray(uv2),
+                jnp.asarray(self.inv_sigma2[kf.feats.octave[rows1]]),
+                jnp.asarray(self.inv_sigma2[ckf.feats.octave[rows2]]),
+                jnp.asarray(ok), cam.fx, cam.fy, cam.cx, cam.cy,
+                fix_scale=self.fix_scale)
+            if int(n_in) < 20:
+                continue
+            # Scw = S12 * T2w  (Sim3 world -> current KF camera).
+            s_f = float(s_f)
+            R_f = np.asarray(R_f)
+            t_f = np.asarray(t_f)
+            T2w = ckf.Tcw
+            R_cw = R_f @ T2w[:3, :3]
+            t_cw = s_f * (R_f @ T2w[:3, 3]) + t_f
+            Scw = {"s": s_f, "R": R_cw.astype(np.float32),
+                   "t": t_cw.astype(np.float32)}
+            # Loop map points: candidate KF + its neighbors' points (:210-222).
+            loop_points = self._collect_loop_points(ckf)
+            cur_matches = {int(rows1[k]): int(ckf.mp_ids[rows2[k]])
+                           for k in np.nonzero(np.asarray(inl_f))[0]
+                           if ckf.mp_ids[rows2[k]] >= 0}
+            return True, ckf, Scw, loop_points, cur_matches
+        return False, None, None, None, None
+
+    def _match_keyframes(self, kf1: KeyFrameRec, kf2: KeyFrameRec):
+        """SearchByBoW(KF,KF) (reference src/ORBmatcher.cc:278-366,
+        upstream-complete): node-constrained ratio-test matching restricted
+        to features with map points."""
+        has1 = (kf1.mp_ids >= 0) & kf1.feats.valid
+        has2 = (kf2.mp_ids >= 0) & kf2.feats.valid
+        n1 = kf1.node_ids if kf1.node_ids is not None else np.zeros(
+            kf1.feats.n_slots, np.int32)
+        n2 = kf2.node_ids if kf2.node_ids is not None else np.zeros(
+            kf2.feats.n_slots, np.int32)
+        res = matching.search_by_node_id(
+            jnp.asarray(kf1.feats.desc), jnp.asarray(has1),
+            jnp.asarray(kf1.feats.angle), jnp.asarray(np.where(has1, n1, -1)),
+            jnp.asarray(kf2.feats.desc), jnp.asarray(has2),
+            jnp.asarray(kf2.feats.angle), jnp.asarray(np.where(has2, n2, -1)),
+            nn_ratio=0.75)
+        idx2 = np.asarray(res.idx2)
+        return [(i, int(idx2[i])) for i in np.nonzero(idx2 >= 0)[0]]
+
+    def _cam_points(self, kf: KeyFrameRec, rows):
+        P = np.zeros((len(rows), 3), np.float32)
+        ok = np.zeros(len(rows), bool)
+        for k, r in enumerate(rows):
+            mid = int(kf.mp_ids[r])
+            if mid >= 0:
+                mp = self.arena.mps.get(mid)
+                if mp is not None and not mp.bad:
+                    P[k] = kf.Tcw[:3, :3] @ mp.pos + kf.Tcw[:3, 3]
+                    ok[k] = True
+        return P, ok
+
+    def _collect_loop_points(self, ckf: KeyFrameRec) -> List[int]:
+        ids = set()
+        for kf_id in [ckf.id] + self.arena.covisible_ordered(ckf):
+            kf = self.arena.kfs.get(kf_id)
+            if kf is None:
+                continue
+            for mid in kf.mp_ids:
+                if mid >= 0 and int(mid) in self.arena.mps:
+                    ids.add(int(mid))
+        return list(ids)
+
+    # ------------------------------------------------------------------
+
+    def correct_loop(self, kf: KeyFrameRec, matched_kf: KeyFrameRec,
+                     Scw: dict, loop_points: List[int], cur_matches: Dict[int, int]):
+        """Reference CorrectLoop (:225-300) + upstream loop-edge insertion
+        and global BA (:340-410)."""
+        arena = self.arena
+        # 1. Corrected Sim3 for current KF + covisible group (:246-270).
+        Twc = np.linalg.inv(kf.Tcw)
+        group = [kf.id] + arena.covisible_ordered(kf)
+        corrected: Dict[int, dict] = {}
+        non_corrected: Dict[int, np.ndarray] = {}
+        for g_id in group:
+            gkf = arena.kfs.get(g_id)
+            if gkf is None:
+                continue
+            non_corrected[g_id] = gkf.Tcw.copy()
+            Tic = gkf.Tcw @ Twc
+            Ric, tic = Tic[:3, :3], Tic[:3, 3]
+            # S_i_corr = T_ic * Scw
+            R_n = Ric @ Scw["R"]
+            t_n = Scw["s"] * (Ric @ Scw["t"]) + tic
+            corrected[g_id] = {"s": Scw["s"], "R": R_n, "t": t_n}
+        # 2. Correct the group's map points + update poses (:253-290).
+        moved: set[int] = set()
+        for g_id, S_n in corrected.items():
+            gkf = arena.kfs[g_id]
+            T_old = non_corrected[g_id]
+            for mid in gkf.mp_ids:
+                if mid < 0 or int(mid) in moved:
+                    continue
+                mp = arena.mps.get(int(mid))
+                if mp is None or mp.bad:
+                    continue
+                # p_corrected = S_corr^-1( S_old(p) ) with S_old = SE3 pose.
+                pc = T_old[:3, :3] @ mp.pos + T_old[:3, 3]
+                sinv = 1.0 / S_n["s"]
+                p_new = sinv * (S_n["R"].T @ (pc - S_n["t"]))
+                mp.pos = p_new.astype(np.float32)
+                arena.update_normal_and_depth(mp, self.scale_factors)
+                moved.add(int(mid))
+            # Pose: SE3 from corrected Sim3 with t/s (reference :283-288).
+            gkf.Tcw = np.eye(4, dtype=np.float32)
+            gkf.Tcw[:3, :3] = S_n["R"]
+            gkf.Tcw[:3, 3] = S_n["t"] / S_n["s"]
+            arena.update_connections(gkf)
+        # 3. Fuse matched loop points into the current KF (:273-279).
+        for feat_idx, loop_mid in cur_matches.items():
+            cur_mid = int(kf.mp_ids[feat_idx])
+            lp = arena.mps.get(loop_mid)
+            if lp is None or lp.bad:
+                continue
+            if cur_mid >= 0 and cur_mid != loop_mid:
+                cur_mp = arena.mps.get(cur_mid)
+                if cur_mp is not None and not cur_mp.bad:
+                    arena.replace_point(cur_mp, lp)
+            else:
+                arena.add_observation(lp, kf, feat_idx)
+                arena.compute_distinctive_descriptor(lp)
+        # 4. SearchAndFuse: project loop points into the corrected group
+        #    (:302-317, ORBmatcher::Fuse with Scw radius 4).
+        self._search_and_fuse(corrected, loop_points)
+        # 5. New covisibility links created by the fusion -> loop connections.
+        #    Essential-graph optimization (:292-296).
+        self._optimize_essential_graph(kf, matched_kf, corrected, non_corrected)
+        # 6. Loop edge (upstream; fork omitted it — §0.1 row 7).
+        kf.loop_edges.add(matched_kf.id)
+        matched_kf.loop_edges.add(kf.id)
+        self.last_loop_kf_id = kf.id
+        # 7. Bounded global BA (upstream RunGlobalBundleAdjustment :340-410).
+        if arena.n_keyframes() <= GBA_MAX_CAMS:
+            self._global_ba()
+
+    def _search_and_fuse(self, corrected: Dict[int, dict], loop_points):
+        cam = self.cfg.camera
+        for g_id in corrected:
+            gkf = self.arena.kfs.get(g_id)
+            if gkf is None:
+                continue
+            self._fuse_points_into(gkf, loop_points, radius=4.0)
+
+    def _fuse_points_into(self, kf: KeyFrameRec, point_ids, radius=4.0):
+        cam = self.cfg.camera
+        ids = [m for m in point_ids if m in self.arena.mps]
+        if not ids:
+            return
+        pos = np.stack([self.arena.mps[m].pos for m in ids])
+        Xc = pos @ kf.Tcw[:3, :3].T + kf.Tcw[:3, 3]
+        z = Xc[:, 2]
+        good = z > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            proj = Xc[:, :2] / np.where(np.abs(z[:, None]) < 1e-9, 1e-9,
+                                        z[:, None])
+        proj = proj * [cam.fx, cam.fy] + [cam.cx, cam.cy]
+        good &= ((proj[:, 0] >= 0) & (proj[:, 0] < cam.width)
+                 & (proj[:, 1] >= 0) & (proj[:, 1] < cam.height))
+        for k in np.nonzero(good)[0]:
+            mp = self.arena.mps.get(ids[k])
+            if mp is None or mp.bad or kf.id in mp.obs:
+                continue
+            d = np.linalg.norm(kf.feats.xy_und - proj[k], axis=1)
+            cand = np.nonzero((d < radius) & kf.feats.valid)[0]
+            if len(cand) == 0:
+                continue
+            hd = hamming_np(mp.desc[None, :], kf.feats.desc[cand])
+            j = cand[int(np.argmin(hd))]
+            if hd.min() > matching.TH_LOW:
+                continue
+            existing = int(kf.mp_ids[j])
+            if existing >= 0 and existing != mp.id:
+                other = self.arena.mps.get(existing)
+                if other is not None and not other.bad:
+                    self.arena.replace_point(other, mp)
+            elif existing < 0:
+                self.arena.add_observation(mp, kf, int(j))
+                self.arena.compute_distinctive_descriptor(mp)
+
+    def _optimize_essential_graph(self, kf, matched_kf, corrected,
+                                  non_corrected):
+        """Build + solve the essential graph (reference Optimizer::
+        OptimizeEssentialGraph src/Optimizer.cc:762-1025): spanning-tree
+        edges, existing loop edges, covisibility edges >= 100, and the new
+        loop constraint; fixed = the loop keyframe."""
+        arena = self.arena
+        kf_ids = sorted(arena.kfs)
+        index = {k: i for i, k in enumerate(kf_ids)}
+        K = len(kf_ids)
+        R0 = np.stack([arena.kfs[k].Tcw[:3, :3] for k in kf_ids]).astype(np.float32)
+        t0 = np.stack([arena.kfs[k].Tcw[:3, 3] for k in kf_ids]).astype(np.float32)
+        s0 = np.ones(K, np.float32)
+        fixed = np.zeros(K, bool)
+        fixed[index[matched_kf.id]] = True
+        e_i, e_j, e_R, e_t, e_s = [], [], [], [], []
+        added = set()
+
+        def add_edge(i_id, j_id, Ti, Tj, si=1.0, sj=1.0):
+            key = (min(i_id, j_id), max(i_id, j_id))
+            if key in added or i_id not in index or j_id not in index:
+                return
+            added.add(key)
+            # Sji = S_j * S_i^-1 in Sim3 (scales si/sj both 1 for SE3 inputs).
+            Rji = Tj[:3, :3] @ Ti[:3, :3].T
+            tji = Tj[:3, 3] - Rji @ Ti[:3, 3]
+            e_i.append(index[i_id]); e_j.append(index[j_id])
+            e_R.append(Rji); e_t.append(tji); e_s.append(sj / si)
+
+        for k_id in kf_ids:
+            k_kf = arena.kfs[k_id]
+            # Use pre-correction poses for edges inside the corrected group
+            # (reference uses NonCorrectedSim3 for measurement computation).
+            def pose_of(x_id):
+                return non_corrected.get(x_id, arena.kfs[x_id].Tcw)
+            if k_kf.parent >= 0:
+                add_edge(k_id, k_kf.parent, pose_of(k_id), pose_of(k_kf.parent))
+            for le in k_kf.loop_edges:
+                add_edge(k_id, le, pose_of(k_id), pose_of(le))
+            for nb, w in k_kf.covis.items():
+                if w >= 100 and nb < k_id:
+                    add_edge(k_id, nb, pose_of(k_id), pose_of(nb))
+        # The new loop constraint: current KF (corrected) <-> matched KF.
+        add_edge(kf.id, matched_kf.id, arena.kfs[kf.id].Tcw,
+                 arena.kfs[matched_kf.id].Tcw)
+        if not e_i:
+            return
+        E = len(e_i)
+        Rn, tn, sn = optimize_essential_graph(
+            jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(s0),
+            jnp.asarray(fixed), jnp.asarray(np.ones(K, bool)),
+            jnp.asarray(np.asarray(e_i, np.int32)),
+            jnp.asarray(np.asarray(e_j, np.int32)),
+            jnp.asarray(np.stack(e_R).astype(np.float32)),
+            jnp.asarray(np.stack(e_t).astype(np.float32)),
+            jnp.asarray(np.asarray(e_s, np.float32)),
+            jnp.asarray(np.ones(E, bool)),
+            n_iters=20, cg_iters=50)
+        Rn = np.asarray(Rn)
+        tn = np.asarray(tn)
+        sn = np.asarray(sn)
+        # Apply: poses = [R | t/s]; points corrected via their reference KF
+        # (reference :960-1010).
+        old_poses = {k: arena.kfs[k].Tcw.copy() for k in kf_ids}
+        for k_id in kf_ids:
+            i = index[k_id]
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = Rn[i]
+            T[:3, 3] = tn[i] / max(sn[i], 1e-9)
+            arena.kfs[k_id].Tcw = T
+        for mp in list(arena.mps.values()):
+            ref_id = mp.ref_kf if mp.ref_kf in index else next(
+                (k for k in mp.obs if k in index), None)
+            if ref_id is None:
+                continue
+            i = index[ref_id]
+            T_old = old_poses[ref_id]
+            pc = T_old[:3, :3] @ mp.pos + T_old[:3, 3]
+            # p_new = S_new^-1 (pc) with S_new = (sR, t).
+            p_new = (Rn[i].T @ (pc - tn[i])) / max(sn[i], 1e-9)
+            mp.pos = p_new.astype(np.float32)
+            arena.update_normal_and_depth(mp, self.scale_factors)
+
+    def _global_ba(self):
+        """Bounded synchronous GBA (upstream RunGlobalBundleAdjustment)."""
+        from orb_slam_system_tpu.solvers.local_ba import (
+            BAProblem, global_bundle_adjustment)
+        arena = self.arena
+        cam = self.cfg.camera
+        kf_ids = sorted(arena.kfs)
+        C = len(kf_ids)
+        index = {k: i for i, k in enumerate(kf_ids)}
+        mp_ids = list(arena.mps)
+        P = len(mp_ids)
+        if P == 0 or C < 2:
+            return
+        p_index = {m: i for i, m in enumerate(mp_ids)}
+        e_cam, e_pt, e_uv, e_is2, refs = [], [], [], [], []
+        for m in mp_ids:
+            mp = arena.mps[m]
+            for kf_id, fidx in mp.obs.items():
+                if kf_id not in index:
+                    continue
+                w_kf = arena.kfs[kf_id]
+                e_cam.append(index[kf_id])
+                e_pt.append(p_index[m])
+                e_uv.append(w_kf.feats.xy_und[fidx])
+                e_is2.append(self.inv_sigma2[w_kf.feats.octave[fidx]])
+                refs.append((m, kf_id))
+        if len(e_cam) < 20:
+            return
+        prob = BAProblem(
+            Tcw=jnp.asarray(np.stack([arena.kfs[k].Tcw for k in kf_ids])),
+            cam_fixed=jnp.asarray(
+                np.asarray([k == arena.kf_origin_id for k in kf_ids])),
+            cam_valid=jnp.asarray(np.ones(C, bool)),
+            points=jnp.asarray(np.stack([arena.mps[m].pos for m in mp_ids])),
+            pt_valid=jnp.asarray(np.ones(P, bool)),
+            e_cam=jnp.asarray(np.asarray(e_cam, np.int32)),
+            e_pt=jnp.asarray(np.asarray(e_pt, np.int32)),
+            e_uv=jnp.asarray(np.asarray(e_uv, np.float32)),
+            e_inv_sigma2=jnp.asarray(np.asarray(e_is2, np.float32)),
+            e_valid=jnp.asarray(np.ones(len(e_cam), bool)))
+        Tcw_n, X_n, inlier = global_bundle_adjustment(
+            prob, cam.fx, cam.fy, cam.cx, cam.cy, n_iters=10)
+        Tcw_n = np.asarray(Tcw_n)
+        X_n = np.asarray(X_n)
+        for k_id in kf_ids:
+            if k_id != arena.kf_origin_id:
+                arena.kfs[k_id].Tcw = Tcw_n[index[k_id]].copy()
+        for m in mp_ids:
+            mp = arena.mps.get(m)
+            if mp is not None:
+                mp.pos = X_n[p_index[m]].copy()

@@ -43,9 +43,22 @@ class System:
             from orb_slam_system_tpu.vocab.vocabulary import Vocabulary
             self.vocabulary = Vocabulary.load(vocabulary_path)
         self.arena = MapArena()
-        self.local_mapper = LocalMapper(self.cfg, self.arena)
-        self.tracker = Tracker(self.cfg, self.arena, self.local_mapper)
+        from orb_slam_system_tpu.models.loop_closing import LoopCloser
+        from orb_slam_system_tpu.models.place_recognition import PlaceRecognition
+        self.place_rec = PlaceRecognition(self.vocabulary)
+        self.arena.erase_hooks.append(self.place_rec.on_erase_keyframe)
+        self.local_mapper = LocalMapper(self.cfg, self.arena,
+                                        place_rec=self.place_rec)
+        self.loop_closer = LoopCloser(self.cfg, self.arena, self.place_rec,
+                                      self.local_mapper)
+        self.local_mapper.loop_closer = self.loop_closer
+        self.tracker = Tracker(self.cfg, self.arena, self.local_mapper,
+                               place_rec=self.place_rec)
         self.use_viewer = use_viewer
+        self.viewer = None
+        if use_viewer:
+            from orb_slam_system_tpu.models.viewer import StatsViewer
+            self.viewer = StatsViewer(self)
         self._timings: list[float] = []
 
     # ------------------------------------------------------------------

@@ -54,10 +54,11 @@ class TrajectoryEntry:
 
 class Tracker:
     def __init__(self, cfg: SlamConfig, arena: MapArena, local_mapper,
-                 only_tracking: bool = False):
+                 only_tracking: bool = False, place_rec=None):
         self.cfg = cfg
         self.arena = arena
         self.local_mapper = local_mapper
+        self.place_rec = place_rec
         self.state = TrackingState.NO_IMAGES_YET
         self.only_tracking = only_tracking
         self.builder = FrameBuilder(cfg)
@@ -676,7 +677,126 @@ class Tracker:
     # ------------------------------------------------------------------
 
     def relocalization(self) -> bool:
+        """Reference Relocalization (src/Tracking.cc:796-884): BoW candidate
+        keyframes -> per-candidate BoW matching (>=15) -> batched EPnP-RANSAC
+        -> PoseOptimization -> projection top-up -> accept at >=50 inliers."""
+        if self.place_rec is None or not self.place_rec.ready:
+            return False
+        from orb_slam_system_tpu.solvers.pnp import (
+            epnp_ransac, make_pnp_sample_sets)
+        cur = self.current
+        bow, node_ids = self.place_rec.frame_bow(cur.feats.desc,
+                                                 cur.feats.valid)
+        if bow is None:
+            return False
+        candidates = self.place_rec.db.detect_reloc_candidates(bow, self.arena)
+        if not candidates:
+            return False
+        cam = self.cfg.camera
+        for cand_id in candidates[:5]:
+            kf = self.arena.kfs.get(cand_id)
+            if kf is None or kf.bad:
+                continue
+            has_mp = (kf.mp_ids >= 0) & kf.feats.valid
+            nk = kf.node_ids if kf.node_ids is not None else np.zeros(
+                kf.feats.n_slots, np.int32)
+            res = matching.search_by_node_id(
+                jnp.asarray(kf.feats.desc), jnp.asarray(has_mp),
+                jnp.asarray(kf.feats.angle),
+                jnp.asarray(np.where(has_mp, nk, -1).astype(np.int32)),
+                jnp.asarray(cur.feats.desc), jnp.asarray(cur.feats.valid),
+                jnp.asarray(cur.feats.angle),
+                jnp.asarray(node_ids.astype(np.int32)),
+                nn_ratio=0.75)
+            idx2 = np.asarray(res.idx2)
+            rows = np.nonzero(idx2 >= 0)[0]
+            if len(rows) < 15:
+                continue
+            # 3D-2D correspondences on the current frame's feature slots.
+            n = cur.feats.n_slots
+            Xw = np.zeros((n, 3), np.float32)
+            ok = np.zeros(n, bool)
+            mp_of_slot = np.full(n, -1, np.int64)
+            for r in rows:
+                mid = int(kf.mp_ids[r])
+                mp = self.arena.mps.get(mid)
+                if mp is not None and not mp.bad:
+                    j = idx2[r]
+                    Xw[j] = mp.pos
+                    ok[j] = True
+                    mp_of_slot[j] = mid
+            if ok.sum() < 15:
+                continue
+            sets = make_pnp_sample_sets(n, 300, 0)
+            pnp_ok, T_pnp, pnp_inl, n_pnp = epnp_ransac(
+                jnp.asarray(Xw), jnp.asarray(cur.feats.xy_und),
+                jnp.asarray(self.inv_sigma2[cur.feats.octave].astype(np.float32)),
+                jnp.asarray(ok), jnp.asarray(sets),
+                cam.fx, cam.fy, cam.cx, cam.cy)
+            if not bool(pnp_ok):
+                continue
+            cur.mp_ids[:] = -1
+            inl = np.asarray(pnp_inl)
+            cur.mp_ids[inl] = mp_of_slot[inl]
+            if not self._optimize_current_pose(np.asarray(T_pnp),
+                                               min_map_matches=10):
+                continue
+            # Projection top-up against the keyframe's full point set
+            # (reference :863-880, radius th=10).
+            self._reloc_topup(kf, radius_th=10.0)
+            if self._optimize_current_pose(cur.Tcw, min_map_matches=50):
+                self.ref_kf_id = kf.id
+                cur.ref_kf_id = kf.id
+                return True
         return False
+
+    def _reloc_topup(self, kf, radius_th=10.0):
+        cur = self.current
+        cam = self.cfg.camera
+        ids, pos, desc, oct_pred, ok = [], [], [], [], []
+        n = 0
+        attached = {int(m) for m in cur.mp_ids if m >= 0}
+        slots = []
+        for mid in kf.mp_ids:
+            if mid < 0 or int(mid) in attached:
+                continue
+            mp = self.arena.mps.get(int(mid))
+            if mp is None or mp.bad:
+                continue
+            slots.append((int(mid), mp))
+        if not slots:
+            return
+        P = len(slots)
+        pos = np.stack([mp.pos for _, mp in slots])
+        desc = np.stack([mp.desc for _, mp in slots])
+        Xc = pos @ cur.Tcw[:3, :3].T + cur.Tcw[:3, 3]
+        z = Xc[:, 2]
+        valid = z > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            proj = Xc[:, :2] / np.where(np.abs(z[:, None]) < 1e-9, 1e-9, z[:, None])
+        proj = proj * [cam.fx, cam.fy] + [cam.cx, cam.cy]
+        radius = np.full(P, radius_th, np.float32)
+        already = cur.mp_ids >= 0
+        # Predicted octave from the scale-invariance band (PredictScale).
+        Ow = cur.camera_center()
+        dist = np.linalg.norm(pos - Ow[None, :], axis=1)
+        maxd = np.asarray([mp.max_dist for _, mp in slots])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lvl = np.ceil(np.log(np.maximum(maxd, 1e-9)
+                                 / np.maximum(dist, 1e-9))
+                          / np.log(self.cfg.orb.scale_factor))
+        lvl = np.clip(np.nan_to_num(lvl, nan=0.0), 0,
+                      self.cfg.orb.n_levels - 1).astype(np.int32)
+        res = matching.search_by_projection_set(
+            jnp.asarray(proj.astype(np.float32)), jnp.asarray(radius),
+            jnp.asarray(lvl),
+            jnp.asarray(valid), jnp.asarray(desc),
+            jnp.asarray(cur.feats.xy_und), jnp.asarray(cur.feats.desc),
+            jnp.asarray(cur.feats.valid), jnp.asarray(cur.feats.octave),
+            jnp.asarray(already))
+        idx2 = np.asarray(res.idx2)
+        for k in np.nonzero(idx2 >= 0)[0]:
+            cur.mp_ids[idx2[k]] = slots[k][0]
 
     # ------------------------------------------------------------------
     # Reset (reference Tracking::Reset src/Tracking.cc:887-927)
