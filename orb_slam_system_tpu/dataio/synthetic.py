@@ -143,6 +143,25 @@ def orbit_trajectory(n_frames: int, radius: float = 0.15, depth: float = -2.0,
     return poses
 
 
+def loop_trajectory(n_frames: int, radius: float = 0.5, depth: float = -2.0,
+                    tilt: float = 0.3) -> list[np.ndarray]:
+    """Closed circular translation path (camera returns to its start pose):
+    exercises loop detection + correction. No yaw, constant tilt."""
+    ct, st_ = np.cos(tilt), np.sin(tilt)
+    R_tilt = np.array([[1.0, 0.0, 0.0], [0.0, ct, -st_], [0.0, st_, ct]])
+    poses = []
+    for i in range(n_frames):
+        a = 2 * np.pi * i / n_frames
+        C = np.array([radius * np.sin(a), radius * (1 - np.cos(a)), depth])
+        R = R_tilt.T
+        t = -R @ C
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        poses.append(T)
+    return poses
+
+
 class PointCloudRenderer:
     """Random 3D points rendered as Gaussian blobs (non-planar scene for the
     fundamental-matrix initialization branch)."""

@@ -179,8 +179,11 @@ class Vocabulary:
         if valid is None:
             valid = np.ones(N, bool)
         current = np.zeros(N, np.int32)           # start at root
-        node_at_level = np.full(N, -1, np.int32)
-        target_level = max(self.L - levels_up, 0)
+        node_at_level = np.zeros(N, np.int32)     # root if target level is 0
+        # Direct-index depth: L-levels_up, but at least level min(2, L-1) so
+        # shallow (self-trained) vocabularies still discriminate (DBoW2's
+        # levelsup=4 default assumes the L=6 ORBvoc).
+        target_level = max(self.L - levels_up, min(2, self.L - 1))
         for level in range(self.L):
             ch = self.node_children[current]      # [N,k]
             has_child = ch >= 0

@@ -1,0 +1,87 @@
+"""Relocalization and loop-closing end-to-end behavior on synthetic data."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from orb_slam_system_tpu.config import TrackingState  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def tracked_system():
+    from examples.mono_synthetic import make_config
+    from orb_slam_system_tpu.config import Sensor
+    from orb_slam_system_tpu.dataio.synthetic import (
+        PlanarSceneRenderer, make_texture, orbit_trajectory)
+    from orb_slam_system_tpu.models.system import System
+
+    cfg = make_config(n_features=400)
+    tex = make_texture(size=2048, block=8, seed=7)
+    r = PlanarSceneRenderer(cfg.camera.K, cfg.camera.width, cfg.camera.height,
+                            texture=tex, tex_scale=220.0)
+    poses = orbit_trajectory(25, radius=0.35, depth=-2.0, tilt=0.3)
+    slam = System(None, cfg, Sensor.MONOCULAR)
+    for i, Tcw in enumerate(poses):
+        slam.track_monocular(r.render(Tcw), i / 30.0)
+    return slam, r, poses
+
+
+def test_vocab_self_trained(tracked_system):
+    slam, _, _ = tracked_system
+    assert slam.place_rec.ready
+    assert slam.place_rec.vocab.n_words > 50
+    # Keyframes carry BoW vectors and direct-index nodes.
+    for kf in slam.arena.kfs.values():
+        assert kf.bow is not None and len(kf.bow) > 0
+        assert kf.node_ids is not None
+
+
+def test_bow_scoring_discriminates(tracked_system):
+    slam, r, poses = tracked_system
+    from orb_slam_system_tpu.vocab.vocabulary import Vocabulary
+    kfs = sorted(slam.arena.kfs)
+    bow0 = slam.arena.kfs[kfs[0]].bow
+    self_score = Vocabulary.score(bow0, bow0)
+    far_score = Vocabulary.score(bow0, slam.arena.kfs[kfs[-1]].bow)
+    assert self_score > far_score
+
+
+def test_relocalization_recovers(tracked_system):
+    slam, r, poses = tracked_system
+    # Simulate tracking loss, then show a view near the map.
+    slam.tracker.state = TrackingState.LOST
+    slam.tracker.velocity = None
+    mid_pose = poses[10]
+    Tcw = slam.track_monocular(r.render(mid_pose), 99.0)
+    assert slam.get_tracking_state() == TrackingState.OK
+    assert Tcw is not None
+    # Recovered pose close to ground truth (up to map scale/frame: compare
+    # camera center against the tracked map's frame via the original KF
+    # nearest in time).
+    c_est = -Tcw[:3, :3].T @ Tcw[:3, 3]
+    # The map's world frame equals the first-KF camera frame with unit median
+    # depth scaling; compare against the pose estimated for the same view
+    # during normal tracking.
+    entries = slam.tracker.trajectory
+    from orb_slam_system_tpu.dataio.trajectory import frame_poses
+    fp = frame_poses(slam.arena, entries)
+    ts = [e[0] for e in fp]
+    idx = int(np.argmin(np.abs(np.asarray(ts) - 10 / 30.0)))
+    T_ref = fp[idx][1]
+    c_ref = -T_ref[:3, :3].T @ T_ref[:3, 3]
+    assert np.linalg.norm(c_est - c_ref) < 0.08
+
+
+def test_relocalization_rejects_unseen_view(tracked_system):
+    slam, r, poses = tracked_system
+    slam.tracker.state = TrackingState.LOST
+    slam.tracker.velocity = None
+    # A far-away view of a different part of the plane.
+    T = poses[0].copy()
+    T[:3, 3] += np.array([5.0, 5.0, 0.0])  # shift camera far off the map
+    slam.track_monocular(r.render(T), 100.0)
+    assert slam.get_tracking_state() == TrackingState.LOST
