@@ -53,7 +53,23 @@ def load_image_gray(path: str) -> np.ndarray:
     return img
 
 
-def _load_pnm(path: str) -> np.ndarray:
+def load_depth_raw(path: str) -> np.ndarray:
+    """16-bit depth image as RAW values f32[H,W] (no [0,255] rescaling —
+    DepthMapFactor in the settings yaml converts to meters, reference
+    src/Tracking.cc:90-96)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".pgm", ".pnm"):
+        return _load_pnm(path, raw=True)
+    try:
+        from PIL import Image
+        return np.asarray(Image.open(path)).astype(np.float32)
+    except ImportError as e:
+        raise RuntimeError(
+            f"no 16-bit PNG decoder available for {path}; convert to PGM"
+        ) from e
+
+
+def _load_pnm(path: str, raw: bool = False) -> np.ndarray:
     with open(path, "rb") as f:
         data = f.read()
     # Parse header tokens (magic, width, height, maxval), skipping comments.
@@ -84,7 +100,7 @@ def _load_pnm(path: str) -> np.ndarray:
         img = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
     else:
         raise ValueError(f"unsupported PNM magic {magic} in {path}")
-    if maxval >= 256:
+    if maxval >= 256 and not raw:
         img = img * (255.0 / maxval)
     return img
 
