@@ -22,10 +22,27 @@ import numpy as np
 
 
 def make_texture(size: int = 1024, block: int = 8, seed: int = 7) -> np.ndarray:
-    """High-contrast blocky texture: strong FAST corners at block boundaries."""
+    """High-contrast, locally DISTINCTIVE texture: multi-scale block noise
+    whose mixture varies across the image, so different regions produce
+    different descriptor statistics (place recognition can tell locations
+    apart — a uniform block pattern is perceptually aliased everywhere)."""
     rng = np.random.default_rng(seed)
-    small = rng.uniform(30, 225, size=(size // block, size // block))
-    tex = np.kron(small, np.ones((block, block)))
+
+    def blocks(b):
+        small = rng.uniform(0, 255, size=(size // b, size // b))
+        return np.kron(small, np.ones((b, b)))
+
+    layers = np.stack([blocks(block // 2 if block >= 8 else 4),
+                       blocks(block), blocks(block * 2), blocks(block * 4)])
+    # Smooth low-frequency mixing weights: each region favors a different
+    # scale mixture.
+    gsz = 8
+    w = rng.uniform(0, 1, size=(4, gsz, gsz))
+    w = np.kron(w, np.ones((size // gsz, size // gsz)))
+    w = w / np.maximum(w.sum(axis=0, keepdims=True), 1e-9)
+    tex = (layers * w).sum(axis=0)
+    lo, hi = tex.min(), tex.max()
+    tex = 30.0 + (tex - lo) / max(hi - lo, 1e-9) * 195.0
     return tex.astype(np.float32)
 
 

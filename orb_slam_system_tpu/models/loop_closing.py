@@ -50,6 +50,7 @@ class LoopCloser:
         self.scale_factors = np.asarray(cfg.orb.level_scales(), np.float32)
         self.inv_sigma2 = (1.0 / self.scale_factors ** 2).astype(np.float32)
         self.n_loops_closed = 0
+        self.debug = False
         from orb_slam_system_tpu.config import Sensor
         self.fix_scale = cfg.sensor != Sensor.MONOCULAR
 
@@ -89,6 +90,11 @@ class LoopCloser:
                 min_score = min(min_score, s)
         candidates = self.place_rec.db.detect_loop_candidates(
             kf.id, kf.bow, min_score, self.arena)
+        if self.debug:
+            print(f"[loop] kf {kf.id}: min_score={min_score:.3f} "
+                  f"db_candidates={candidates} "
+                  f"groups={[(sorted(g)[:3], c) for g, c in self.consistent_groups]}",
+                  flush=True)
         if not candidates:
             self.consistent_groups = []
             return []
@@ -120,6 +126,9 @@ class LoopCloser:
                 continue
             # BoW matching between the two keyframes' map-point features.
             m = self._match_keyframes(kf, ckf)
+            if self.debug:
+                print(f"[loop] sim3 kf {kf.id} vs cand {cand_id}: "
+                      f"bow_matches={len(m)}", flush=True)
             if len(m) < 20:
                 continue
             rows1 = np.asarray([a for a, b in m])
@@ -143,6 +152,9 @@ class LoopCloser:
                 jnp.asarray(max2.astype(np.float32)), jnp.asarray(ok),
                 jnp.asarray(sets), cam.fx, cam.fy, cam.cx, cam.cy,
                 fix_scale=self.fix_scale)
+            if self.debug:
+                print(f"[loop]   ransac ok={bool(okr)} inl={int(n)} "
+                      f"s={float(s12):.3f}", flush=True)
             if not bool(okr):
                 continue
             # Refine with OptimizeSim3 (>=20 inliers, :195-206).
@@ -153,6 +165,8 @@ class LoopCloser:
                 jnp.asarray(self.inv_sigma2[ckf.feats.octave[rows2]]),
                 jnp.asarray(ok), cam.fx, cam.fy, cam.cx, cam.cy,
                 fix_scale=self.fix_scale)
+            if self.debug:
+                print(f"[loop]   optimize_sim3 inliers={int(n_in)}", flush=True)
             if int(n_in) < 20:
                 continue
             # Scw = S12 * T2w  (Sim3 world -> current KF camera).

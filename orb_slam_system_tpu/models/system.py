@@ -161,6 +161,41 @@ class System:
     SaveTrajectoryKITTI = save_trajectory_kitti
 
     # ------------------------------------------------------------------
+    # Map persistence (the reference's explicit TODO, include/System.h:94-96)
+    # ------------------------------------------------------------------
+
+    def save_map(self, path: str):
+        from orb_slam_system_tpu.mapping.serialize import save_map
+        save_map(self.arena, path)
+
+    def load_map(self, path: str, localization_only: bool = True):
+        """Load a saved map and resume. With localization_only (default) the
+        system relocalizes against the loaded map without modifying it."""
+        from orb_slam_system_tpu.mapping.serialize import load_map
+        arena = load_map(path)
+        self.arena.kfs = arena.kfs
+        self.arena.mps = arena.mps
+        self.arena.next_kf_id = arena.next_kf_id
+        self.arena.next_mp_id = arena.next_mp_id
+        self.arena.kf_origin_id = arena.kf_origin_id
+        # Rebuild the place-recognition index.
+        self.place_rec.reset()
+        if self.place_rec.ready or self.place_rec.allow_self_train:
+            self.place_rec.maybe_self_train(self.arena)
+            if self.place_rec.ready:
+                for kf in self.arena.kfs.values():
+                    self.place_rec._compute_bow(kf)
+                    self.place_rec.db.add(kf.id, kf.bow)
+        from orb_slam_system_tpu.config import TrackingState
+        self.tracker.state = TrackingState.LOST
+        self.tracker.velocity = None
+        if localization_only:
+            self.activate_localization_mode()
+
+    SaveMap = save_map
+    LoadMap = load_map
+
+    # ------------------------------------------------------------------
 
     def timing_report(self):
         """Median/mean per-frame track time, the report every reference

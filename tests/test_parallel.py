@@ -1,0 +1,37 @@
+"""Multi-chip sharding: batched multi-sequence step on the virtual mesh."""
+
+import numpy as np
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def test_multiseq_step_outputs():
+    import jax
+    from orb_slam_system_tpu.parallel.multiseq import make_mesh, make_multiseq_step
+
+    mesh = make_mesh(8)
+    assert mesh.shape == {"data": 4, "model": 2}
+    step, args = make_multiseq_step(mesh, 96, 128, n_features=128, n_levels=2)
+    T, n_in, n_match = step(*args)
+    T = np.asarray(T)
+    assert T.shape == (8, 4, 4)
+    assert np.isfinite(T).all()
+    # Random example descriptors don't match extracted ones — the collective
+    # still reduces to a well-defined scalar count.
+    assert int(n_match) >= 0 and int(n_in) >= 0
+    # Rotation blocks stay orthonormal through the sharded pose step.
+    for i in range(T.shape[0]):
+        R = T[i, :3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-3)
+
+
+def test_entry_compiles_single_chip():
+    import jax
+    import __graft_entry__ as g
+    fn, ex_args = g.entry()
+    out = jax.jit(fn)(*ex_args)
+    jax.block_until_ready(out)
+    assert np.asarray(out[0]).shape == (4, 4)

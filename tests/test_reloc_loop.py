@@ -76,6 +76,33 @@ def test_relocalization_recovers(tracked_system):
     assert np.linalg.norm(c_est - c_ref) < 0.08
 
 
+def test_map_save_load_and_resume(tracked_system, tmp_path):
+    """Checkpoint/resume: save the map, load it into a fresh System, and
+    localize against it (the reference's TODO SaveMap/LoadMap implemented)."""
+    slam, r, poses = tracked_system
+    from examples.mono_synthetic import make_config
+    from orb_slam_system_tpu.config import Sensor
+    from orb_slam_system_tpu.models.system import System
+
+    path = str(tmp_path / "map.npz")
+    slam.save_map(path)
+    slam2 = System(None, make_config(n_features=400), Sensor.MONOCULAR)
+    slam2.load_map(path, localization_only=True)
+    assert slam2.arena.n_keyframes() == slam.arena.n_keyframes()
+    assert slam2.arena.n_points() == slam.arena.n_points()
+    # Observation cross-links intact.
+    for mp in slam2.arena.mps.values():
+        for kf_id, idx in mp.obs.items():
+            if kf_id in slam2.arena.kfs:
+                assert slam2.arena.kfs[kf_id].mp_ids[idx] == mp.id
+    # Localize a known view against the loaded map.
+    Tcw = slam2.track_monocular(r.render(poses[12]), 200.0)
+    assert slam2.get_tracking_state() == TrackingState.OK
+    assert Tcw is not None
+    # Localization-only: no new keyframes were added.
+    assert slam2.arena.n_keyframes() == slam.arena.n_keyframes()
+
+
 def test_relocalization_rejects_unseen_view(tracked_system):
     slam, r, poses = tracked_system
     slam.tracker.state = TrackingState.LOST
