@@ -27,7 +27,13 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 def load_image_gray(path: str) -> np.ndarray:
-    """Returns f32[H,W] grayscale in [0,255]."""
+    """Returns f32[H,W] grayscale in [0,255]. Prefers the native C++
+    decoder (orb_slam_system_tpu/native: zlib PNG + PNM, threaded-capable);
+    falls back to pure Python."""
+    from orb_slam_system_tpu import native
+    out = native.decode_gray(path)
+    if out is not None:
+        return out
     ext = os.path.splitext(path)[1].lower()
     if ext in (".pgm", ".ppm", ".pnm"):
         return _load_pnm(path)
@@ -57,6 +63,10 @@ def load_depth_raw(path: str) -> np.ndarray:
     """16-bit depth image as RAW values f32[H,W] (no [0,255] rescaling —
     DepthMapFactor in the settings yaml converts to meters, reference
     src/Tracking.cc:90-96)."""
+    from orb_slam_system_tpu import native
+    out = native.decode_gray(path, raw16=True)
+    if out is not None:
+        return out
     ext = os.path.splitext(path)[1].lower()
     if ext in (".pgm", ".pnm"):
         return _load_pnm(path, raw=True)

@@ -32,7 +32,8 @@ class System:
     def __init__(self, vocabulary_path: Optional[str],
                  settings: Union[str, SlamConfig],
                  sensor: Sensor = Sensor.MONOCULAR,
-                 use_viewer: bool = False):
+                 use_viewer: bool = False,
+                 metrics_jsonl: Optional[str] = None):
         if isinstance(settings, str):
             self.cfg = load_settings(settings, sensor)
         else:
@@ -60,8 +61,25 @@ class System:
             from orb_slam_system_tpu.models.viewer import StatsViewer
             self.viewer = StatsViewer(self)
         self._timings: list[float] = []
+        from orb_slam_system_tpu.utils.metrics import Telemetry
+        self.telemetry = Telemetry(jsonl_path=metrics_jsonl)
 
     # ------------------------------------------------------------------
+
+    def _emit_frame_metrics(self, timestamp: float, t_track: float,
+                            t_map: float):
+        cur = self.tracker.current
+        self.telemetry.emit(
+            t=timestamp,
+            state=int(self.tracker.state),
+            n_keypoints=int(cur.feats.valid.sum()) if cur is not None else 0,
+            n_inliers=self.tracker.n_inliers,
+            n_tracked=len(self.get_tracked_map_points()),
+            n_kfs=self.arena.n_keyframes(),
+            n_mps=self.arena.n_points(),
+            track_ms=t_track * 1000.0,
+            mapping_ms=t_map * 1000.0,
+        )
 
     def track_monocular(self, img: np.ndarray, timestamp: float):
         """Reference TrackMonocular (src/System.cc:197-247). img: grayscale
@@ -72,8 +90,11 @@ class System:
             img = rgb_to_gray(img, self.cfg.camera.rgb)
         t0 = time.perf_counter()
         Tcw = self.tracker.grab_monocular(img, timestamp)
+        t1 = time.perf_counter()
         self.local_mapper.process_pending()
-        self._timings.append(time.perf_counter() - t0)
+        t2 = time.perf_counter()
+        self._timings.append(t2 - t0)
+        self._emit_frame_metrics(timestamp, t1 - t0, t2 - t1)
         return Tcw
 
     def track_stereo(self, img_left: np.ndarray, img_right: np.ndarray,
@@ -87,8 +108,11 @@ class System:
             img_right = rgb_to_gray(img_right, self.cfg.camera.rgb)
         t0 = time.perf_counter()
         Tcw = self.tracker.grab_stereo(img_left, img_right, timestamp)
+        t1 = time.perf_counter()
         self.local_mapper.process_pending()
-        self._timings.append(time.perf_counter() - t0)
+        t2 = time.perf_counter()
+        self._timings.append(t2 - t0)
+        self._emit_frame_metrics(timestamp, t1 - t0, t2 - t1)
         return Tcw
 
     def track_rgbd(self, img: np.ndarray, depth: np.ndarray, timestamp: float):
@@ -99,8 +123,11 @@ class System:
             img = rgb_to_gray(img, self.cfg.camera.rgb)
         t0 = time.perf_counter()
         Tcw = self.tracker.grab_rgbd(img, depth, timestamp)
+        t1 = time.perf_counter()
         self.local_mapper.process_pending()
-        self._timings.append(time.perf_counter() - t0)
+        t2 = time.perf_counter()
+        self._timings.append(t2 - t0)
+        self._emit_frame_metrics(timestamp, t1 - t0, t2 - t1)
         return Tcw
 
     # Aliases matching the reference's exact method names.
