@@ -46,10 +46,17 @@ class FrameFeatures:
     octave: np.ndarray    # i32[N]
     desc: np.ndarray      # u32[N,8]
     valid: np.ndarray     # bool[N]
+    # Stereo / RGB-D channel (reference mvuRight / mvDepth); None for mono.
+    u_right: Optional[np.ndarray] = None   # f32[N], -1 = mono feature
+    depth: Optional[np.ndarray] = None     # f32[N], -1 = no depth
 
     @property
     def n_slots(self) -> int:
         return self.xy.shape[0]
+
+    def ur_or_neg(self) -> np.ndarray:
+        return (self.u_right if self.u_right is not None
+                else np.full(self.n_slots, -1.0, np.float32))
 
 
 @dataclasses.dataclass

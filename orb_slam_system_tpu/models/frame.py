@@ -124,9 +124,11 @@ class FrameBuilder:
             octave=np.asarray(fs.octave[0]),
             desc=np.asarray(fs.desc[0]),
             valid=np.asarray(fs.valid[0]),
+            u_right=np.asarray(u_right),
+            depth=np.asarray(depth),
         )
         f = Frame(id=self._next_id, timestamp=timestamp, feats=feats,
-                  u_right=np.asarray(u_right), depth=np.asarray(depth))
+                  u_right=feats.u_right, depth=feats.depth)
         self._next_id += 1
         return f
 
@@ -154,8 +156,10 @@ class FrameBuilder:
             octave=np.asarray(fs.octave[0]),
             desc=np.asarray(fs.desc[0]),
             valid=np.asarray(fs.valid[0]),
+            u_right=np.asarray(u_right),
+            depth=np.asarray(depth),
         )
         f = Frame(id=self._next_id, timestamp=timestamp, feats=feats,
-                  u_right=np.asarray(u_right), depth=np.asarray(depth))
+                  u_right=feats.u_right, depth=feats.depth)
         self._next_id += 1
         return f

@@ -392,6 +392,7 @@ class LocalMapper:
         e_cam = np.zeros(BA_EDGES, np.int32)
         e_pt = np.zeros(BA_EDGES, np.int32)
         e_uv = np.zeros((BA_EDGES, 2), np.float32)
+        e_ur = np.full(BA_EDGES, -1.0, np.float32)
         e_is2 = np.ones(BA_EDGES, np.float32)
         e_valid = np.zeros(BA_EDGES, bool)
         edge_refs: list[tuple[int, int]] = []  # (mp_id, kf_id)
@@ -406,6 +407,8 @@ class LocalMapper:
                 e_cam[n_e] = ci
                 e_pt[n_e] = pt_index[m]
                 e_uv[n_e] = w_kf.feats.xy_und[fidx]
+                if w_kf.feats.u_right is not None:
+                    e_ur[n_e] = w_kf.feats.u_right[fidx]
                 e_is2[n_e] = self.inv_sigma2[w_kf.feats.octave[fidx]]
                 e_valid[n_e] = True
                 edge_refs.append((m, kf_id))
@@ -417,7 +420,8 @@ class LocalMapper:
             cam_valid=jnp.asarray(cam_valid), points=jnp.asarray(pts),
             pt_valid=jnp.asarray(pt_valid), e_cam=jnp.asarray(e_cam),
             e_pt=jnp.asarray(e_pt), e_uv=jnp.asarray(e_uv),
-            e_inv_sigma2=jnp.asarray(e_is2), e_valid=jnp.asarray(e_valid))
+            e_inv_sigma2=jnp.asarray(e_is2), e_valid=jnp.asarray(e_valid),
+            e_ur=jnp.asarray(e_ur), bf=self.cfg.camera.bf)
         Tcw_new, X_new, inlier = local_bundle_adjustment(
             prob, cam.fx, cam.fy, cam.cx, cam.cy)
         Tcw_new = np.asarray(Tcw_new)

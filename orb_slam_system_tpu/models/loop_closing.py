@@ -442,7 +442,7 @@ class LoopCloser:
         if P == 0 or C < 2:
             return
         p_index = {m: i for i, m in enumerate(mp_ids)}
-        e_cam, e_pt, e_uv, e_is2, refs = [], [], [], [], []
+        e_cam, e_pt, e_uv, e_ur, e_is2, refs = [], [], [], [], [], []
         for m in mp_ids:
             mp = arena.mps[m]
             for kf_id, fidx in mp.obs.items():
@@ -452,6 +452,8 @@ class LoopCloser:
                 e_cam.append(index[kf_id])
                 e_pt.append(p_index[m])
                 e_uv.append(w_kf.feats.xy_und[fidx])
+                e_ur.append(w_kf.feats.u_right[fidx]
+                            if w_kf.feats.u_right is not None else -1.0)
                 e_is2.append(self.inv_sigma2[w_kf.feats.octave[fidx]])
                 refs.append((m, kf_id))
         if len(e_cam) < 20:
@@ -467,7 +469,9 @@ class LoopCloser:
             e_pt=jnp.asarray(np.asarray(e_pt, np.int32)),
             e_uv=jnp.asarray(np.asarray(e_uv, np.float32)),
             e_inv_sigma2=jnp.asarray(np.asarray(e_is2, np.float32)),
-            e_valid=jnp.asarray(np.ones(len(e_cam), bool)))
+            e_valid=jnp.asarray(np.ones(len(e_cam), bool)),
+            e_ur=jnp.asarray(np.asarray(e_ur, np.float32)),
+            bf=self.cfg.camera.bf)
         Tcw_n, X_n, inlier = global_bundle_adjustment(
             prob, cam.fx, cam.fy, cam.cx, cam.cy, n_iters=10)
         Tcw_n = np.asarray(Tcw_n)

@@ -443,10 +443,12 @@ class Tracker:
         pos, ok = self._gather_frame_points(cur)
         obs = cur.feats.xy_und
         is2 = self.inv_sigma2[cur.feats.octave]
+        obs_ur = cur.feats.ur_or_neg()
         T_opt, inlier, n_in = pose_optimization(
             jnp.asarray(T0), jnp.asarray(pos), jnp.asarray(obs),
             jnp.asarray(is2.astype(np.float32)), jnp.asarray(ok),
-            cam.fx, cam.fy, cam.cx, cam.cy)
+            cam.fx, cam.fy, cam.cx, cam.cy,
+            obs_ur=jnp.asarray(obs_ur.astype(np.float32)), bf=cam.bf)
         inlier = np.asarray(inlier)
         cur.Tcw = np.array(T_opt)
         # Prune outlier associations (reference :532-540, fixed semantics).

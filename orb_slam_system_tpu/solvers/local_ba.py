@@ -26,7 +26,7 @@ TPU design (SURVEY.md §7.1):
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,9 @@ import jax.numpy as jnp
 from orb_slam_system_tpu.utils import lie
 
 CHI2_MONO = 5.991
-HUBER_DELTA = 2.447731  # sqrt(5.991)
+CHI2_STEREO = 7.815
+HUBER_DELTA = 2.447731         # sqrt(5.991)
+HUBER_DELTA_STEREO = 2.795532  # sqrt(7.815)
 
 
 class BAProblem(NamedTuple):
@@ -48,6 +50,12 @@ class BAProblem(NamedTuple):
     e_uv: jnp.ndarray         # f32[E,2]
     e_inv_sigma2: jnp.ndarray # f32[E]
     e_valid: jnp.ndarray      # bool[E]
+    e_ur: Optional[jnp.ndarray] = None  # f32[E] right-view u (-1 = mono)
+    bf: float = 0.0           # stereo baseline * fx
+
+    def ur(self):
+        return (self.e_ur if self.e_ur is not None
+                else jnp.full(self.e_cam.shape[0], -1.0, jnp.float32))
 
 
 def _edge_residuals(xi_all, dX, prob: BAProblem, fx, fy, cx, cy):
@@ -66,15 +74,28 @@ def _edge_residuals(xi_all, dX, prob: BAProblem, fx, fy, cx, cy):
     inv_z = 1.0 / zs
     u = fx * x * inv_z + cx
     v = fy * y * inv_z + cy
-    e = prob.e_uv - jnp.stack([u, v], axis=1)        # [E,2]
+    e_ur = prob.ur()
+    is_stereo = e_ur >= 0
+    ur = u - prob.bf * inv_z
+    e = jnp.stack([
+        prob.e_uv[:, 0] - u,
+        prob.e_uv[:, 1] - v,
+        jnp.where(is_stereo, e_ur - ur, 0.0),
+    ], axis=1)                                       # [E,3]
     zero = jnp.zeros_like(x)
     J_proj = jnp.stack(
         [
             jnp.stack([fx * inv_z, zero, -fx * x * inv_z * inv_z], axis=1),
             jnp.stack([zero, fy * inv_z, -fy * y * inv_z * inv_z], axis=1),
+            jnp.stack([fx * inv_z, zero,
+                       (-fx * x + prob.bf) * inv_z * inv_z], axis=1),
         ],
         axis=1,
-    )                                               # [E,2,3]
+    )                                               # [E,3,3]
+    row_mask = jnp.where(is_stereo[:, None],
+                         jnp.ones(3, Xc.dtype)[None, :],
+                         jnp.asarray([1.0, 1.0, 0.0], Xc.dtype)[None, :])
+    J_proj = J_proj * row_mask[:, :, None]
 
     def neg_hat(p):
         px, py, pz = p[0], p[1], p[2]
@@ -88,16 +109,17 @@ def _edge_residuals(xi_all, dX, prob: BAProblem, fx, fy, cx, cy):
     nh = jax.vmap(neg_hat)(Xc)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=Xc.dtype), nh.shape)
     J_xc_cam = jnp.concatenate([eye, nh], axis=2)    # [E,3,6]
-    Jc = -jnp.einsum("eij,ejk->eik", J_proj, J_xc_cam)   # [E,2,6]
-    Jp = -jnp.einsum("eij,ejk->eik", J_proj, Re)         # [E,2,3]
-    return e, Jc, Jp, z
+    Jc = -jnp.einsum("eij,ejk->eik", J_proj, J_xc_cam)   # [E,3,6]
+    Jp = -jnp.einsum("eij,ejk->eik", J_proj, Re)         # [E,3,3]
+    return e, Jc, Jp, z, is_stereo
 
 
-def _robust_cost(e, inv_sigma2, active, use_huber):
+def _robust_cost(e, inv_sigma2, active, use_huber, is_stereo):
     chi2 = jnp.sum(e * e, axis=1) * inv_sigma2
+    delta = jnp.where(is_stereo, HUBER_DELTA_STEREO, HUBER_DELTA)
     rho = jnp.where(
-        use_huber & (chi2 > HUBER_DELTA ** 2),
-        2.0 * HUBER_DELTA * jnp.sqrt(jnp.maximum(chi2, 1e-12)) - HUBER_DELTA ** 2,
+        use_huber & (chi2 > delta * delta),
+        2.0 * delta * jnp.sqrt(jnp.maximum(chi2, 1e-12)) - delta * delta,
         chi2,
     )
     return jnp.sum(jnp.where(active, rho, 0.0)), chi2
@@ -135,9 +157,9 @@ def bundle_adjust(prob: BAProblem, fx, fy, cx, cy,
 
     def cost_at(Tcw, X, xi_all, dX):
         p = prob._replace(Tcw=Tcw, points=X)
-        e, _, _, z = _edge_residuals(xi_all, dX, p, fx, fy, cx, cy)
+        e, _, _, z, is_st = _edge_residuals(xi_all, dX, p, fx, fy, cx, cy)
         cost, _ = _robust_cost(
-            e, prob.e_inv_sigma2, prob.e_valid & (z > 0), use_huber)
+            e, prob.e_inv_sigma2, prob.e_valid & (z > 0), use_huber, is_st)
         return cost
 
     def lm_iter(it, state):
@@ -145,11 +167,12 @@ def bundle_adjust(prob: BAProblem, fx, fy, cx, cy,
         p = prob._replace(Tcw=Tcw, points=X)
         zero_xi = jnp.zeros((C, 6), f32)
         zero_dx = jnp.zeros((P, 3), f32)
-        e, Jc, Jp, z = _edge_residuals(zero_xi, zero_dx, p, fx, fy, cx, cy)
+        e, Jc, Jp, z, is_st = _edge_residuals(zero_xi, zero_dx, p, fx, fy, cx, cy)
         chi2 = jnp.sum(e * e, axis=1) * prob.e_inv_sigma2
+        delta_e = jnp.where(is_st, HUBER_DELTA_STEREO, HUBER_DELTA)
         w_h = jnp.where(
             jnp.asarray(use_huber),
-            jnp.minimum(1.0, HUBER_DELTA / jnp.sqrt(jnp.maximum(chi2, 1e-12))),
+            jnp.minimum(1.0, delta_e / jnp.sqrt(jnp.maximum(chi2, 1e-12))),
             1.0,
         )
         active = prob.e_valid & (z > 0)
@@ -216,11 +239,12 @@ def classify_outliers(Tcw, points, prob: BAProblem, fx, fy, cx, cy):
     p = prob._replace(Tcw=Tcw, points=points)
     C = Tcw.shape[0]
     P = points.shape[0]
-    e, _, _, z = _edge_residuals(
+    e, _, _, z, is_st = _edge_residuals(
         jnp.zeros((C, 6), points.dtype), jnp.zeros((P, 3), points.dtype),
         p, fx, fy, cx, cy)
     chi2 = jnp.sum(e * e, axis=1) * prob.e_inv_sigma2
-    return prob.e_valid & (z > 0) & (chi2 <= CHI2_MONO), chi2
+    gate = jnp.where(is_st, CHI2_STEREO, CHI2_MONO)
+    return prob.e_valid & (z > 0) & (chi2 <= gate), chi2
 
 
 def local_bundle_adjustment(prob: BAProblem, fx, fy, cx, cy):
