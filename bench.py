@@ -67,9 +67,35 @@ def main():
         rng.integers(0, 2 ** 32, size=(B, N, 8), dtype=np.uint32))
     prev_valid = jnp.ones((B, N), bool)
 
-    # Warmup/compile.
-    out = step(imgs, prev_desc, prev_valid)
-    n_valid = float(np.asarray(out[1])) / B  # avg valid kps per frame
+    # Warmup/compile; fall back to the XLA FAST formulation if the Pallas
+    # kernel fails on this TPU generation.
+    try:
+        out = step(imgs, prev_desc, prev_valid)
+        n_valid = float(np.asarray(out[1])) / B
+    except Exception as e:  # noqa: BLE001 — deliberate robustness boundary
+        print(f"# pallas path failed ({type(e).__name__}); XLA fallback",
+              file=sys.stderr)
+        from orb_slam_system_tpu.ops import fast_pallas
+        fast_pallas.disable()
+        extractor2 = ORBExtractor(cfg, H, W)
+
+        def frontend2(imgs, prev_desc, prev_valid):
+            feats = extractor2._extract(imgs)
+            def match_one(desc, valid, pdesc, pvalid):
+                D = distance_matrix(desc, pdesc)
+                D = jnp.where(valid[:, None] & pvalid[None, :], D, 1 << 20)
+                best = jnp.min(D, axis=1)
+                return jnp.argmin(D, axis=1), best <= 50
+            idx, ok = jax.vmap(match_one)(feats.desc, feats.valid,
+                                          prev_desc, prev_valid)
+            checksum = (jnp.sum(feats.xy) + jnp.sum(idx)
+                        + jnp.sum(ok.astype(jnp.int32))
+                        + jnp.sum(feats.valid.astype(jnp.int32)))
+            return checksum, jnp.sum(feats.valid.astype(jnp.int32))
+
+        step = jax.jit(frontend2)
+        out = step(imgs, prev_desc, prev_valid)
+        n_valid = float(np.asarray(out[1])) / B
 
     iters = 20
     t0 = time.perf_counter()

@@ -27,6 +27,12 @@ TILE_H = 32
 HALO = 3  # ring radius
 
 
+def _roll(a, shift: int, axis: int):
+    """pltpu.roll with negative shifts wrapped (it requires shift >= 0)."""
+    size = a.shape[axis]
+    return pltpu.roll(a, shift % size, axis=axis)
+
+
 def _kernel(img_ref, out_ref, scratch, diffs, sem, *, H, W, border):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -40,20 +46,20 @@ def _kernel(img_ref, out_ref, scratch, diffs, sem, *, H, W, border):
         dy, dx = int(CIRCLE[k, 0]), int(CIRCLE[k, 1])
         ring = scratch[HALO + dy:HALO + dy + TILE_H, :]
         if dx != 0:
-            ring = pltpu.roll(ring, -dx, axis=1)
+            ring = _roll(ring, -dx, axis=1)
         diffs[k] = ring - center
     d = diffs[:]                                   # [16, TILE_H, W] bf16
     # Circular windowed min of length 9 along axis 0 (log-step doubling).
-    m = jnp.minimum(d, pltpu.roll(d, -1, axis=0))   # win 2
-    m = jnp.minimum(m, pltpu.roll(m, -2, axis=0))   # win 4
-    m = jnp.minimum(m, pltpu.roll(m, -4, axis=0))   # win 8
-    m = jnp.minimum(m, pltpu.roll(d, -(ARC_LEN - 1), axis=0))  # win 9
+    m = jnp.minimum(d, _roll(d, -1, axis=0))   # win 2
+    m = jnp.minimum(m, _roll(m, -2, axis=0))   # win 4
+    m = jnp.minimum(m, _roll(m, -4, axis=0))   # win 8
+    m = jnp.minimum(m, _roll(d, -(ARC_LEN - 1), axis=0))  # win 9
     bright = jnp.max(m, axis=0)
     # Dark arcs: windowed min of -d == -(windowed max of d).
-    n = jnp.maximum(d, pltpu.roll(d, -1, axis=0))
-    n = jnp.maximum(n, pltpu.roll(n, -2, axis=0))
-    n = jnp.maximum(n, pltpu.roll(n, -4, axis=0))
-    n = jnp.maximum(n, pltpu.roll(d, -(ARC_LEN - 1), axis=0))
+    n = jnp.maximum(d, _roll(d, -1, axis=0))
+    n = jnp.maximum(n, _roll(n, -2, axis=0))
+    n = jnp.maximum(n, _roll(n, -4, axis=0))
+    n = jnp.maximum(n, _roll(d, -(ARC_LEN - 1), axis=0))
     dark = jnp.max(-n, axis=0)
     score = jnp.maximum(bright, dark).astype(jnp.float32)
     # Border mask in global coordinates.
@@ -90,5 +96,18 @@ def fast_score_map_pallas(img: jnp.ndarray, border: int) -> jnp.ndarray:
     return out[:, :H, :]
 
 
+_DISABLED = False
+
+
+def disable():
+    """Runtime opt-out (e.g. bench fallback if the kernel fails on the
+    deployed TPU generation)."""
+    global _DISABLED
+    _DISABLED = True
+
+
 def use_pallas() -> bool:
+    import os
+    if _DISABLED or os.environ.get("ORB_SLAM_TPU_NO_PALLAS"):
+        return False
     return jax.default_backend() == "tpu"
