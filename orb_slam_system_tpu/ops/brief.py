@@ -46,28 +46,58 @@ def make_pattern(seed: int = 42) -> np.ndarray:
 
 _PATTERN = make_pattern()
 
+# Angle quantization for the MXU descriptor path: 32 bins (11.25 deg). The
+# rotated test offsets are integer-rounded anyway (sub-pixel precision is
+# already quantized); bin-center rotation changes offsets by < 1px for the
+# typical |offset| ~ 6px, on par with the rounding the reference applies.
+N_ANGLE_BINS = 32
+
+
+def _binned_test_matrices():
+    """Static per-bin one-hot difference matrices E[a] in {-1,0,+1} of shape
+    [P*P, 256] with descriptor bit b of a keypoint in bin a given by
+    (patch_flat @ E[a])[b] > 0  (i.e. I[p2] - I[p1] > 0  <=>  t1 < t2)."""
+    P = 2 * PATCH_RADIUS + 1
+    E = np.zeros((N_ANGLE_BINS, P * P, N_BITS), np.float32)
+    pat = _PATTERN.astype(np.float64)
+    for a in range(N_ANGLE_BINS):
+        th = 2 * np.pi * a / N_ANGLE_BINS
+        ca, sa = np.cos(th), np.sin(th)
+        for b in range(N_BITS):
+            x1, y1, x2, y2 = pat[b]
+            xr1 = int(round(x1 * ca - y1 * sa)) + PATCH_RADIUS
+            yr1 = int(round(x1 * sa + y1 * ca)) + PATCH_RADIUS
+            xr2 = int(round(x2 * ca - y2 * sa)) + PATCH_RADIUS
+            yr2 = int(round(x2 * sa + y2 * ca)) + PATCH_RADIUS
+            E[a, yr1 * P + xr1, b] -= 1.0
+            E[a, yr2 * P + xr2, b] += 1.0
+    return E
+
+
+_E_BINNED = _binned_test_matrices()
+
 
 def compute_descriptors(patches: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
     """patches: f32[B,N,P,P] from the *blurred* level image, P=2*18+1=37;
-    angles: f32[B,N] radians. Returns uint32[B,N,8] packed descriptors."""
+    angles: f32[B,N] radians. Returns uint32[B,N,8] packed descriptors.
+
+    MXU formulation: instead of 512 rotated scalar gathers per keypoint
+    (gather-bound on TPU), the intensity differences for ALL angle bins are
+    computed as one bf16 contraction against static +/-1 test matrices, and
+    each keypoint selects its bin's row — turning the descriptor into a
+    matmul (SURVEY.md §7.1 MXU-first rule)."""
     B, N, P, _ = patches.shape
     assert P == 2 * PATCH_RADIUS + 1
-    pat = jnp.asarray(_PATTERN, jnp.float32)           # [256,4]
-    ca = jnp.cos(angles)[..., None]                    # [B,N,1]
-    sa = jnp.sin(angles)[..., None]
-    x1, y1, x2, y2 = pat[:, 0], pat[:, 1], pat[:, 2], pat[:, 3]
-
-    def rot(x, y):
-        xr = jnp.round(x * ca - y * sa).astype(jnp.int32) + PATCH_RADIUS
-        yr = jnp.round(x * sa + y * ca).astype(jnp.int32) + PATCH_RADIUS
-        return yr * P + xr                              # [B,N,256]
-
-    idx1 = rot(x1, y1)
-    idx2 = rot(x2, y2)
-    flat = patches.reshape(B, N, P * P)
-    t1 = jnp.take_along_axis(flat, idx1, axis=-1)
-    t2 = jnp.take_along_axis(flat, idx2, axis=-1)
-    bits = (t1 < t2).astype(jnp.uint32)                 # [B,N,256]
+    bin_f = angles * (N_ANGLE_BINS / (2 * jnp.pi))
+    bins = jnp.round(bin_f).astype(jnp.int32) % N_ANGLE_BINS   # [B,N]
+    flat = patches.reshape(B, N, P * P).astype(jnp.bfloat16)
+    E = jnp.asarray(_E_BINNED, jnp.bfloat16)                   # [A,PP,256]
+    # diffs[a, b*n, bit] = patch . E[a]  -> select per-keypoint bin.
+    diffs = jnp.einsum("bnp,apc->banc", flat, E,
+                       preferred_element_type=jnp.float32)     # [B,A,N,256]
+    sel = jnp.take_along_axis(
+        diffs, bins[:, None, :, None].astype(jnp.int32), axis=1)[:, 0]
+    bits = (sel > 0).astype(jnp.uint32)                        # [B,N,256]
     return pack_bits(bits)
 
 

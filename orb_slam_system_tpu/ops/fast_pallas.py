@@ -4,7 +4,7 @@ The XLA formulation in ops/fast.py materializes [16, B, H, W] diff stacks in
 HBM several times (~GBs of traffic per frame batch). This kernel processes
 the image in VMEM row tiles: each grid step DMAs a (TILE_H + 6)-row halo
 slab into VMEM once, forms all 16 ring diffs and the circular windowed min
-entirely on-chip (bf16), and writes one score tile back — HBM traffic drops
+entirely on-chip (f32 — Mosaic on v5e does not lower bf16 lane rotates), and writes one score tile back — HBM traffic drops
 to ~2 passes over the image.
 
 Same contract as ops/fast.fast_score_map: score(p) > t  <=>  p is a FAST-9
@@ -24,7 +24,8 @@ from jax.experimental.pallas import tpu as pltpu
 from orb_slam_system_tpu.ops.fast import ARC_LEN, CIRCLE
 
 TILE_H = 32
-HALO = 3  # ring radius
+HALO = 3   # ring radius
+PAD = 4    # vertical halo (slab height TILE_H+2*PAD must be 8-aligned for DMA)
 
 
 def _roll(a, shift: int, axis: int):
@@ -33,22 +34,22 @@ def _roll(a, shift: int, axis: int):
     return pltpu.roll(a, shift % size, axis=axis)
 
 
-def _kernel(img_ref, out_ref, scratch, diffs, sem, *, H, W, border):
+def _kernel(img_ref, out_ref, scratch, diffs, sem, *, H, W, border, W_real):
     b = pl.program_id(0)
     i = pl.program_id(1)
     cp = pltpu.make_async_copy(
-        img_ref.at[b, pl.ds(i * TILE_H, TILE_H + 2 * HALO), :],
+        img_ref.at[b, pl.ds(i * TILE_H, TILE_H + 2 * PAD), :],
         scratch, sem)
     cp.start()
     cp.wait()
-    center = scratch[HALO:HALO + TILE_H, :]
+    center = scratch[PAD:PAD + TILE_H, :]
     for k in range(16):
         dy, dx = int(CIRCLE[k, 0]), int(CIRCLE[k, 1])
-        ring = scratch[HALO + dy:HALO + dy + TILE_H, :]
+        ring = scratch[PAD + dy:PAD + dy + TILE_H, :]
         if dx != 0:
             ring = _roll(ring, -dx, axis=1)
         diffs[k] = ring - center
-    d = diffs[:]                                   # [16, TILE_H, W] bf16
+    d = diffs[:]                                   # [16, TILE_H, W]
     # Circular windowed min of length 9 along axis 0 (log-step doubling).
     m = jnp.minimum(d, _roll(d, -1, axis=0))   # win 2
     m = jnp.minimum(m, _roll(m, -2, axis=0))   # win 4
@@ -65,22 +66,25 @@ def _kernel(img_ref, out_ref, scratch, diffs, sem, *, H, W, border):
     # Border mask in global coordinates.
     gy = i * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, W), 0)
     gx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, W), 1)
-    ok = (gy >= border) & (gy < H - border) & (gx >= border) & (gx < W - border)
+    ok = (gy >= border) & (gy < H - border) & (gx >= border) & (
+        gx < W_real - border)
     out_ref[0] = jnp.where(ok, score, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("border",))
 def fast_score_map_pallas(img: jnp.ndarray, border: int) -> jnp.ndarray:
     """img: f32[B,H,W] -> score f32[B,H,W]. TPU-only (caller gates)."""
-    B, H, W = img.shape
+    B, H, W0 = img.shape
     n_tiles = -(-H // TILE_H)
-    # Pad so every tile's haloed slab [i*TILE_H, i*TILE_H + TILE_H + 6) is
-    # in-bounds: 3 rows on top, (n_tiles*TILE_H + 3 - H) on the bottom.
-    pad_bottom = n_tiles * TILE_H + HALO - H
-    x = jnp.pad(img.astype(jnp.bfloat16),
-                ((0, 0), (HALO, pad_bottom), (0, 0)))
+    # Lane alignment: pad width to a multiple of 128 (pyramid levels have
+    # arbitrary widths; unaligned DMA widths fail Mosaic lowering).
+    W = -(-W0 // 128) * 128
+    # Pad so every tile's haloed slab [i*TILE_H, i*TILE_H + TILE_H + 2*PAD)
+    # is in-bounds: PAD rows on top, (n_tiles*TILE_H + PAD - H) on the bottom.
+    pad_bottom = n_tiles * TILE_H + PAD - H
+    x = jnp.pad(img, ((0, 0), (PAD, pad_bottom), (0, W - W0)))
     out = pl.pallas_call(
-        functools.partial(_kernel, H=H, W=W, border=border),
+        functools.partial(_kernel, H=H, W=W, border=border, W_real=W0),
         grid=(B, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
@@ -88,12 +92,12 @@ def fast_score_map_pallas(img: jnp.ndarray, border: int) -> jnp.ndarray:
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE_H, W), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((TILE_H + 2 * HALO, W), jnp.bfloat16),
-            pltpu.VMEM((16, TILE_H, W), jnp.bfloat16),
+            pltpu.VMEM((TILE_H + 2 * PAD, W), jnp.float32),
+            pltpu.VMEM((16, TILE_H, W), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )(x)
-    return out[:, :H, :]
+    return out[:, :H, :W0]
 
 
 _DISABLED = False
