@@ -29,6 +29,25 @@ from orb_slam_system_tpu.ops.patches import gather_patches
 EDGE_MARGIN = 19  # reference EDGE_THRESHOLD (src/ORBextractor.cc:18)
 
 
+def _blur_patches(patches: jnp.ndarray) -> jnp.ndarray:
+    """Valid-mode separable 7x7 sigma=2 Gaussian over [B,N,P,P] patches
+    (the reference blurs whole pyramid levels before computing descriptors,
+    src/ORBextractor.cc:472-494; blurring only the gathered patches is
+    equivalent inside the valid region and far cheaper)."""
+    k = jnp.asarray(pyr_ops.gaussian_kernel_1d(7, 2.0))
+    x = patches
+    out = None
+    for i in range(7):
+        sl = jax.lax.slice_in_dim(x, i, i + x.shape[2] - 6, axis=2)
+        out = sl * k[i] if out is None else out + sl * k[i]
+    x = out
+    out = None
+    for i in range(7):
+        sl = jax.lax.slice_in_dim(x, i, i + x.shape[3] - 6, axis=3)
+        out = sl * k[i] if out is None else out + sl * k[i]
+    return out
+
+
 class FeatureSet(NamedTuple):
     """Batched, padded keypoint set (level-0 coordinates)."""
 
@@ -101,10 +120,21 @@ class ORBExtractor:
                 cell=self.cell,
                 border=EDGE_MARGIN,
             )
-            patches_o = gather_patches(lvl, xy_l, HALF_PATCH)
+            # ONE patch gather per level: a 43x43 patch (radius 21 =
+            # descriptor radius 18 + blur halo 3) from the reflect-padded
+            # unblurred level serves both the IC-angle moments (center
+            # 31x31) and, after an in-patch separable 7x7 blur, the rBRIEF
+            # sampling window — replacing two gathers + an image-wide blur
+            # (gathers are the TPU bottleneck; the per-patch blur is ~50M
+            # MACs per batch).
+            R_G = PATCH_RADIUS + 3
+            padded = jnp.pad(lvl, ((0, 0), (3, 3), (3, 3)), mode="reflect")
+            patches_g = gather_patches(padded, xy_l + 3, R_G)
+            c0 = R_G - HALF_PATCH
+            patches_o = patches_g[:, :, c0:c0 + 2 * HALF_PATCH + 1,
+                                  c0:c0 + 2 * HALF_PATCH + 1]
             ang = ic_angles(patches_o)
-            blurred = pyr_ops.gaussian_blur(lvl)
-            patches_d = gather_patches(blurred, xy_l, PATCH_RADIUS)
+            patches_d = _blur_patches(patches_g)
             desc = compute_descriptors(patches_d, ang)
             scale = self.scales[l]
             outs.append(
