@@ -63,6 +63,13 @@ class System:
         self._timings: list[float] = []
         from orb_slam_system_tpu.utils.metrics import Telemetry
         self.telemetry = Telemetry(jsonl_path=metrics_jsonl)
+        # State mutex mirroring the reference's mMutexMode/mMutexState
+        # (src/System.cc): the Track* entry points and state getters are
+        # safe to call from different threads (e.g. a ROS callback thread
+        # plus a UI thread).
+        import threading
+        self._lock = threading.RLock()  # reentrant: viewer reads state
+                                        # from inside the track section
 
     # ------------------------------------------------------------------
 
@@ -88,14 +95,17 @@ class System:
             raise RuntimeError("track_monocular called on non-monocular system")
         if img.ndim == 3:
             img = rgb_to_gray(img, self.cfg.camera.rgb)
-        t0 = time.perf_counter()
-        Tcw = self.tracker.grab_monocular(img, timestamp)
-        t1 = time.perf_counter()
-        self.local_mapper.process_pending()
-        t2 = time.perf_counter()
-        self._timings.append(t2 - t0)
-        self._emit_frame_metrics(timestamp, t1 - t0, t2 - t1)
-        return Tcw
+        with self._lock:
+            t0 = time.perf_counter()
+            Tcw = self.tracker.grab_monocular(img, timestamp)
+            t1 = time.perf_counter()
+            self.local_mapper.process_pending()
+            t2 = time.perf_counter()
+            self._timings.append(t2 - t0)
+            self._emit_frame_metrics(timestamp, t1 - t0, t2 - t1)
+            if self.viewer is not None:
+                self.viewer.update(img)
+            return Tcw
 
     def track_stereo(self, img_left: np.ndarray, img_right: np.ndarray,
                      timestamp: float):
@@ -106,14 +116,17 @@ class System:
         if img_left.ndim == 3:
             img_left = rgb_to_gray(img_left, self.cfg.camera.rgb)
             img_right = rgb_to_gray(img_right, self.cfg.camera.rgb)
-        t0 = time.perf_counter()
-        Tcw = self.tracker.grab_stereo(img_left, img_right, timestamp)
-        t1 = time.perf_counter()
-        self.local_mapper.process_pending()
-        t2 = time.perf_counter()
-        self._timings.append(t2 - t0)
-        self._emit_frame_metrics(timestamp, t1 - t0, t2 - t1)
-        return Tcw
+        with self._lock:
+            t0 = time.perf_counter()
+            Tcw = self.tracker.grab_stereo(img_left, img_right, timestamp)
+            t1 = time.perf_counter()
+            self.local_mapper.process_pending()
+            t2 = time.perf_counter()
+            self._timings.append(t2 - t0)
+            self._emit_frame_metrics(timestamp, t1 - t0, t2 - t1)
+            if self.viewer is not None:
+                self.viewer.update(img_left)
+            return Tcw
 
     def track_rgbd(self, img: np.ndarray, depth: np.ndarray, timestamp: float):
         """Reference TrackRGBD (src/System.cc:146-195)."""
@@ -121,14 +134,17 @@ class System:
             raise RuntimeError("track_rgbd called on non-RGBD system")
         if img.ndim == 3:
             img = rgb_to_gray(img, self.cfg.camera.rgb)
-        t0 = time.perf_counter()
-        Tcw = self.tracker.grab_rgbd(img, depth, timestamp)
-        t1 = time.perf_counter()
-        self.local_mapper.process_pending()
-        t2 = time.perf_counter()
-        self._timings.append(t2 - t0)
-        self._emit_frame_metrics(timestamp, t1 - t0, t2 - t1)
-        return Tcw
+        with self._lock:
+            t0 = time.perf_counter()
+            Tcw = self.tracker.grab_rgbd(img, depth, timestamp)
+            t1 = time.perf_counter()
+            self.local_mapper.process_pending()
+            t2 = time.perf_counter()
+            self._timings.append(t2 - t0)
+            self._emit_frame_metrics(timestamp, t1 - t0, t2 - t1)
+            if self.viewer is not None:
+                self.viewer.update(img)
+            return Tcw
 
     # Aliases matching the reference's exact method names.
     TrackMonocular = track_monocular
@@ -158,7 +174,8 @@ class System:
     # ------------------------------------------------------------------
 
     def get_tracking_state(self) -> TrackingState:
-        return self.tracker.state
+        with self._lock:
+            return self.tracker.state
 
     def get_tracked_map_points(self):
         cur = self.tracker.current

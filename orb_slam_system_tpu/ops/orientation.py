@@ -57,10 +57,12 @@ _WX, _WY = moment_weights()
 def ic_angles(patches: jnp.ndarray) -> jnp.ndarray:
     """patches: f32[B,N,31,31] (unblurred level image) -> angle radians
     f32[B,N] in [0, 2pi) measured like OpenCV's fastAtan2 result (degrees
-    there; radians here, converted where needed)."""
-    wx = jnp.asarray(_WX)
-    wy = jnp.asarray(_WY)
-    m10 = jnp.sum(patches * wx, axis=(-2, -1))
-    m01 = jnp.sum(patches * wy, axis=(-2, -1))
-    ang = jnp.arctan2(m01, m10)
+    there; radians here, converted where needed).
+
+    The two masked moment sums run as one [B*N, P*P] @ [P*P, 2] matmul
+    (MXU) instead of broadcast-multiply reductions."""
+    B, N, P, _ = patches.shape
+    Wm = jnp.asarray(np.stack([_WX.reshape(-1), _WY.reshape(-1)], axis=1))
+    m = patches.reshape(B, N, P * P) @ Wm                 # [B,N,2]
+    ang = jnp.arctan2(m[..., 1], m[..., 0])
     return jnp.where(ang < 0, ang + 2.0 * jnp.pi, ang)
