@@ -90,13 +90,17 @@ class ORBExtractor:
         self.cell = cell
         # FAST score: fused Pallas kernel on TPU, XLA formulation elsewhere
         # (identical contract; see ops/fast_pallas.py).
-        from orb_slam_system_tpu.ops import fast_pallas
+        from orb_slam_system_tpu.ops import fast_pallas, gather_pallas
         if fast_pallas.use_pallas():
             self._score_fn = lambda lvl, border: fast_pallas.fast_score_map_pallas(
                 lvl, border)
         else:
             self._score_fn = lambda lvl, border: fast_ops.fast_score_map(
                 lvl, border=border)
+        if gather_pallas.use_pallas():
+            self._gather_fn = gather_pallas.gather_patches_pallas
+        else:
+            self._gather_fn = gather_patches
         self._fn = jax.jit(self._extract)
 
     def __call__(self, img: jnp.ndarray) -> FeatureSet:
@@ -129,7 +133,7 @@ class ORBExtractor:
             # MACs per batch).
             R_G = PATCH_RADIUS + 3
             padded = jnp.pad(lvl, ((0, 0), (3, 3), (3, 3)), mode="reflect")
-            patches_g = gather_patches(padded, xy_l + 3, R_G)
+            patches_g = self._gather_fn(padded, xy_l + 3, R_G)
             c0 = R_G - HALF_PATCH
             patches_o = patches_g[:, :, c0:c0 + 2 * HALF_PATCH + 1,
                                   c0:c0 + 2 * HALF_PATCH + 1]

@@ -1,0 +1,117 @@
+"""Pallas TPU kernel for batched square-patch gathering.
+
+XLA's block gather moves ~7 KB per keypoint but runs latency-bound
+(~3.5 GB/s effective). This kernel turns patch extraction into explicit
+DMAs: each grid step prefetches its keypoints' coordinates from SMEM
+(PrefetchScalarGridSpec), issues KPT double-buffered HBM->VMEM window
+copies (sublane-8 / lane-128 aligned windows), and emits the exact patch
+via an in-VMEM dynamic slice.
+
+Same contract as ops/patches.gather_patches (radius 21 specialization used
+by the extractor); TPU-only, caller gates.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+KPT = 8          # keypoints per grid step
+WIN_W = 256      # DMA window width: 128-aligned start + patch fits
+WIN_H = 56       # DMA window height: 8-aligned start + patch fits
+
+
+def _kernel(ys_ref, xs_ref, img_ref, out_ref, win, sem, *, H, W, P):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+
+    def corner(k):
+        kp = j * KPT + k
+        y0 = ys_ref[b, kp]
+        x0 = xs_ref[b, kp]
+        # DMA offsets must be tile-aligned (sublane 8, lane 128); the
+        # residual offsets are resolved in VMEM below.
+        ya = pl.multiple_of((y0 // 8) * 8, 8)
+        xa = pl.multiple_of((x0 // 128) * 128, 128)
+        return y0, x0, ya, xa
+
+    def get_dma(k):
+        _, _, ya, xa = corner(k)
+        return pltpu.make_async_copy(
+            img_ref.at[b, pl.ds(ya, WIN_H), pl.ds(xa, WIN_W)],
+            win.at[k], sem.at[k])
+
+    # One window slot per keypoint: all KPT DMAs run concurrently and no
+    # slot is ever reused within a program (slot reuse raced with the
+    # in-flight reads of the previous occupant).
+    for k in range(KPT):
+        get_dma(k).start()
+    for k in range(KPT):
+        get_dma(k).wait()
+        y0, x0, ya, xa = corner(k)
+        oy = y0 - ya                          # in [0, 8)
+        ox = x0 - xa                          # in [0, 128)
+        # Sublane offset: 8-way switch over STATIC slices (dynamic sublane
+        # vector loads don't lower); lane offset: dynamic f32 rotate.
+        rows = jax.lax.switch(
+            oy, [(lambda o: (lambda: win[k, o:o + P, :]))(o)
+                 for o in range(8)])
+        rolled = pltpu.roll(rows, WIN_W - ox, axis=1)  # out[x] = rows[x+ox]
+        out_ref[0, k] = rolled[:, :P]
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def gather_patches_pallas(img: jnp.ndarray, xy: jnp.ndarray, radius: int):
+    """img: f32[B,H,W]; xy: i32[B,N,2] (x,y) centers -> f32[B,N,P,P]."""
+    B, H, W0 = img.shape
+    N = xy.shape[1]
+    P = 2 * radius + 1
+    # Pad enough that the aligned DMA window of ANY in-border keypoint fits
+    # without clamping (clamping would shift near-edge patches): one extra
+    # lane tile in x, two sublane tiles in y.
+    W = -(-W0 // 128) * 128 + 128
+    Hp = -(-H // 8) * 8 + 16
+    x = jnp.pad(img, ((0, 0), (0, Hp - H), (0, W - W0)))
+    # Clip so (a) the patch stays inside the ORIGINAL image (same semantics
+    # as ops/patches.gather_patches) and (b) the aligned window start fits
+    # the padded image: xa <= W-WIN_W requires x0 <= W-WIN_W+127, etc.
+    x0 = jnp.clip(xy[..., 0] - radius, 0,
+                  min(W0 - P, W - WIN_W + 127)).astype(jnp.int32)
+    y0 = jnp.clip(xy[..., 1] - radius, 0,
+                  min(H - P, Hp - WIN_H + 7)).astype(jnp.int32)
+    n_pad = -(-N // KPT) * KPT
+    if n_pad != N:
+        x0 = jnp.pad(x0, ((0, 0), (0, n_pad - N)))
+        y0 = jnp.pad(y0, ((0, 0), (0, n_pad - N)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, n_pad // KPT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, KPT, P, P), lambda b, j, ys, xs: (b, j, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((KPT, WIN_H, WIN_W), img.dtype),
+            pltpu.SemaphoreType.DMA((KPT,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, H=Hp, W=W, P=P),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, P, P), img.dtype),
+    )(y0, x0, x)
+    return out[:, :N]
+
+
+_DISABLED = False
+
+
+def use_pallas() -> bool:
+    import os
+    if _DISABLED or os.environ.get("ORB_SLAM_TPU_NO_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
