@@ -129,11 +129,36 @@ def make_multiseq_step(mesh: Mesh, height: int, width: int,
 
 
 def dryrun(n_devices: int, height: int = 96, width: int = 128):
-    """One multi-chip step on tiny shapes; raises on sharding errors."""
+    """One multi-chip step on tiny shapes; raises on sharding errors.
+
+    Exercises both sharded programs: the dp/sp tracking front-end step and
+    the edge-sharded Sim3 pose-graph solve (the framework's two scale-out
+    axes)."""
     mesh = make_mesh(n_devices)
     step, args = make_multiseq_step(mesh, height, width,
                                     n_features=128, n_levels=2)
     T, n_in, n_match = step(*args)
     jax.block_until_ready((T, n_in, n_match))
     assert np.isfinite(np.asarray(T)).all()
+    # Pose-graph solve sharded over a 1-D 'graph' mesh.
+    from orb_slam_system_tpu.parallel.pose_graph_dist import (
+        optimize_essential_graph_sharded)
+    gmesh = Mesh(np.asarray(jax.devices()[:n_devices]), ("graph",))
+    K = 6
+    rng = np.random.default_rng(0)
+    R0 = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+    t0 = rng.normal(size=(K, 3)).astype(np.float32) * 0.1
+    s0 = np.ones(K, np.float32)
+    e_i = np.arange(K - 1, dtype=np.int32)
+    e_j = e_i + 1
+    e_R = np.tile(np.eye(3, dtype=np.float32), (K - 1, 1, 1))
+    e_t = np.zeros((K - 1, 3), np.float32)
+    e_s = np.ones(K - 1, np.float32)
+    fixed = np.zeros(K, bool)
+    fixed[0] = True
+    Rn, tn, sn = optimize_essential_graph_sharded(
+        gmesh, R0, t0, s0, fixed, np.ones(K, bool),
+        e_i, e_j, e_R, e_t, e_s, np.ones(K - 1, bool),
+        n_iters=3, cg_iters=10)
+    assert np.isfinite(np.asarray(tn)).all()
     return int(n_in), int(n_match)
