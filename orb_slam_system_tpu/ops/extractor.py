@@ -92,11 +92,14 @@ class ORBExtractor:
         # (identical contract; see ops/fast_pallas.py).
         from orb_slam_system_tpu.ops import fast_pallas, gather_pallas
         if fast_pallas.use_pallas():
+            # Pallas path fuses 3x3 NMS into the score kernel.
             self._score_fn = lambda lvl, border: fast_pallas.fast_score_map_pallas(
-                lvl, border)
+                lvl, border, nms=True)
+            self._pre_nms = True
         else:
             self._score_fn = lambda lvl, border: fast_ops.fast_score_map(
                 lvl, border=border)
+            self._pre_nms = False
         if gather_pallas.use_pallas():
             self._gather_fn = gather_pallas.gather_patches_pallas
         else:
@@ -123,6 +126,7 @@ class ORBExtractor:
                 min_th=float(cfg.min_th_fast),
                 cell=self.cell,
                 border=EDGE_MARGIN,
+                pre_nms=self._pre_nms,
             )
             # ONE patch gather per level: a 43x43 patch (radius 21 =
             # descriptor radius 18 + blur halo 3) from the reflect-padded

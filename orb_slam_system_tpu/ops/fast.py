@@ -113,7 +113,8 @@ def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_max", "cell", "topk_per_cell", "border")
+    jax.jit,
+    static_argnames=("n_max", "cell", "topk_per_cell", "border", "pre_nms"),
 )
 def select_keypoints(
     score: jnp.ndarray,
@@ -123,6 +124,7 @@ def select_keypoints(
     cell: int = 16,
     topk_per_cell: int = 4,
     border: int = 19,
+    pre_nms: bool = False,
 ):
     """Spatially-uniform top-n_max keypoint selection from a dense score map.
 
@@ -136,7 +138,7 @@ def select_keypoints(
     valid bool[B, n_max]).
     """
     B, H, W = score.shape
-    s = nms3x3(score)
+    s = score if pre_nms else nms3x3(score)
     # Threshold logic: weak corners only count in cells with no strong corner.
     Hp = ((H + cell - 1) // cell) * cell
     Wp = ((W + cell - 1) // cell) * cell

@@ -34,7 +34,8 @@ def _roll(a, shift: int, axis: int):
     return pltpu.roll(a, shift % size, axis=axis)
 
 
-def _kernel(img_ref, out_ref, scratch, diffs, sem, *, H, W, border, W_real):
+def _kernel(img_ref, out_ref, scratch, diffs, sem, *, H, W, border, W_real,
+            nms):
     b = pl.program_id(0)
     i = pl.program_id(1)
     cp = pltpu.make_async_copy(
@@ -42,14 +43,18 @@ def _kernel(img_ref, out_ref, scratch, diffs, sem, *, H, W, border, W_real):
         scratch, sem)
     cp.start()
     cp.wait()
-    center = scratch[PAD:PAD + TILE_H, :]
+    # Compute scores for TILE_H + 2 rows (one halo row each side) so the
+    # fused 3x3 NMS sees cross-tile neighbors (the slab's +/-4-row halo
+    # leaves +/-1 after the ring radius 3).
+    TH2 = TILE_H + 2
+    center = scratch[PAD - 1:PAD - 1 + TH2, :]
     for k in range(16):
         dy, dx = int(CIRCLE[k, 0]), int(CIRCLE[k, 1])
-        ring = scratch[PAD + dy:PAD + dy + TILE_H, :]
+        ring = scratch[PAD - 1 + dy:PAD - 1 + dy + TH2, :]
         if dx != 0:
             ring = _roll(ring, -dx, axis=1)
         diffs[k] = ring - center
-    d = diffs[:]                                   # [16, TILE_H, W]
+    d = diffs[:]                                   # [16, TH2, W]
     # Circular windowed min of length 9 along axis 0 (log-step doubling).
     m = jnp.minimum(d, _roll(d, -1, axis=0))   # win 2
     m = jnp.minimum(m, _roll(m, -2, axis=0))   # win 4
@@ -62,7 +67,22 @@ def _kernel(img_ref, out_ref, scratch, diffs, sem, *, H, W, border, W_real):
     n = jnp.maximum(n, _roll(n, -4, axis=0))
     n = jnp.maximum(n, _roll(d, -(ARC_LEN - 1), axis=0))
     dark = jnp.max(-n, axis=0)
-    score = jnp.maximum(bright, dark).astype(jnp.float32)
+    score2 = jnp.maximum(bright, dark).astype(jnp.float32)  # [TH2, W]
+    # Border mask BEFORE NMS (the detection region excludes the border, so
+    # border pixels must not suppress interior ones — reference semantics).
+    gy2 = i * TILE_H - 1 + jax.lax.broadcasted_iota(jnp.int32, (TH2, W), 0)
+    gx2 = jax.lax.broadcasted_iota(jnp.int32, (TH2, W), 1)
+    ok2 = (gy2 >= border) & (gy2 < H - border) & (gx2 >= border) & (
+        gx2 < W_real - border)
+    score2 = jnp.where(ok2, score2, 0.0)
+    score = score2[1:1 + TILE_H, :]
+    if nms:
+        # Fused 3x3 non-max suppression (same >= tie rule as ops/fast.nms3x3).
+        rmax = jnp.maximum(jnp.maximum(score2[0:TILE_H, :], score2[1:TILE_H + 1, :]),
+                           score2[2:TILE_H + 2, :])
+        pooled = jnp.maximum(jnp.maximum(rmax, _roll(rmax, -1, axis=1)),
+                             _roll(rmax, 1, axis=1))
+        score = jnp.where(score >= pooled, score, 0.0)
     # Border mask in global coordinates.
     gy = i * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, W), 0)
     gx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, W), 1)
@@ -71,9 +91,11 @@ def _kernel(img_ref, out_ref, scratch, diffs, sem, *, H, W, border, W_real):
     out_ref[0] = jnp.where(ok, score, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("border",))
-def fast_score_map_pallas(img: jnp.ndarray, border: int) -> jnp.ndarray:
-    """img: f32[B,H,W] -> score f32[B,H,W]. TPU-only (caller gates)."""
+@functools.partial(jax.jit, static_argnames=("border", "nms"))
+def fast_score_map_pallas(img: jnp.ndarray, border: int,
+                          nms: bool = False) -> jnp.ndarray:
+    """img: f32[B,H,W] -> score f32[B,H,W]; nms=True additionally applies
+    the fused 3x3 non-max suppression in VMEM. TPU-only (caller gates)."""
     B, H, W0 = img.shape
     n_tiles = -(-H // TILE_H)
     # Lane alignment: pad width to a multiple of 128 (pyramid levels have
@@ -84,7 +106,8 @@ def fast_score_map_pallas(img: jnp.ndarray, border: int) -> jnp.ndarray:
     pad_bottom = n_tiles * TILE_H + PAD - H
     x = jnp.pad(img, ((0, 0), (PAD, pad_bottom), (0, W - W0)))
     out = pl.pallas_call(
-        functools.partial(_kernel, H=H, W=W, border=border, W_real=W0),
+        functools.partial(_kernel, H=H, W=W, border=border, W_real=W0,
+                          nms=nms),
         grid=(B, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
@@ -93,7 +116,7 @@ def fast_score_map_pallas(img: jnp.ndarray, border: int) -> jnp.ndarray:
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE_H, W), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((TILE_H + 2 * PAD, W), jnp.float32),
-            pltpu.VMEM((16, TILE_H, W), jnp.float32),
+            pltpu.VMEM((16, TILE_H + 2, W), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )(x)
