@@ -189,7 +189,13 @@ class LoopCloser:
     def _match_keyframes(self, kf1: KeyFrameRec, kf2: KeyFrameRec):
         """SearchByBoW(KF,KF) (reference src/ORBmatcher.cc:278-366,
         upstream-complete): node-constrained ratio-test matching restricted
-        to features with map points."""
+        to features with map points.
+
+        The node constraint exists in the reference for SPEED (restricting
+        candidate pairs); our matching is one dense MXU matmul either way,
+        so when the constrained pass yields too few matches (common with a
+        shallow self-trained vocabulary) we retry unconstrained — the Sim3
+        RANSAC + OptimizeSim3 gates downstream keep precision."""
         has1 = (kf1.mp_ids >= 0) & kf1.feats.valid
         has2 = (kf2.mp_ids >= 0) & kf2.feats.valid
         n1 = kf1.node_ids if kf1.node_ids is not None else np.zeros(
@@ -203,6 +209,16 @@ class LoopCloser:
             jnp.asarray(kf2.feats.angle), jnp.asarray(np.where(has2, n2, -1)),
             nn_ratio=0.75)
         idx2 = np.asarray(res.idx2)
+        if (idx2 >= 0).sum() < 20:
+            res = matching.search_by_node_id(
+                jnp.asarray(kf1.feats.desc), jnp.asarray(has1),
+                jnp.asarray(kf1.feats.angle),
+                jnp.asarray(np.zeros(kf1.feats.n_slots, np.int32)),
+                jnp.asarray(kf2.feats.desc), jnp.asarray(has2),
+                jnp.asarray(kf2.feats.angle),
+                jnp.asarray(np.zeros(kf2.feats.n_slots, np.int32)),
+                nn_ratio=0.75)
+            idx2 = np.asarray(res.idx2)
         return [(i, int(idx2[i])) for i in np.nonzero(idx2 >= 0)[0]]
 
     def _cam_points(self, kf: KeyFrameRec, rows):

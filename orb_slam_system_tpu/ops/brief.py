@@ -74,7 +74,12 @@ def _binned_test_matrices():
     return E
 
 
-_E_BINNED = _binned_test_matrices()
+# Stored pre-cast to bfloat16 so the jitted constant needs no compile-time
+# f32 transpose/convert pass (XLA constant-folding of the [32,1369,256]
+# tensor cost ~4s per compile otherwise).
+import ml_dtypes  # ships with jax
+
+_E_BINNED = _binned_test_matrices().astype(ml_dtypes.bfloat16)
 
 
 def compute_descriptors(patches: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
