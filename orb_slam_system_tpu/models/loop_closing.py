@@ -34,8 +34,8 @@ from orb_slam_system_tpu.vocab.vocabulary import Vocabulary
 
 CONSISTENCY_TH = 3      # reference src/LoopClosing.cc:17
 MIN_KFS_BETWEEN = 10    # reference :61
-GBA_MAX_CAMS = 48       # bounded synchronous GBA (larger maps rely on the
-                        # essential graph; full-scale async GBA is a later round)
+GBA_DENSE_MAX_CAMS = 48  # dense-Schur GBA bucket; larger maps use the
+                         # implicit Schur-CG solver (scales O(E)/iteration)
 
 
 class LoopCloser:
@@ -313,9 +313,9 @@ class LoopCloser:
         kf.loop_edges.add(matched_kf.id)
         matched_kf.loop_edges.add(kf.id)
         self.last_loop_kf_id = kf.id
-        # 7. Bounded global BA (upstream RunGlobalBundleAdjustment :340-410).
-        if arena.n_keyframes() <= GBA_MAX_CAMS:
-            self._global_ba()
+        # 7. Global BA (upstream RunGlobalBundleAdjustment :340-410);
+        # dense Schur for small maps, implicit Schur-CG for large ones.
+        self._global_ba()
 
     def _search_and_fuse(self, corrected: Dict[int, dict], loop_points):
         cam = self.cfg.camera
@@ -445,9 +445,10 @@ class LoopCloser:
             arena.update_normal_and_depth(mp, self.scale_factors)
 
     def _global_ba(self):
-        """Bounded synchronous GBA (upstream RunGlobalBundleAdjustment)."""
+        """Synchronous GBA (upstream RunGlobalBundleAdjustment); switches to
+        the implicit Schur-CG solver beyond GBA_DENSE_MAX_CAMS cameras."""
         from orb_slam_system_tpu.solvers.local_ba import (
-            BAProblem, global_bundle_adjustment)
+            BAProblem, bundle_adjust_cg, global_bundle_adjustment)
         arena = self.arena
         cam = self.cfg.camera
         kf_ids = sorted(arena.kfs)
@@ -488,8 +489,13 @@ class LoopCloser:
             e_valid=jnp.asarray(np.ones(len(e_cam), bool)),
             e_ur=jnp.asarray(np.asarray(e_ur, np.float32)),
             bf=self.cfg.camera.bf)
-        Tcw_n, X_n, inlier = global_bundle_adjustment(
-            prob, cam.fx, cam.fy, cam.cx, cam.cy, n_iters=10)
+        if C <= GBA_DENSE_MAX_CAMS:
+            Tcw_n, X_n, inlier = global_bundle_adjustment(
+                prob, cam.fx, cam.fy, cam.cx, cam.cy, n_iters=10)
+        else:
+            Tcw_n, X_n = bundle_adjust_cg(
+                prob, cam.fx, cam.fy, cam.cx, cam.cy, n_iters=10,
+                cg_iters=50)
         Tcw_n = np.asarray(Tcw_n)
         X_n = np.asarray(X_n)
         for k_id in kf_ids:

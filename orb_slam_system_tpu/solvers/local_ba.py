@@ -232,6 +232,134 @@ def bundle_adjust(prob: BAProblem, fx, fy, cx, cy,
     return Tcw, X
 
 
+@functools.partial(jax.jit, static_argnames=("n_iters", "use_huber", "cg_iters"))
+def bundle_adjust_cg(prob: BAProblem, fx, fy, cx, cy,
+                     n_iters: int = 10, use_huber: bool = True,
+                     cg_iters: int = 40):
+    """Scalable LM bundle adjustment: the reduced camera system is solved by
+    preconditioned CG whose matvec is assembled from per-EDGE blocks
+    (never materializing the dense [C,P,6,3] cross tensor of
+    `bundle_adjust`) — cost O(E) per CG iteration, so it scales to
+    thousands of cameras/points (full GBA after loop closure, KITTI-sized
+    maps). Same interface/result contract as bundle_adjust."""
+    C = prob.Tcw.shape[0]
+    P = prob.points.shape[0]
+    f32 = prob.points.dtype
+    free_cam = (~prob.cam_fixed) & prob.cam_valid
+
+    def cost_at(Tcw, X, xi_all, dX):
+        p = prob._replace(Tcw=Tcw, points=X)
+        e, _, _, z, is_st = _edge_residuals(xi_all, dX, p, fx, fy, cx, cy)
+        cost, _ = _robust_cost(
+            e, prob.e_inv_sigma2, prob.e_valid & (z > 0), use_huber, is_st)
+        return cost
+
+    def lm_iter(it, state):
+        Tcw, X, lam = state
+        p = prob._replace(Tcw=Tcw, points=X)
+        zero_xi = jnp.zeros((C, 6), f32)
+        zero_dx = jnp.zeros((P, 3), f32)
+        e, Jc, Jp, z, is_st = _edge_residuals(zero_xi, zero_dx, p,
+                                              fx, fy, cx, cy)
+        chi2 = jnp.sum(e * e, axis=1) * prob.e_inv_sigma2
+        delta_e = jnp.where(is_st, HUBER_DELTA_STEREO, HUBER_DELTA)
+        w_h = jnp.where(
+            jnp.asarray(use_huber),
+            jnp.minimum(1.0, delta_e / jnp.sqrt(jnp.maximum(chi2, 1e-12))),
+            1.0)
+        active = prob.e_valid & (z > 0)
+        w = jnp.where(active, w_h * prob.e_inv_sigma2, 0.0)
+        sw = jnp.sqrt(w)[:, None, None]
+        Jc_w = Jc * sw                                   # weight-absorbed
+        Jp_w = Jp * sw
+        e_w = e * jnp.sqrt(w)[:, None]
+        # Block diagonals.
+        Hcc = jnp.zeros((C, 6, 6), f32).at[prob.e_cam].add(
+            jnp.einsum("eif,eig->efg", Jc_w, Jc_w))
+        Hpp = jnp.zeros((P, 3, 3), f32).at[prob.e_pt].add(
+            jnp.einsum("eif,eig->efg", Jp_w, Jp_w))
+        gc = jnp.zeros((C, 6), f32).at[prob.e_cam].add(
+            jnp.einsum("eif,ei->ef", Jc_w, e_w))
+        gp = jnp.zeros((P, 3), f32).at[prob.e_pt].add(
+            jnp.einsum("eif,ei->ef", Jp_w, e_w))
+        Hcc_d = Hcc + lam * jnp.eye(6, dtype=f32)[None] * jnp.maximum(
+            jnp.diagonal(Hcc, axis1=1, axis2=2), 1e-6)[:, :, None] \
+            * jnp.eye(6, dtype=f32)[None]
+        Hpp_d = Hpp + lam * jnp.eye(3, dtype=f32)[None] * jnp.maximum(
+            jnp.diagonal(Hpp, axis1=1, axis2=2), 1e-6)[:, :, None] \
+            * jnp.eye(3, dtype=f32)[None]
+        Hpp_inv = _inv3x3(Hpp_d)
+        pt_ok = prob.pt_valid & (jnp.einsum("pii->p", Hpp) > 1e-9)
+        Hpp_inv = jnp.where(pt_ok[:, None, None], Hpp_inv, 0.0)
+        fm = free_cam.astype(f32)[:, None]
+
+        def A_t(x_c):
+            """A^T x: [C,6] -> [P,3] via per-edge W^T."""
+            u = jnp.einsum("eif,ei->ef", Jp_w,
+                           jnp.einsum("eig,eg->ei", Jc_w, x_c[prob.e_cam]))
+            return jnp.zeros((P, 3), f32).at[prob.e_pt].add(u)
+
+        def A_(v_p):
+            """A v: [P,3] -> [C,6]."""
+            u = jnp.einsum("eif,ei->ef", Jc_w,
+                           jnp.einsum("eig,eg->ei", Jp_w, v_p[prob.e_pt]))
+            return jnp.zeros((C, 6), f32).at[prob.e_cam].add(u)
+
+        def schur_mv(x_c):
+            x_c = x_c * fm
+            y = jnp.einsum("cab,cb->ca", Hcc_d, x_c)
+            t = A_t(x_c)
+            t = jnp.einsum("pab,pb->pa", Hpp_inv, t)
+            y = y - A_(t)
+            # Fixed cams act as identity (keeps PCG well-posed on them).
+            y = y * fm + x_c * (1.0 - fm) + 0.0
+            return y
+
+        rhs = (-gc + A_(jnp.einsum("pab,pb->pa", Hpp_inv, gp))) * fm
+        Minv = jnp.linalg.inv(Hcc_d + 1e-6 * jnp.eye(6, dtype=f32)[None])
+
+        def precond(x):
+            return jnp.einsum("cab,cb->ca", Minv, x) * fm
+
+        x = jnp.zeros((C, 6), f32)
+        r_cg = rhs
+        zv = precond(r_cg)
+        pv = zv
+        rz = jnp.sum(r_cg * zv)
+
+        def cg_body(_, st):
+            x, r_cg, pv, rz = st
+            Ap = schur_mv(pv)
+            denom = jnp.sum(pv * Ap)
+            alpha = rz / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+            x = x + alpha * pv
+            r_new = r_cg - alpha * Ap
+            z_new = precond(r_new)
+            rz_new = jnp.sum(r_new * z_new)
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-12, 1e-12, rz)
+            return x, r_new, z_new + beta * pv, rz_new
+
+        dc, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body,
+                                        (x, r_cg, pv, rz))
+        dc = dc * fm
+        dp = jnp.einsum("pab,pb->pa", Hpp_inv, -gp - A_t(dc))
+        dp = jnp.where(pt_ok[:, None], dp, 0.0)
+        cost0 = cost_at(Tcw, X, jnp.zeros((C, 6), f32), jnp.zeros((P, 3), f32))
+        cost1 = cost_at(Tcw, X, dc, dp)
+        improved = cost1 < cost0
+        Tcw_new = jnp.where(improved, jax.vmap(lie.se3_exp)(dc) @ Tcw, Tcw)
+        X_new = jnp.where(improved, X + dp, X)
+        lam_new = jnp.clip(jnp.where(improved, lam * 0.5, lam * 4.0),
+                           1e-10, 1e8)
+        return Tcw_new, X_new, lam_new
+
+    Tcw, X, _ = jax.lax.fori_loop(
+        0, n_iters, lm_iter,
+        (prob.Tcw.astype(f32), prob.points.astype(f32),
+         jnp.asarray(1e-4, f32)))
+    return Tcw, X
+
+
 @jax.jit
 def classify_outliers(Tcw, points, prob: BAProblem, fx, fy, cx, cy):
     """Per-edge chi2 gate (reference :692-738): returns bool[E] inlier mask

@@ -141,3 +141,12 @@ def test_ba_with_padding(rng):
     assert rmse < 0.7
     assert np.isfinite(np.asarray(Tcw)).all()
     assert np.isfinite(np.asarray(X)).all()
+
+
+def test_cg_schur_matches_dense(rng):
+    from orb_slam_system_tpu.solvers.local_ba import bundle_adjust, bundle_adjust_cg
+    prob, Tcws, X_true, _ = make_problem(rng, n_cams=5, n_pts=64)
+    T1, X1 = bundle_adjust(prob, FX, FY, CX, CY, n_iters=12)
+    T2, X2 = bundle_adjust_cg(prob, FX, FY, CX, CY, n_iters=12, cg_iters=60)
+    np.testing.assert_allclose(np.asarray(T1), np.asarray(T2), atol=1e-3)
+    assert reproj_rmse(T2, X2, prob) < 0.6
