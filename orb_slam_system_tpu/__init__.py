@@ -21,4 +21,28 @@ Layering (mirrors SURVEY.md §1, redesigned TPU-first):
 
 __version__ = "0.1.0"
 
-from orb_slam_system_tpu.config import SlamConfig, Sensor  # noqa: F401
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persist XLA compilations across processes (the SLAM pipeline traces
+    ~100 programs; cold starts drop from minutes to seconds on reruns).
+    Opt out with ORB_SLAM_TPU_NO_COMPILE_CACHE=1."""
+    if _os.environ.get("ORB_SLAM_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+        cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache",
+                          "orb_slam_tpu_xla"))
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
+
+_enable_compilation_cache()
+
+from orb_slam_system_tpu.config import SlamConfig, Sensor  # noqa: F401, E402
