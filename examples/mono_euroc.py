@@ -12,6 +12,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np  # noqa: E402
 
+from _driver_util import make_fetcher, print_timing_report  # noqa: E402
+
 
 def main():
     if len(sys.argv) < 5:
@@ -29,8 +31,9 @@ def main():
     print(f"Images in the sequence: {len(paths)}")
     slam = System(voc_path, settings, Sensor.MONOCULAR)
     track_times = []
+    fetch = make_fetcher(paths)
     for i, (p, t) in enumerate(zip(paths, times)):
-        img = load_image_gray(p)
+        img = fetch(i)
         t0 = time.perf_counter()
         slam.track_monocular(img, t)
         dt = time.perf_counter() - t0
@@ -40,10 +43,7 @@ def main():
             if wait > 0:
                 time.sleep(wait)
     slam.shutdown()
-    tt = np.sort(track_times)
-    print("-------")
-    print(f"median tracking time: {tt[len(tt)//2]:.5f}")
-    print(f"mean tracking time: {tt.mean():.5f}")
+    print_timing_report(track_times)
     slam.save_keyframe_trajectory_tum("KeyFrameTrajectory.txt")
 
 

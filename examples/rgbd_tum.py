@@ -14,6 +14,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np  # noqa: E402
 
+from _driver_util import make_fetcher, print_timing_report  # noqa: E402
+
 
 def main():
     if len(sys.argv) < 5:
@@ -32,9 +34,11 @@ def main():
     print(f"Images in the sequence: {len(rgb)}")
     slam = System(voc_path, settings, Sensor.RGBD)
     track_times = []
+    fetch_rgb = make_fetcher(rgb)
+    fetch_d = make_fetcher(depth, raw16=True)
     for i, t in enumerate(times):
-        img = load_image_gray(rgb[i])
-        d = load_depth_raw(depth[i])  # raw 16-bit values; DepthMapFactor scales
+        img = fetch_rgb(i)
+        d = fetch_d(i)  # raw 16-bit values; DepthMapFactor scales
         t0 = time.perf_counter()
         slam.track_rgbd(img, d, t)
         dt = time.perf_counter() - t0
@@ -44,10 +48,7 @@ def main():
             if wait > 0:
                 time.sleep(wait)
     slam.shutdown()
-    tt = np.sort(track_times)
-    print("-------")
-    print(f"median tracking time: {tt[len(tt)//2]:.5f}")
-    print(f"mean tracking time: {tt.mean():.5f}")
+    print_timing_report(track_times)
     slam.save_trajectory_tum("CameraTrajectory.txt")
     slam.save_keyframe_trajectory_tum("KeyFrameTrajectory.txt")
 

@@ -14,6 +14,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np  # noqa: E402
 
+from _driver_util import make_fetcher, print_timing_report  # noqa: E402
+
 
 def main():
     if len(sys.argv) < 4:
@@ -31,9 +33,11 @@ def main():
     print(f"Images in the sequence: {len(left)}")
     slam = System(voc_path, settings, Sensor.STEREO)
     track_times = []
+    fetch_l = make_fetcher(left)
+    fetch_r = make_fetcher(right)
     for i, t in enumerate(times):
-        l_img = load_image_gray(left[i])
-        r_img = load_image_gray(right[i])
+        l_img = fetch_l(i)
+        r_img = fetch_r(i)
         t0 = time.perf_counter()
         slam.track_stereo(l_img, r_img, t)
         dt = time.perf_counter() - t0
@@ -43,10 +47,7 @@ def main():
             if wait > 0:
                 time.sleep(wait)
     slam.shutdown()
-    tt = np.sort(track_times)
-    print("-------")
-    print(f"median tracking time: {tt[len(tt)//2]:.5f}")
-    print(f"mean tracking time: {tt.mean():.5f}")
+    print_timing_report(track_times)
     slam.save_trajectory_kitti("CameraTrajectory.txt")
 
 
