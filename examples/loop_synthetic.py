@@ -8,7 +8,7 @@ CorrectLoop (src/LoopClosing.cc) with upstream-complete loop edges + GBA.
 
 Observed on this scene (CPU, deterministic): loop closes at the revisit
 (Sim3 scale ~0.92 recovered from drift), 169/170 frames tracked,
-final ATE RMSE ~4.7 cm over a ~10 m circle (~22 cm without the closure).
+final ATE RMSE ~2.3 cm over a ~10 m circle (~22 cm without the closure).
 
 Usage: python examples/loop_synthetic.py [n_frames]
 """
