@@ -83,23 +83,29 @@ def make_multiseq_step(mesh: Mesh, height: int, width: int,
         best_j = jnp.argmin(dist, axis=2)
         matched = best <= 50
         n_matched_loc = jnp.sum(matched.astype(jnp.int32))
-        # ---- per-sequence pose refinement (dp; model shards replicate) ---
+        # ---- per-sequence pose refinement (dp over sequences, edges
+        # sharded over 'model') -------------------------------------------
+        # Each model shard owns nq keypoint rows; the 6x6 normal equations
+        # (J^T W J, J^T W e) and LM costs are psum'd over 'model' inside
+        # pose_optimization, so every shard performs the IDENTICAL global
+        # solve — one pose per sequence, bit-exact across shards (an
+        # element-wise mean of SE3 matrices is not a rotation; reducing the
+        # normal equations is the sound formulation).
         obs_xy = jax.lax.dynamic_slice_in_dim(feats.xy, m_idx * nq, nq, axis=1)
         pt_loc = jnp.take_along_axis(pts, best_j[..., None], axis=1)
         T_opt, inl, n_in = jax.vmap(
             lambda T0, X, uv, ok: pose_optimization(
                 T0, X, uv, jnp.ones(uv.shape[0], jnp.float32), ok,
-                fx, fy, cx, cy)
+                fx, fy, cx, cy, axis_name="model")
         )(Tcw0, pt_loc, obs_xy, matched)
         # ---- global statistics over the whole mesh (ICI collectives) -----
-        n_in_tot = jax.lax.psum(jnp.sum(n_in), axis_name="data")
-        n_in_tot = jax.lax.psum(n_in_tot, axis_name="model")
+        # n_in is shard-local (each shard's inlier rows); sum over 'model'
+        # for the per-sequence total, then over 'data' for the global one.
+        n_in_tot = jax.lax.psum(jnp.sum(n_in), axis_name="model")
+        n_in_tot = jax.lax.psum(n_in_tot, axis_name="data")
         n_match_tot = jax.lax.psum(n_matched_loc, axis_name="data")
         n_match_tot = jax.lax.psum(n_match_tot, axis_name="model")
-        # Average the model-shard pose estimates (each solved on its own
-        # keypoint shard) — a pmean over 'model'.
-        T_avg = jax.lax.pmean(T_opt, axis_name="model")
-        return T_avg, n_in_tot, n_match_tot
+        return T_opt, n_in_tot, n_match_tot
 
     smapped = jax.shard_map(
         local_step,

@@ -82,17 +82,27 @@ def _chi2(e, inv_sigma2):
     return jnp.sum(e * e, axis=1) * inv_sigma2
 
 
-@jax.jit
+import functools
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_rounds", "n_iters", "axis_name"))
 def pose_optimization(
     Tcw0, Xw, obs, inv_sigma2, valid, fx, fy, cx, cy,
     obs_ur=None, bf=0.0,
     n_rounds: int = 4, n_iters: int = 10,
+    axis_name: str | None = None,
 ):
     """Returns (Tcw, inlier bool[N], n_inliers i32).
 
     valid marks real (non-padded) correspondences; obs_ur (f32[N], -1 mono)
     adds stereo right-column residuals. Points behind the camera are
-    outliers automatically."""
+    outliers automatically.
+
+    axis_name: if set, the edge set is sharded over that mesh axis — the
+    6x6 normal equations (J^T W J, J^T W e) and LM costs are psum'd over it
+    so every shard performs the identical solve (one global pose, bit-exact
+    across shards); the returned inlier mask / count stay shard-local."""
     f32 = jnp.float32
     Xw = Xw.astype(f32)
     obs = obs.astype(f32)
@@ -118,9 +128,12 @@ def pose_optimization(
             )
             return chi2, rho, z, is_st, delta
 
+        def psum_(x):
+            return jax.lax.psum(x, axis_name) if axis_name else x
+
         def lm_cost(xi, active):
             _, rho, z, _, _ = chi_and_rho(xi)
-            return jnp.sum(jnp.where(active & (z > 0), rho, 0.0))
+            return psum_(jnp.sum(jnp.where(active & (z > 0), rho, 0.0)))
 
         def lm_iter(i, state):
             xi, lam = state
@@ -133,8 +146,8 @@ def pose_optimization(
                 jnp.minimum(1.0, delta / jnp.sqrt(jnp.maximum(chi2, 1e-12))),
                 1.0)
             w = jnp.where(inlier & (z > 0), w_h * inv_sigma2, 0.0)
-            H = jnp.einsum("n,nif,nig->fg", w, J, J)
-            g = jnp.einsum("n,nif,ni->f", w, J, e)
+            H = psum_(jnp.einsum("n,nif,nig->fg", w, J, J))
+            g = psum_(jnp.einsum("n,nif,ni->f", w, J, e))
             A = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=f32)
             dx = jnp.linalg.solve(A, -g)
             cost0 = lm_cost(xi, inlier)

@@ -28,6 +28,30 @@ def test_multiseq_step_outputs():
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-3)
 
 
+def test_multiseq_sharded_equals_single_device():
+    """The dp x sp sharded step must equal the unsharded computation: the
+    pose LM psums its normal equations over 'model', so sharding may only
+    introduce float reduction-order noise, never a different solve."""
+    from orb_slam_system_tpu.parallel.multiseq import make_mesh, make_multiseq_step
+
+    mesh8 = make_mesh(8)
+    step8, args = make_multiseq_step(mesh8, 96, 128,
+                                     n_features=128, n_levels=2)
+    T8, n_in8, n_match8 = step8(*args)
+
+    mesh1 = make_mesh(1)
+    assert mesh1.shape == {"data": 1, "model": 1}
+    step1, _ = make_multiseq_step(mesh1, 96, 128,
+                                  n_features=128, n_levels=2)
+    host_args = tuple(np.asarray(a) for a in args)
+    T1, n_in1, n_match1 = step1(*host_args)
+
+    assert int(n_match8) == int(n_match1)
+    assert int(n_in8) == int(n_in1)
+    np.testing.assert_allclose(np.asarray(T8), np.asarray(T1),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_entry_compiles_single_chip():
     import jax
     import __graft_entry__ as g
