@@ -16,10 +16,48 @@ BASELINE.json's north star is >=10x this.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def bench_system_fps(n_frames: int = 60, warmup: int = 12):
+    """End-to-end tracking FPS (BASELINE.md primary metric): a real System
+    tracking pre-rendered 640x480 synthetic frames at the reference's 1000
+    features/frame. Frames are rendered up front so the loop measures the
+    SLAM system, not the renderer. Returns (fps, n_timed) or None on error.
+
+    The reference paces TUM sequences at 30 fps (Examples/Monocular/
+    mono_tum.cc:97-105 + Camera.fps) — real-time operation is the bar.
+    """
+    from orb_slam_system_tpu.config import (
+        CameraConfig, ORBConfig, Sensor, SlamConfig)
+    from orb_slam_system_tpu.dataio.synthetic import (
+        PlanarSceneRenderer, make_texture, orbit_trajectory)
+    from orb_slam_system_tpu.models.system import System
+
+    W, H = 640, 480
+    cam = CameraConfig(fx=520.0, fy=520.0, cx=W / 2, cy=H / 2, fps=30.0,
+                       width=W, height=H)
+    cfg = SlamConfig(camera=cam, orb=ORBConfig(n_features=1000),
+                     sensor=Sensor.MONOCULAR)
+    r = PlanarSceneRenderer(cam.K, W, H, texture=make_texture(2048, 8, 7),
+                            tex_scale=440.0)
+    poses = orbit_trajectory(n_frames, radius=0.35, depth=-2.0, tilt=0.3)
+    frames = [r.render(T) for T in poses]
+    slam = System(None, cfg, Sensor.MONOCULAR)
+    for i in range(warmup):
+        slam.track_monocular(frames[i], i / 30.0)
+    t0 = time.perf_counter()
+    for i in range(warmup, n_frames):
+        slam.track_monocular(frames[i], i / 30.0)
+    dt = time.perf_counter() - t0
+    n_timed = n_frames - warmup
+    ok = slam.tracker.state.name == "OK"
+    slam.shutdown()
+    return (n_timed / dt, n_timed) if ok else None
 
 
 def main():
@@ -107,12 +145,27 @@ def main():
     kps_per_sec = frames_per_sec * n_valid
 
     baseline = 66700.0  # OpenCV CPU ORB extraction+matching, kp/s (see doc)
-    print(json.dumps({
+    record = {
         "metric": "orb_extract_match_throughput",
         "value": round(kps_per_sec, 1),
         "unit": "keypoints/sec",
         "vs_baseline": round(kps_per_sec / baseline, 2),
-    }))
+    }
+    # Second metric: end-to-end tracking FPS (system throughput, not a
+    # kernel benchmark) vs the 30 fps real-time dataset rate.
+    if os.environ.get("ORB_SLAM_BENCH_NO_SYSTEM") != "1":
+        try:
+            sysres = bench_system_fps()
+            if sysres is not None:
+                fps, n_timed = sysres
+                record["system_fps"] = round(fps, 1)
+                record["system_vs_realtime_30fps"] = round(fps / 30.0, 2)
+                print(f"# system_fps={fps:.1f} over {n_timed} frames",
+                      file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — bench must never fail
+            print(f"# system bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    print(json.dumps(record))
     print(f"# frames/sec={frames_per_sec:.1f} avg_kp/frame={n_valid:.0f} "
           f"batch={B} device={jax.devices()[0].platform}", file=sys.stderr)
 

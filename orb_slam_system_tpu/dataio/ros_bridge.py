@@ -46,17 +46,44 @@ class RosRGBDBridge:
         return self.system.track_rgbd(rgb, depth, stamp_sec)
 
 
+def decode_image_msg(msg) -> np.ndarray:
+    """Decode a sensor_msgs/Image into a float32 grayscale array without
+    cv_bridge (mono8/mono16/rgb8/bgr8/rgba8/bgra8/32FC1), honoring
+    msg.step row strides. Works on any object with height/width/encoding/
+    step/data attributes, so it is unit-testable without ROS."""
+    h, w, step = int(msg.height), int(msg.width), int(msg.step)
+    buf = np.frombuffer(bytes(msg.data), np.uint8)
+    enc = msg.encoding.lower()
+    if enc in ("mono8", "8uc1"):
+        img = buf.reshape(h, step)[:, :w].astype(np.float32)
+    elif enc in ("mono16", "16uc1"):
+        rows = buf.reshape(h, step)[:, :2 * w]
+        img = rows.view(np.uint16).reshape(h, w).astype(np.float32) / 257.0
+    elif enc in ("rgb8", "bgr8", "rgba8", "bgra8"):
+        c = 4 if "a8" in enc else 3
+        rows = buf.reshape(h, step)[:, :c * w].reshape(h, w, c)
+        r, g, b = ((rows[..., 2], rows[..., 1], rows[..., 0])
+                   if enc.startswith("bgr") else
+                   (rows[..., 0], rows[..., 1], rows[..., 2]))
+        img = (0.299 * r + 0.587 * g + 0.114 * b).astype(np.float32)
+    elif enc == "32fc1":
+        rows = buf.reshape(h, step)[:, :4 * w]
+        img = rows.view(np.float32).reshape(h, w).copy()
+    else:
+        raise ValueError(f"unsupported image encoding: {msg.encoding}")
+    return img
+
+
 def attach_rospy(bridge, image_topic: str = "/camera/image_raw",
                  node_name: str = "orb_slam_tpu"):
-    """Wire a RosMonoBridge to a live rospy subscriber (requires rospy +
-    cv_bridge at runtime; import-gated so the package has no hard ROS dep)."""
+    """Wire a RosMonoBridge to a live rospy subscriber (requires rospy at
+    runtime; import-gated so the package has no hard ROS dep). Decoding
+    uses decode_image_msg, so cv_bridge is not needed."""
     import rospy  # noqa: deferred, optional dependency
-    from cv_bridge import CvBridge
-    cvb = CvBridge()
+    from sensor_msgs.msg import Image  # noqa: deferred
 
     def cb(msg):
-        img = cvb.imgmsg_to_cv2(msg, desired_encoding="mono8")
-        bridge.on_image(np.asarray(img, np.float32), msg.header.stamp.to_sec())
+        bridge.on_image(decode_image_msg(msg), msg.header.stamp.to_sec())
 
     rospy.init_node(node_name, anonymous=True)
-    return rospy.Subscriber(image_topic, type(None), cb)
+    return rospy.Subscriber(image_topic, Image, cb, queue_size=1)

@@ -73,13 +73,20 @@ class PlanarSceneRenderer:
     """
 
     def __init__(self, K: np.ndarray, width: int, height: int,
-                 texture: np.ndarray | None = None, tex_scale: float = 256.0):
+                 texture: np.ndarray | None = None, tex_scale: float = 256.0,
+                 supersample: int = 2):
         self.K = K.astype(np.float64)
         self.Kinv = np.linalg.inv(self.K)
         self.width = width
         self.height = height
         self.texture = make_texture() if texture is None else texture
         self.tex_scale = tex_scale
+        # Anti-aliasing factor: render at supersample x resolution and box-
+        # average, modelling a real sensor's integration over the pixel
+        # area. Point-sampling hard texture edges aliases so badly that the
+        # intensity centroid (IC angle) and BRIEF bits decorrelate between
+        # adjacent frames — real cameras do not do that.
+        self.supersample = max(1, int(supersample))
 
     def render(self, Tcw: np.ndarray) -> np.ndarray:
         """Tcw: 4x4 world->camera. Returns f32[H, W] grayscale in [0, 255]."""
@@ -87,7 +94,12 @@ class PlanarSceneRenderer:
         t = Tcw[:3, 3].astype(np.float64)
         # Camera center in world coords.
         C = -R.T @ t
-        u, v = np.meshgrid(np.arange(self.width), np.arange(self.height))
+        ss = self.supersample
+        # Subpixel grid: pixel (u,v) integrates samples at
+        # u + (k + 0.5)/ss - 0.5 for k in [0, ss).
+        base_u = np.arange(self.width * ss) / ss - 0.5 + 0.5 / ss
+        base_v = np.arange(self.height * ss) / ss - 0.5 + 0.5 / ss
+        u, v = np.meshgrid(base_u, base_v)
         pix = np.stack([u.ravel(), v.ravel(), np.ones(u.size)], axis=0)
         rays_cam = self.Kinv @ pix
         rays_world = R.T @ rays_cam
@@ -101,7 +113,10 @@ class PlanarSceneRenderer:
         ty = Y * self.tex_scale + self.texture.shape[0] / 2.0
         vals = _bilinear_sample(self.texture, tx, ty)
         vals = np.where(ok, vals, 127.0)
-        return vals.reshape(self.height, self.width).astype(np.float32)
+        img = vals.reshape(self.height * ss, self.width * ss)
+        if ss > 1:
+            img = img.reshape(self.height, ss, self.width, ss).mean(axis=(1, 3))
+        return img.astype(np.float32)
 
     def render_depth(self, Tcw: np.ndarray) -> np.ndarray:
         """Analytic depth map (camera-frame z) of the plane per pixel; 0

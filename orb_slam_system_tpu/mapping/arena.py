@@ -122,6 +122,11 @@ class MapArena:
         # src/System.cc:341-345 walks mTcp past bad keyframes).
         self.dead_kfs: Dict[int, KeyFrameRec] = {}
         self.mps: Dict[int, MapPointRec] = {}
+        # Replaced map points, kept as tombstones so trackers can follow
+        # replaced_by chains to the surviving point (reference MapPoint::
+        # GetReplaced, src/MapPoint.cc:153-190). obs are cleared, so each
+        # tombstone is tiny.
+        self.dead_mps: Dict[int, MapPointRec] = {}
         self.next_kf_id = 0
         self.next_mp_id = 0
         self.kf_origin_id = -1
@@ -214,6 +219,7 @@ class MapArena:
         old.bad = True
         old.replaced_by = new.id
         self.mps.pop(old.id, None)
+        self.dead_mps[old.id] = old
         self.compute_distinctive_descriptor(new)
 
     # ----- derived state --------------------------------------------------

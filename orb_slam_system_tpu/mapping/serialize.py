@@ -19,7 +19,7 @@ from orb_slam_system_tpu.mapping.arena import (
     MapPointRec,
 )
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2   # v2: + kf_u_right / kf_depth stereo channels
 
 
 def save_map(arena: MapArena, path: str):
@@ -66,6 +66,17 @@ def save_map(arena: MapArena, path: str):
                 [pad_feat(arena.kfs[k].feats.desc) for k in kf_ids]),
             "kf_valid": np.stack(
                 [pad_feat(arena.kfs[k].feats.valid, False) for k in kf_ids]),
+            # Stereo/RGB-D channels (mvuRight/mvDepth): persisted so resumed
+            # maps keep their 3-component stereo observation edges in BA
+            # (-1 = mono feature / absent, matching ur_or_neg()).
+            "kf_u_right": np.stack([
+                pad_feat(arena.kfs[k].feats.u_right.astype(np.float32), -1.0)
+                if arena.kfs[k].feats.u_right is not None
+                else np.full(n_slots, -1.0, np.float32) for k in kf_ids]),
+            "kf_depth": np.stack([
+                pad_feat(arena.kfs[k].feats.depth.astype(np.float32), -1.0)
+                if arena.kfs[k].feats.depth is not None
+                else np.full(n_slots, -1.0, np.float32) for k in kf_ids]),
         })
         # Covisibility + loop edges as COO lists.
         ci, cj, cw = [], [], []
@@ -118,11 +129,19 @@ def load_map(path: str) -> MapArena:
     arena.kf_origin_id = int(z["kf_origin_id"])
     kf_ids = z["kf_ids"]
     for i, k in enumerate(kf_ids):
+        u_right = depth = None
+        if "kf_u_right" in z:
+            ur = z["kf_u_right"][i]
+            if (ur >= 0).any():
+                u_right = ur.copy()
+            dp = z["kf_depth"][i]
+            if (dp >= 0).any():
+                depth = dp.copy()
         feats = FrameFeatures(
             xy=z["kf_xy"][i], xy_und=z["kf_xy_und"][i],
             response=z["kf_resp"][i], angle=z["kf_angle"][i],
             octave=z["kf_octave"][i], desc=z["kf_desc"][i],
-            valid=z["kf_valid"][i])
+            valid=z["kf_valid"][i], u_right=u_right, depth=depth)
         kf = KeyFrameRec(
             id=int(k), frame_id=int(z["kf_frame_id"][i]),
             timestamp=float(z["kf_ts"][i]), Tcw=z["kf_Tcw"][i].copy(),

@@ -39,6 +39,10 @@ class Frame:
     # Stereo / RGB-D channel (reference mvuRight / mvDepth, src/Frame.cc):
     u_right: Optional[np.ndarray] = None   # f32[N], -1 = mono feature
     depth: Optional[np.ndarray] = None     # f32[N], -1 = no depth
+    # Temporary visual-odometry points (localization mode, upstream
+    # UpdateLastFrame: depth-backprojected points NOT in the map):
+    # {feature slot -> world position f32[3]}.
+    vo_points: Optional[dict] = None
 
     def __post_init__(self):
         n = self.feats.n_slots

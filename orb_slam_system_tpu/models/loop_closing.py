@@ -157,6 +157,28 @@ class LoopCloser:
                       f"s={float(s12):.3f}", flush=True)
             if not bool(okr):
                 continue
+            # Sim3-guided mutual re-search tops up the RANSAC-inlier BoW
+            # matches (upstream LoopClosing::ComputeSim3 :184-190 +
+            # ORBmatcher::SearchBySim3) — marginal loops whose BoW matches
+            # barely clear RANSAC gain the extra correspondences needed to
+            # reach the OptimizeSim3 and >=40 gates.
+            matches12 = {int(rows1[k]): int(rows2[k])
+                         for k in np.nonzero(np.asarray(inl))[0]}
+            matches12.update(self._search_by_sim3(
+                kf, ckf, float(s12), np.asarray(R12), np.asarray(t12),
+                matches12, th=7.5))
+            if self.debug:
+                print(f"[loop]   after SearchBySim3: {len(matches12)} "
+                      f"matches", flush=True)
+            if len(matches12) < 20:
+                continue
+            rows1 = np.asarray(sorted(matches12), np.int64)
+            rows2 = np.asarray([matches12[i] for i in rows1], np.int64)
+            P1, ok1 = self._cam_points(kf, rows1)
+            P2, ok2 = self._cam_points(ckf, rows2)
+            ok = ok1 & ok2
+            uv1 = kf.feats.xy_und[rows1].astype(np.float32)
+            uv2 = ckf.feats.xy_und[rows2].astype(np.float32)
             # Refine with OptimizeSim3 (>=20 inliers, :195-206).
             n_in, s_f, R_f, t_f, inl_f = optimize_sim3(
                 s12, R12, t12, jnp.asarray(P1), jnp.asarray(P2),
@@ -183,6 +205,19 @@ class LoopCloser:
             cur_matches = {int(rows1[k]): int(ckf.mp_ids[rows2[k]])
                            for k in np.nonzero(np.asarray(inl_f))[0]
                            if ckf.mp_ids[rows2[k]] >= 0}
+            # Project ALL loop points into the current KF with Scw and
+            # require >=40 total matches to accept the loop (upstream
+            # LoopClosing::ComputeSim3 :192-206; failing the gate aborts
+            # the whole attempt, not just this candidate).
+            n_before = len(cur_matches)
+            self._project_loop_points(kf, Scw, loop_points, cur_matches,
+                                      th=10.0)
+            if self.debug:
+                print(f"[loop]   total matches {len(cur_matches)} "
+                      f"(+{len(cur_matches) - n_before} projected); "
+                      f"gate >= 40", flush=True)
+            if len(cur_matches) < 40:
+                return False, None, None, None, None
             return True, ckf, Scw, loop_points, cur_matches
         return False, None, None, None, None
 
@@ -220,6 +255,127 @@ class LoopCloser:
                 nn_ratio=0.75)
             idx2 = np.asarray(res.idx2)
         return [(i, int(idx2[i])) for i in np.nonzero(idx2 >= 0)[0]]
+
+    def _slot_points(self, kf: KeyFrameRec, exclude=frozenset()):
+        """Per-feature-slot map-point arrays (descriptor, world position,
+        scale-invariance band, validity) for Sim3-guided search."""
+        N = kf.feats.n_slots
+        desc = np.zeros((N, 8), np.uint32)
+        pos = np.zeros((N, 3), np.float32)
+        mind = np.zeros(N, np.float32)
+        maxd = np.ones(N, np.float32)
+        ok = np.zeros(N, bool)
+        for i in range(N):
+            mid = int(kf.mp_ids[i])
+            if mid < 0 or i in exclude:
+                continue
+            mp = self.arena.mps.get(mid)
+            if mp is None or mp.bad:
+                continue
+            desc[i] = mp.desc
+            pos[i] = mp.pos
+            mind[i] = 0.8 * mp.min_dist
+            maxd[i] = max(1.2 * mp.max_dist, 1e-6)
+            ok[i] = True
+        return desc, pos, mind, maxd, ok
+
+    def _sim3_guided_geometry(self, pos, mind, maxd, ok, sR, t, th):
+        """Project world points into a camera via Sim3 (sR, t): returns
+        (proj f32[N,2], radius f32[N], pred_level i32[N], ok bool[N])."""
+        cam = self.cfg.camera
+        Xc = pos @ sR.T + t
+        z = Xc[:, 2]
+        good = ok & (z > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            proj = Xc[:, :2] / np.where(np.abs(z[:, None]) < 1e-9, 1e-9,
+                                        z[:, None])
+        proj = (proj * [cam.fx, cam.fy] + [cam.cx, cam.cy]).astype(np.float32)
+        good &= ((proj[:, 0] >= 0) & (proj[:, 0] < cam.width)
+                 & (proj[:, 1] >= 0) & (proj[:, 1] < cam.height))
+        dist = np.linalg.norm(Xc, axis=1)
+        good &= (dist >= mind) & (dist <= maxd)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lvl = np.ceil(np.log(np.maximum(maxd / 1.2, 1e-9)
+                                 / np.maximum(dist, 1e-9))
+                          / np.log(self.cfg.orb.scale_factor))
+        lvl = np.clip(np.nan_to_num(lvl, nan=0.0), 0,
+                      self.cfg.orb.n_levels - 1).astype(np.int32)
+        radius = (th * self.scale_factors[lvl]).astype(np.float32)
+        return proj, radius, lvl, good
+
+    def _search_by_sim3(self, kf1: KeyFrameRec, kf2: KeyFrameRec,
+                        s12: float, R12, t12, matches12: Dict[int, int],
+                        th: float = 7.5) -> Dict[int, int]:
+        """Mutual Sim3-guided re-search (upstream ORBmatcher::SearchBySim3;
+        reference fork's one-directional copy at src/ORBmatcher.cc:636-730).
+        S12 maps cam2 -> cam1 coordinates. Returns NEW {slot1: slot2} pairs
+        not in matches12."""
+        used2 = set(matches12.values())
+        d1, p1w, mind1, maxd1, ok1 = self._slot_points(
+            kf1, exclude=set(matches12))
+        d2, p2w, mind2, maxd2, ok2 = self._slot_points(kf2, exclude=used2)
+        if ok1.sum() == 0 or ok2.sum() == 0:
+            return {}
+        sR21 = (1.0 / s12) * R12.T
+        t21 = -(sR21 @ t12)
+        sR12 = s12 * R12
+        # World -> cam2 for KF1's points: T2w? No — reference goes world ->
+        # cam1 (SE3) -> cam2 (S21); composing gives sR21@R1w, sR21@t1w+t21.
+        R1w, t1w = kf1.Tcw[:3, :3], kf1.Tcw[:3, 3]
+        R2w, t2w = kf2.Tcw[:3, :3], kf2.Tcw[:3, 3]
+        proj1, rad1, lvl1, good1 = self._sim3_guided_geometry(
+            p1w, mind1, maxd1, ok1, sR21 @ R1w, sR21 @ t1w + t21, th)
+        proj2, rad2, lvl2, good2 = self._sim3_guided_geometry(
+            p2w, mind2, maxd2, ok2, sR12 @ R2w, sR12 @ t2w + t12, th)
+        idx2 = np.asarray(matching.search_by_sim3(
+            jnp.asarray(d1), jnp.asarray(proj1), jnp.asarray(rad1),
+            jnp.asarray(lvl1), jnp.asarray(good1),
+            jnp.asarray(d2), jnp.asarray(proj2), jnp.asarray(rad2),
+            jnp.asarray(lvl2), jnp.asarray(good2),
+            jnp.asarray(kf1.feats.desc), jnp.asarray(kf1.feats.xy_und),
+            jnp.asarray(kf1.feats.valid), jnp.asarray(kf1.feats.octave),
+            jnp.asarray(kf2.feats.desc), jnp.asarray(kf2.feats.xy_und),
+            jnp.asarray(kf2.feats.valid), jnp.asarray(kf2.feats.octave)))
+        return {int(i): int(j) for i, j in enumerate(idx2) if j >= 0}
+
+    def _project_loop_points(self, kf: KeyFrameRec, Scw: dict,
+                             loop_points: List[int],
+                             cur_matches: Dict[int, int], th: float = 10.0):
+        """Project loop map points into the current KF with Scw and claim
+        unmatched feature slots (upstream SearchByProjection(KF, Scw, ...)
+        reference src/ORBmatcher.cc:121-195, TH_LOW, radius th*scale;
+        feeds the >=40 total-match gate, LoopClosing.cc:184-206)."""
+        already_pts = set(cur_matches.values())
+        ids = [m for m in loop_points
+               if m not in already_pts and m in self.arena.mps
+               and not self.arena.mps[m].bad]
+        if not ids:
+            return
+        pos = np.stack([self.arena.mps[m].pos for m in ids])
+        desc = np.stack([self.arena.mps[m].desc for m in ids])
+        mind = np.asarray([0.8 * self.arena.mps[m].min_dist for m in ids],
+                          np.float32)
+        maxd = np.asarray(
+            [max(1.2 * self.arena.mps[m].max_dist, 1e-6) for m in ids],
+            np.float32)
+        R_p = Scw["R"]
+        t_p = Scw["t"] / Scw["s"]
+        proj, radius, lvl, good = self._sim3_guided_geometry(
+            pos, mind, maxd, np.ones(len(ids), bool), R_p, t_p, th)
+        already = np.zeros(kf.feats.n_slots, bool)
+        for fi in cur_matches:
+            already[fi] = True
+        res = matching.search_by_projection_set(
+            jnp.asarray(proj), jnp.asarray(radius), jnp.asarray(lvl),
+            jnp.asarray(good), jnp.asarray(desc),
+            jnp.asarray(kf.feats.xy_und), jnp.asarray(kf.feats.desc),
+            jnp.asarray(kf.feats.valid), jnp.asarray(kf.feats.octave),
+            jnp.asarray(already), max_dist=matching.TH_LOW)
+        idx2 = np.asarray(res.idx2)
+        for k in np.nonzero(idx2 >= 0)[0]:
+            slot = int(idx2[k])
+            if slot not in cur_matches:
+                cur_matches[slot] = ids[k]
 
     def _cam_points(self, kf: KeyFrameRec, rows):
         P = np.zeros((len(rows), 3), np.float32)
@@ -263,9 +419,14 @@ class LoopCloser:
             non_corrected[g_id] = gkf.Tcw.copy()
             Tic = gkf.Tcw @ Twc
             Ric, tic = Tic[:3, :3], Tic[:3, 3]
-            # S_i_corr = T_ic * Scw
+            # S_i_corr = T_ic * Scw. The LEFT factor T_ic is SE3 (scale 1),
+            # so per Sim3 composition t = s_left*(R_left*t_right)+t_left
+            # the translation is Ric@t_cw + tic with s_left = 1 (g2o
+            # sim3.h:266-271); using Scw's scale here biased every
+            # corrected pose in the group by s (the current KF itself,
+            # where T_ic = I, must map to exactly Scw).
             R_n = Ric @ Scw["R"]
-            t_n = Scw["s"] * (Ric @ Scw["t"]) + tic
+            t_n = Ric @ Scw["t"] + tic
             corrected[g_id] = {"s": Scw["s"], "R": R_n, "t": t_n}
         # 2. Correct the group's map points + update poses (:253-290).
         moved: set[int] = set()
@@ -371,31 +532,53 @@ class LoopCloser:
         kf_ids = sorted(arena.kfs)
         index = {k: i for i, k in enumerate(kf_ids)}
         K = len(kf_ids)
-        R0 = np.stack([arena.kfs[k].Tcw[:3, :3] for k in kf_ids]).astype(np.float32)
-        t0 = np.stack([arena.kfs[k].Tcw[:3, 3] for k in kf_ids]).astype(np.float32)
+        # Vertex init: corrected group keyframes start at their FULL
+        # corrected Sim3 (scale included, reference :820-860); the rest at
+        # their SE3 pose with scale 1 — the solver distributes the measured
+        # loop drift scale around the graph.
+        R0 = np.zeros((K, 3, 3), np.float32)
+        t0 = np.zeros((K, 3), np.float32)
         s0 = np.ones(K, np.float32)
+        for k_id in kf_ids:
+            i = index[k_id]
+            if k_id in corrected:
+                S = corrected[k_id]
+                R0[i], t0[i], s0[i] = S["R"], S["t"], S["s"]
+            else:
+                T = arena.kfs[k_id].Tcw
+                R0[i], t0[i] = T[:3, :3], T[:3, 3]
+        init_sim3 = [(float(s0[i]), R0[i].copy(), t0[i].copy())
+                     for i in range(K)]
         fixed = np.zeros(K, bool)
         fixed[index[matched_kf.id]] = True
         e_i, e_j, e_R, e_t, e_s = [], [], [], [], []
         added = set()
 
-        def add_edge(i_id, j_id, Ti, Tj, si=1.0, sj=1.0):
+        def sim3_of(T):
+            return 1.0, T[:3, :3], T[:3, 3]
+
+        def add_edge(i_id, j_id, Si, Sj):
+            """Measurement Sji = S_j o S_i^-1 in Sim3; Si/Sj are
+            (s, R, t) triples (g2o sim3.h composition: the left factor's
+            scale multiplies the right factor's translation)."""
             key = (min(i_id, j_id), max(i_id, j_id))
             if key in added or i_id not in index or j_id not in index:
                 return
             added.add(key)
-            # Sji = S_j * S_i^-1 in Sim3 (scales si/sj both 1 for SE3 inputs).
-            Rji = Tj[:3, :3] @ Ti[:3, :3].T
-            tji = Tj[:3, 3] - Rji @ Ti[:3, 3]
+            si, Ri, ti = Si
+            sj, Rj, tj = Sj
+            sji = sj / si
+            Rji = Rj @ Ri.T
+            tji = tj - sji * (Rji @ ti)
             e_i.append(index[i_id]); e_j.append(index[j_id])
-            e_R.append(Rji); e_t.append(tji); e_s.append(sj / si)
+            e_R.append(Rji); e_t.append(tji); e_s.append(sji)
 
         for k_id in kf_ids:
             k_kf = arena.kfs[k_id]
             # Use pre-correction poses for edges inside the corrected group
             # (reference uses NonCorrectedSim3 for measurement computation).
             def pose_of(x_id):
-                return non_corrected.get(x_id, arena.kfs[x_id].Tcw)
+                return sim3_of(non_corrected.get(x_id, arena.kfs[x_id].Tcw))
             if k_kf.parent >= 0:
                 add_edge(k_id, k_kf.parent, pose_of(k_id), pose_of(k_kf.parent))
             for le in k_kf.loop_edges:
@@ -403,9 +586,14 @@ class LoopCloser:
             for nb, w in k_kf.covis.items():
                 if w >= 100 and nb < k_id:
                     add_edge(k_id, nb, pose_of(k_id), pose_of(nb))
-        # The new loop constraint: current KF (corrected) <-> matched KF.
-        add_edge(kf.id, matched_kf.id, arena.kfs[kf.id].Tcw,
-                 arena.kfs[matched_kf.id].Tcw)
+        # The new loop constraint: current KF at its CORRECTED Sim3 (the
+        # measured drift scale 1/s rides this edge) <-> matched KF.
+        cur_S = corrected.get(kf.id)
+        add_edge(kf.id, matched_kf.id,
+                 (cur_S["s"], cur_S["R"], cur_S["t"]) if cur_S is not None
+                 else sim3_of(arena.kfs[kf.id].Tcw),
+                 sim3_of(non_corrected.get(matched_kf.id,
+                                           arena.kfs[matched_kf.id].Tcw)))
         if not e_i:
             return
         E = len(e_i)
@@ -422,9 +610,11 @@ class LoopCloser:
         Rn = np.asarray(Rn)
         tn = np.asarray(tn)
         sn = np.asarray(sn)
-        # Apply: poses = [R | t/s]; points corrected via their reference KF
-        # (reference :960-1010).
-        old_poses = {k: arena.kfs[k].Tcw.copy() for k in kf_ids}
+        # Apply: poses = [R | t/s]; points corrected via their reference
+        # KF's vertex: p_new = S_post^-1( S_init(p) ) where S_init is the
+        # vertex's initial Sim3 (the corrected Sim3 for group KFs, since
+        # their points were already moved in CorrectLoop step 2; reference
+        # :960-1010 uses vSim3[nIDr] the same way).
         for k_id in kf_ids:
             i = index[k_id]
             T = np.eye(4, dtype=np.float32)
@@ -437,8 +627,8 @@ class LoopCloser:
             if ref_id is None:
                 continue
             i = index[ref_id]
-            T_old = old_poses[ref_id]
-            pc = T_old[:3, :3] @ mp.pos + T_old[:3, 3]
+            s_o, R_o, t_o = init_sim3[i]
+            pc = s_o * (R_o @ mp.pos) + t_o
             # p_new = S_new^-1 (pc) with S_new = (sR, t).
             p_new = (Rn[i].T @ (pc - tn[i])) / max(sn[i], 1e-9)
             mp.pos = p_new.astype(np.float32)

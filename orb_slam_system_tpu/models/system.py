@@ -160,6 +160,7 @@ class System:
 
     def deactivate_localization_mode(self):
         self.tracker.only_tracking = False
+        self.tracker.mb_vo = False
 
     def reset(self):
         self.tracker.reset()

@@ -83,6 +83,10 @@ class Tracker:
         self.n_inliers = 0
         self.local_kf_ids: list[int] = []
         self.frames_since_reloc = 10 ** 9
+        # Localization-mode VO flag (upstream mbVO, reference
+        # src/Tracking.cc:51,530-571): true when the last frame tracked
+        # mostly temporary depth points rather than map points.
+        self.mb_vo = False
 
     # ------------------------------------------------------------------
     # Entry point
@@ -132,10 +136,35 @@ class Tracker:
         ok = False
         if self.state == TrackingState.OK:
             self._replace_updated_points(self.last_frame)
-            if self.velocity is not None:
-                ok = self.track_with_motion_model()
-            if not ok:
-                ok = self.track_reference_keyframe()
+            if not self.only_tracking or not self.mb_vo:
+                # Normal tracking (localization mode with enough map
+                # matches follows the same path, reference :521-529).
+                if self.velocity is not None:
+                    ok = self.track_with_motion_model()
+                if not ok:
+                    ok = self.track_reference_keyframe()
+            else:
+                # Localization-mode VO (mbVO, reference :530-571): the last
+                # frame tracked mostly temporary depth points — run BOTH
+                # visual odometry (motion model over VO points) and
+                # relocalization; a successful relocalization wins and
+                # clears VO mode, otherwise keep the odometry solution.
+                ok_mm = (self.track_with_motion_model()
+                         if self.velocity is not None else False)
+                saved = None
+                if ok_mm:
+                    saved = (self.current.Tcw.copy(),
+                             self.current.mp_ids.copy(),
+                             dict(self.current.vo_points or {}))
+                ok_reloc = self.relocalization()
+                if ok_reloc:
+                    self.mb_vo = False
+                    self.frames_since_reloc = 0
+                elif ok_mm:
+                    self.current.Tcw, mp_ids, vo = saved
+                    self.current.mp_ids[:] = mp_ids
+                    self.current.vo_points = vo
+                ok = ok_mm or ok_reloc
         else:
             ok = self.relocalization()
             if ok:
@@ -143,7 +172,9 @@ class Tracker:
 
         if ok and not self.only_tracking:
             ok = self.track_local_map()
-        elif ok and self.only_tracking:
+        elif ok and self.only_tracking and not self.mb_vo:
+            # In localization mode the local map is only searched when the
+            # frame has real map matches (reference :205-212).
             ok = self.track_local_map()
 
         self.state = TrackingState.OK if ok else TrackingState.LOST
@@ -337,6 +368,8 @@ class Tracker:
     def _reset_map(self):
         self.arena.kfs.clear()
         self.arena.mps.clear()
+        self.arena.dead_mps.clear()
+        self.arena.dead_kfs.clear()
         self.arena.kf_origin_id = -1
         self.init_ref = None
         self.state = TrackingState.NOT_INITIALIZED
@@ -346,12 +379,29 @@ class Tracker:
     # ------------------------------------------------------------------
 
     def _replace_updated_points(self, frame: Optional[Frame]):
-        """Reference CheckReplacedInLastFrame: follow Replace() links."""
+        """Reference CheckReplacedInLastFrame (src/Tracking.cc) + MapPoint::
+        Replace keeping mpReplaced (src/MapPoint.cc:153-190): rebind each of
+        the last frame's associations to the SURVIVING point by following
+        the arena's replaced_by chain (multi-hop: a point fused twice still
+        resolves), so motion-model tracking stays strong right after
+        fusion/loop closure. Only dead ends (culled points) drop to -1."""
         if frame is None or frame.mp_ids is None:
             return
         for k, mid in enumerate(frame.mp_ids):
-            if mid >= 0 and int(mid) not in self.arena.mps:
-                frame.mp_ids[k] = -1
+            mid = int(mid)
+            if mid < 0 or mid in self.arena.mps:
+                continue
+            seen = set()
+            cur = mid
+            while cur not in self.arena.mps:
+                rec = self.arena.dead_mps.get(cur)
+                nxt = rec.replaced_by if rec is not None else -1
+                if nxt < 0 or nxt in seen:
+                    cur = -1
+                    break
+                seen.add(cur)
+                cur = nxt
+            frame.mp_ids[k] = cur
 
     def _gather_frame_points(self, frame: Frame):
         """Padded arrays of the map points attached to a frame's features."""
@@ -366,13 +416,47 @@ class Tracker:
                     ok[k] = True
         return pos, ok
 
+    def _vo_augment_last_frame(self, last, pos, ok):
+        """Upstream UpdateLastFrame (src/Tracking.cc:475-508): in
+        localization mode with a depth sensor, back-project temporary
+        visual-odometry points for last-frame features that lost their map
+        point — close points first (depth < ThDepth), at least 100 — so the
+        motion model keeps matches through map-sparse stretches. Returns
+        vo_mask marking augmented slots."""
+        vo_mask = np.zeros(len(ok), bool)
+        if (not self.only_tracking or last.depth is None
+                or last.Tcw is None):
+            return pos, ok, vo_mask
+        cam = self.cfg.camera
+        cand = np.nonzero(~ok & last.feats.valid & (last.depth > 0))[0]
+        if len(cand) == 0:
+            return pos, ok, vo_mask
+        order = cand[np.argsort(last.depth[cand])]
+        close = last.depth[order] < self.cfg.th_depth
+        n_take = max(int(close.sum()), min(100, len(order)))
+        take = order[:n_take]
+        z = last.depth[take]
+        xy = last.feats.xy_und[take]
+        Twc = np.linalg.inv(last.Tcw)
+        Xc = np.stack([(xy[:, 0] - cam.cx) / cam.fx * z,
+                       (xy[:, 1] - cam.cy) / cam.fy * z, z], axis=1)
+        pos = pos.copy()
+        ok = ok.copy()
+        pos[take] = Xc @ Twc[:3, :3].T + Twc[:3, 3]
+        ok[take] = True
+        vo_mask[take] = True
+        return pos, ok, vo_mask
+
     def track_with_motion_model(self) -> bool:
         """Reference TrackWithMotionModel (:510-547), with the outlier
-        pruning bug (§0.1 row 6) fixed."""
+        pruning bug (§0.1 row 6) fixed. In localization mode, temporary
+        depth-backprojected VO points stand in for lost map points and the
+        mbVO flag records whether the map is effectively out of view."""
         cur = self.current
         last = self.last_frame
         Tcw_pred = (self.velocity @ last.Tcw).astype(np.float32)
         pos, ok = self._gather_frame_points(last)
+        pos, ok, vo_mask = self._vo_augment_last_frame(last, pos, ok)
         if ok.sum() < 10:
             return False
         # Project into the predicted frame (host: tiny, data already here).
@@ -390,11 +474,26 @@ class Tracker:
         n_matches = int((matched_idx >= 0).sum())
         if n_matches < 20:
             return False
-        # Attach matches to the current frame.
+        # Attach matches to the current frame (VO-temp matches carry the
+        # 3D position, not a map-point id).
         cur.mp_ids[:] = -1
+        cur.vo_points = {}
         rows = np.nonzero(matched_idx >= 0)[0]
-        cur.mp_ids[matched_idx[rows]] = last.mp_ids[rows]
-        return self._optimize_current_pose(Tcw_pred, min_map_matches=10)
+        for r in rows:
+            slot = int(matched_idx[r])
+            if vo_mask[r]:
+                cur.vo_points[slot] = pos[r].copy()
+            else:
+                cur.mp_ids[slot] = last.mp_ids[r]
+        if not self._optimize_current_pose(Tcw_pred, min_map_matches=10):
+            return False
+        if self.only_tracking:
+            # mbVO: the frame is tracking the map only if >=10 inlier
+            # matches are REAL map points (reference :541-545).
+            n_map = int(np.sum((cur.mp_ids >= 0) & ~cur.outlier))
+            self.mb_vo = n_map < 10
+            return self.n_inliers >= 20 or n_map >= 10
+        return True
 
     def _motion_search(self, last, cur, proj, ok, th):
         radius = th * self.scale_factors[last.feats.octave]
@@ -437,10 +536,17 @@ class Tracker:
         return self._optimize_current_pose(T0, min_map_matches=10)
 
     def _optimize_current_pose(self, T0, min_map_matches=10) -> bool:
-        """PoseOptimization + outlier pruning on the current frame."""
+        """PoseOptimization + outlier pruning on the current frame.
+        Temporary VO points (localization mode) contribute reprojection
+        edges exactly like map points."""
         cur = self.current
         cam = self.cfg.camera
         pos, ok = self._gather_frame_points(cur)
+        if cur.vo_points:
+            for slot, p in cur.vo_points.items():
+                if not ok[slot]:
+                    pos[slot] = p
+                    ok[slot] = True
         obs = cur.feats.xy_und
         is2 = self.inv_sigma2[cur.feats.octave]
         obs_ur = cur.feats.ur_or_neg()
@@ -455,6 +561,10 @@ class Tracker:
         out = ok & ~inlier
         cur.outlier = out
         cur.mp_ids[out] = -1
+        if cur.vo_points:
+            for slot in list(cur.vo_points):
+                if out[slot]:
+                    del cur.vo_points[slot]
         self.n_inliers = int(inlier.sum())
         return self.n_inliers >= min_map_matches
 
@@ -675,7 +785,7 @@ class Tracker:
             created += 1
 
     # ------------------------------------------------------------------
-    # Relocalization placeholder (round 2: BoW candidate search + EPnP)
+    # Relocalization (BoW candidate search + EPnP-RANSAC + top-up)
     # ------------------------------------------------------------------
 
     def relocalization(self) -> bool:
@@ -808,6 +918,7 @@ class Tracker:
         self.local_mapper.reset()
         self._reset_map()
         self.velocity = None
+        self.mb_vo = False
         self.ref_kf_id = -1
         self.last_kf_frame_id = -1
         self.last_kf_id = -1

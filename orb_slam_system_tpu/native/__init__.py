@@ -24,7 +24,10 @@ _build_failed = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+    # Portable baseline flags (no -march=native): a tuned .so can outlive
+    # the machine it was built on (copied caches/images) and SIGILL at call
+    # time; the decoder is IO/zlib-bound, so target-generic -O3 costs ~0.
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
            _SRC, "-o", _SO, "-lz", "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)

@@ -8,7 +8,7 @@
 // never stalls on IO. Exposed as a C ABI consumed via ctypes
 // (orb_slam_system_tpu/native/__init__.py).
 //
-// Build: g++ -O3 -march=native -shared -fPIC dataloader.cpp -o
+// Build: g++ -O3 -std=c++17 -shared -fPIC dataloader.cpp -o
 //        libslamdata.so -lz -lpthread
 
 #include <zlib.h>
@@ -23,6 +23,12 @@
 #include <string>
 #include <thread>
 #include <vector>
+
+// Bound file-declared dimensions so a corrupt header cannot drive a
+// multi-gigabyte allocation (256 MPix covers any SLAM dataset frame).
+constexpr long kMaxDim = 1 << 20;
+constexpr long kMaxPixels = 256L * 1024 * 1024;
+
 
 namespace {
 
@@ -60,6 +66,7 @@ bool decode_pnm(const std::vector<uint8_t>& data, Image* out, bool raw16) {
   i = 2;
   long w = read_int(), h = read_int(), maxval = read_int();
   if (w <= 0 || h <= 0 || maxval <= 0) return false;
+  if (w > kMaxDim || h > kMaxDim || w * h > kMaxPixels) return false;
   i++;  // single whitespace after maxval
   out->w = (int)w;
   out->h = (int)h;
@@ -110,6 +117,7 @@ bool decode_png(const std::vector<uint8_t>& data, Image* out, bool raw16) {
     const char* type = (const char*)&data[i + 4];
     const uint8_t* payload = &data[i + 8];
     if (!memcmp(type, "IHDR", 4)) {
+      if (len < 13) return false;  // truncated IHDR: fields below read 13 bytes
       w = be32(payload);
       h = be32(payload + 4);
       bit_depth = payload[8];
@@ -123,6 +131,7 @@ bool decode_png(const std::vector<uint8_t>& data, Image* out, bool raw16) {
     i += 12 + len;
   }
   if (w <= 0 || h <= 0 || interlace != 0) return false;
+  if (w > kMaxDim || h > kMaxDim || (long)w * h > kMaxPixels) return false;
   int channels;
   switch (color_type) {
     case 0: channels = 1; break;  // gray

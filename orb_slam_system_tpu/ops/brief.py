@@ -4,13 +4,15 @@ Replaces reference computeOrbDescriptor (src/ORBextractor.cc:57-73) + the
 256-pair sampling pattern (:75-113).
 
 Design notes:
-  * The sampling pattern is NOT copied from the reference: we generate a
-    deterministic isotropic-Gaussian pair pattern (BRIEF-style, sigma =
-    patch/5, fixed seed) constrained to a disk so that any rotation of any
-    test point stays inside the gathered patch. Descriptor *self-consistency*
-    is what the pipeline needs (matching our descriptors against our
-    descriptors); there is no dependency on OpenCV bit layout. Downstream
-    quality is gated on matching/ATE metrics, per SURVEY.md §7.3.
+  * The sampling pattern is the STANDARD published ORB table (see
+    ops/brief_pattern.py for provenance: recovered empirically from OpenCV
+    behavior, not copied; the reference fork's own copy of the table is
+    truncated/corrupted — a §0.1-class fork bug). Using the standard table
+    makes descriptors bit-compatible with OpenCV ORB and with the stock
+    ORBvoc.txt vocabulary, which was trained on those descriptors.
+    Bit/byte layout also matches: bit i of little-endian byte j = test
+    8*j + i, so packed uint32[8] words viewed as uint8[32] equal OpenCV
+    descriptor rows.
   * Rotation: test offsets are rotated by the keypoint angle with the same
     round-to-integer semantics as the reference's GET_VALUE macro, i.e.
     x' = round(x cos - y sin), y' = round(x sin + y cos).
@@ -26,22 +28,18 @@ import jax.numpy as jnp
 import numpy as np
 
 N_BITS = 256
-PATCH_RADIUS = 18     # gathered patch radius; max |offset| 16.5 + rotation rounding < 18
-_MAX_NORM = 16.0      # pattern points constrained to this disk
+PATCH_RADIUS = 18     # gathered patch radius; max rotated |offset| = round(hypot(13,13)) = 18
 
 
-def make_pattern(seed: int = 42) -> np.ndarray:
-    """Deterministic BRIEF pattern: int32[256, 4] rows (x1, y1, x2, y2)."""
-    rng = np.random.default_rng(seed)
-    sigma = 31.0 / 5.0
-    pts = []
-    while len(pts) < N_BITS:
-        p = rng.normal(scale=sigma, size=4)
-        p = np.round(p)
-        if np.hypot(p[0], p[1]) <= _MAX_NORM and np.hypot(p[2], p[3]) <= _MAX_NORM:
-            if (p[0], p[1]) != (p[2], p[3]):
-                pts.append(p)
-    return np.asarray(pts, dtype=np.int32)
+def make_pattern() -> np.ndarray:
+    """The standard ORB BRIEF pattern: int32[256, 4] rows (x1, y1, x2, y2).
+
+    Max test-point norm is hypot(13,13) = 18.38, so every rotation-rounded
+    offset stays within PATCH_RADIUS=18 (asserted when building the binned
+    test matrices)."""
+    from orb_slam_system_tpu.ops.brief_pattern import ORB_PATTERN
+
+    return ORB_PATTERN
 
 
 _PATTERN = make_pattern()
@@ -69,6 +67,7 @@ def _binned_test_matrices():
             yr1 = int(round(x1 * sa + y1 * ca)) + PATCH_RADIUS
             xr2 = int(round(x2 * ca - y2 * sa)) + PATCH_RADIUS
             yr2 = int(round(x2 * sa + y2 * ca)) + PATCH_RADIUS
+            assert 0 <= min(xr1, yr1, xr2, yr2) and max(xr1, yr1, xr2, yr2) < P
             E[a, yr1 * P + xr1, b] -= 1.0
             E[a, yr2 * P + xr2, b] += 1.0
     return E

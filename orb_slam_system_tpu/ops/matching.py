@@ -302,3 +302,54 @@ def search_by_node_id(
     if use_rotation:
         matched = rotation_consistency(ang1, ang2[best_j], matched)
     return MatchResult(jnp.where(matched, best_j, -1), best_d)
+
+
+def _best_in_window(D, proj, rad, lvl, ok, xy, valid, octv):
+    """Best column per row under the Sim3 projection window: column j is a
+    candidate for row i iff |xy_j - proj_i| <= rad_i (both axes) and
+    oct_j in [lvl_i - 1, lvl_i]. Returns (best_j, found bool[N])."""
+    dx = jnp.abs(xy[None, :, 0] - proj[:, None, 0])
+    dy = jnp.abs(xy[None, :, 1] - proj[:, None, 1])
+    in_window = (dx <= rad[:, None]) & (dy <= rad[:, None])
+    lev_ok = (octv[None, :] >= lvl[:, None] - 1) & (octv[None, :] <= lvl[:, None])
+    mask = ok[:, None] & valid[None, :] & in_window & lev_ok
+    best_j, best_d, _ = _masked_best2(D, mask)
+    return best_j, (best_d <= TH_HIGH) & ok
+
+
+@jax.jit
+def search_by_sim3(
+    desc_mp1, proj_1in2, rad1, lvl1, ok1,
+    desc_mp2, proj_2in1, rad2, lvl2, ok2,
+    desc1, xy1, valid1, oct1,
+    desc2, xy2, valid2, oct2,
+):
+    """Mutual Sim3-guided re-search between two keyframes (upstream
+    ORBmatcher::SearchBySim3; the reference fork's copy at
+    src/ORBmatcher.cc:636-730 is one-directional and drops pre-existing
+    matches — implemented upstream-complete here per SURVEY.md §0.1).
+
+    Each KF's map points (aligned to feature slots; desc_mp* are the
+    distinctive map-point descriptors) are projected into the OTHER
+    keyframe with the candidate Sim3; the best Hamming match is taken
+    inside the per-point radius window and octave band [lvl-1, lvl]
+    (TH_HIGH gate, no ratio test), and only MUTUAL best pairs survive:
+    vnMatch2[vnMatch1[i1]] == i1.
+
+    Geometry (projections, radii, predicted levels, in-front/in-image/
+    scale-invariance validity -> ok*) is precomputed by the caller; this
+    kernel is two masked-MXU distance programs + the agreement check.
+
+    Returns idx2 i32[N1]: feature slot in KF2 mutually matched to KF1 slot
+    i1 (-1 if none).
+    """
+    D12 = distance_matrix(desc_mp1, desc2)     # [N1, N2]
+    D21 = distance_matrix(desc_mp2, desc1)     # [N2, N1]
+    match1, found1 = _best_in_window(
+        D12, proj_1in2, rad1, lvl1, ok1, xy2, valid2, oct2)
+    match2, found2 = _best_in_window(
+        D21, proj_2in1, rad2, lvl2, ok2, xy1, valid1, oct1)
+    # Mutual agreement.
+    back = jnp.where(found2[match1], match2[match1], -1)
+    mutual = found1 & (back == jnp.arange(match1.shape[0]))
+    return jnp.where(mutual, match1, -1)

@@ -95,7 +95,7 @@ def test_mono_tum_driver_end_to_end(tmp_path):
         "%YAML:1.0\nCamera.fx: 260.0\nCamera.fy: 260.0\nCamera.cx: 160.0\n"
         "Camera.cy: 120.0\nCamera.fps: 30.0\nCamera.RGB: 1\n"
         "Camera.width: 320\nCamera.height: 240\n"
-        "ORBextractor.nFeatures: 400\nORBextractor.scaleFactor: 1.2\n"
+        "ORBextractor.nFeatures: 600\nORBextractor.scaleFactor: 1.2\n"
         "ORBextractor.nLevels: 8\nORBextractor.iniThFAST: 20\n"
         "ORBextractor.minThFAST: 7\n")
     env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu")

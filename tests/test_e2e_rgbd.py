@@ -65,3 +65,43 @@ def test_rgbd_depth_seeding(rgbd_run):
     assert kf0.feats.depth is not None
     d = kf0.feats.depth[kf0.feats.valid]
     assert (d[d > 0] > 1.0).all() and (d[d > 0] < 10.0).all()  # meters
+
+
+def test_localization_mode_vo_survives_map_loss():
+    """Localization-mode VO (upstream mbVO, src/Tracking.cc:530-571): with
+    mapping paused and the map association wiped from the last frame,
+    tracking continues on temporary depth-backprojected VO points, and
+    recovers map tracking (mbVO clears) via relocalization/local map."""
+    W, H = 320, 240
+    cam = CameraConfig(fx=260.0, fy=260.0, cx=W / 2, cy=H / 2, fps=30.0,
+                       width=W, height=H, bf=260.0 * 0.08)
+    cfg = SlamConfig(camera=cam, orb=ORBConfig(n_features=500),
+                     sensor=Sensor.RGBD, th_depth=40.0,
+                     depth_map_factor=5000.0)
+    r = PlanarSceneRenderer(cam.K, W, H, texture=make_texture(2048, 8, 7),
+                            tex_scale=220.0)
+    poses = orbit_trajectory(16, radius=0.35, depth=-2.0, tilt=0.3)
+    slam = System(None, cfg, Sensor.RGBD)
+    for i in range(8):
+        ts = i / 30.0
+        slam.track_rgbd(r.render(poses[i]), r.render_depth(poses[i]) * 5000.0,
+                        ts)
+    assert slam.get_tracking_state() == TrackingState.OK
+    slam.activate_localization_mode()
+    tracker = slam.tracker
+
+    # Simulate the map going out of view: strip all map associations from
+    # the last frame so the motion model has only VO points to work with.
+    tracker.last_frame.mp_ids[:] = -1
+    ok_states = []
+    vo_used = False
+    for i in range(8, 16):
+        ts = i / 30.0
+        slam.track_rgbd(r.render(poses[i]), r.render_depth(poses[i]) * 5000.0,
+                        ts)
+        ok_states.append(tracker.state == TrackingState.OK)
+        vo_used = vo_used or bool(tracker.current.vo_points)
+    assert ok_states[0], "VO points must carry the first map-less frame"
+    assert vo_used, "temporary VO points were never created"
+    assert ok_states[-1], "tracking did not survive the map-less stretch"
+    slam.shutdown()

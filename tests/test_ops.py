@@ -83,14 +83,17 @@ def test_select_keypoints_uniform(frame):
     assert max(cell_counts.values()) <= 4  # per-cell top-K cap respected
 
 
-def test_pattern_deterministic_and_bounded():
+def test_pattern_standard_and_bounded():
     p1 = make_pattern()
-    p2 = make_pattern()
-    np.testing.assert_array_equal(p1, p2)
     assert p1.shape == (256, 4)
+    # Standard published ORB table: coords in [-13, 12], every
+    # rotation-rounded offset within PATCH_RADIUS=18.
+    assert p1.min() == -13 and p1.max() == 12
     n1 = np.hypot(p1[:, 0], p1[:, 1])
     n2 = np.hypot(p1[:, 2], p1[:, 3])
-    assert n1.max() <= 16.0 and n2.max() <= 16.0
+    assert max(n1.max(), n2.max()) <= 18.5
+    # First row of bit_pattern_31_ (public constant): (8,-3) vs (9,5).
+    np.testing.assert_array_equal(p1[0], [8, -3, 9, 5])
 
 
 def test_pack_unpack_roundtrip(rng):
