@@ -78,26 +78,94 @@ class FrameBuilder:
         self._undistort = jax.jit(
             lambda uv: cam_ops.undistort_points(
                 uv, k.fx, k.fy, k.cx, k.cy, k.k1, k.k2, k.p1, k.p2, k.k3))
+
+        # Fused extract+undistort+pack: ONE device program whose single
+        # packed f32 output is fetched in ONE transfer. On the TPU tunnel a
+        # host sync costs a full RTT (~26 ms), so the 7 per-array fetches
+        # of the naive build dominated the frame budget.
+        def _extract_packed(img):
+            fs = self.extractor._extract(img[None])
+            und = cam_ops.undistort_points(
+                fs.xy, k.fx, k.fy, k.cx, k.cy, k.k1, k.k2, k.p1, k.p2, k.k3)
+            packed = jnp.concatenate([
+                fs.xy[0], und[0],
+                fs.response[0][:, None], fs.angle[0][:, None],
+                fs.octave[0].astype(jnp.float32)[:, None],
+                fs.valid[0].astype(jnp.float32)[:, None],
+                jax.lax.bitcast_convert_type(fs.desc[0], jnp.float32),
+            ], axis=1)                                     # [N, 16]
+            return packed
+
+        self._extract_packed = jax.jit(_extract_packed)
+
+        def _extract_packed_stereo(left, right):
+            from orb_slam_system_tpu.ops.stereo import stereo_match
+
+            x = jnp.stack([left, right])
+            fs = self.extractor._extract(x)
+            und = cam_ops.undistort_points(
+                fs.xy, k.fx, k.fy, k.cx, k.cy, k.k1, k.k2, k.p1, k.p2, k.k3)
+            u_right, depth = stereo_match(
+                x[0], x[1],
+                fs.xy[0], fs.octave[0], fs.desc[0], fs.valid[0],
+                fs.xy[1], fs.octave[1], fs.desc[1], fs.valid[1],
+                jnp.asarray(self.scale_factors), k.bf, 0.0, k.fx)
+            return jnp.concatenate([
+                fs.xy[0], und[0],
+                fs.response[0][:, None], fs.angle[0][:, None],
+                fs.octave[0].astype(jnp.float32)[:, None],
+                fs.valid[0].astype(jnp.float32)[:, None],
+                jax.lax.bitcast_convert_type(fs.desc[0], jnp.float32),
+                u_right[:, None], depth[:, None],
+            ], axis=1)                                     # [N, 18]
+
+        self._extract_packed_stereo = jax.jit(_extract_packed_stereo)
+
+        def _extract_packed_rgbd(img, depth_map, depth_scale):
+            from orb_slam_system_tpu.ops.stereo import rgbd_pseudo_stereo
+
+            fs = self.extractor._extract(img[None])
+            und = cam_ops.undistort_points(
+                fs.xy, k.fx, k.fy, k.cx, k.cy, k.k1, k.k2, k.p1, k.p2, k.k3)
+            u_right, depth = rgbd_pseudo_stereo(
+                depth_map, fs.xy[0], und[0], fs.valid[0], k.bf, depth_scale)
+            return jnp.concatenate([
+                fs.xy[0], und[0],
+                fs.response[0][:, None], fs.angle[0][:, None],
+                fs.octave[0].astype(jnp.float32)[:, None],
+                fs.valid[0].astype(jnp.float32)[:, None],
+                jax.lax.bitcast_convert_type(fs.desc[0], jnp.float32),
+                u_right[:, None], depth[:, None],
+            ], axis=1)                                     # [N, 18]
+
+        self._extract_packed_rgbd = jax.jit(_extract_packed_rgbd)
+
         # Undistorted image bounds (reference ComputeImageBounds).
         b = cam_ops.compute_image_bounds(
             cam.width, cam.height, k.fx, k.fy, k.cx, k.cy,
             k.k1, k.k2, k.p1, k.p2, k.k3)
         self.bounds = tuple(float(x) for x in b)  # (min_x, max_x, min_y, max_y)
 
-    def build(self, img: np.ndarray, timestamp: float) -> Frame:
-        """img: f32/u8 [H, W] grayscale."""
-        x = jnp.asarray(img, jnp.float32)[None]
-        fs = self.extractor(x)
-        und = self._undistort(fs.xy)
-        feats = FrameFeatures(
-            xy=np.asarray(fs.xy[0]),
-            xy_und=np.asarray(und[0]),
-            response=np.asarray(fs.response[0]),
-            angle=np.asarray(fs.angle[0]),
-            octave=np.asarray(fs.octave[0]),
-            desc=np.asarray(fs.desc[0]),
-            valid=np.asarray(fs.valid[0]),
+    @staticmethod
+    def _unpack_feats(packed: np.ndarray) -> FrameFeatures:
+        stereo = packed.shape[1] >= 18
+        return FrameFeatures(
+            xy=packed[:, 0:2].copy(),
+            xy_und=packed[:, 2:4].copy(),
+            response=packed[:, 4].copy(),
+            angle=packed[:, 5].copy(),
+            octave=packed[:, 6].astype(np.int32),
+            desc=np.ascontiguousarray(packed[:, 8:16]).view(np.uint32),
+            valid=packed[:, 7] > 0.5,
+            u_right=packed[:, 16].copy() if stereo else None,
+            depth=packed[:, 17].copy() if stereo else None,
         )
+
+    def build(self, img: np.ndarray, timestamp: float) -> Frame:
+        """img: f32/u8 [H, W] grayscale. One device call, one fetch."""
+        packed = np.asarray(self._extract_packed(
+            jnp.asarray(img, jnp.float32)))
+        feats = self._unpack_feats(packed)
         f = Frame(id=self._next_id, timestamp=timestamp, feats=feats)
         self._next_id = self._next_id + 1
         return f
@@ -107,30 +175,10 @@ class FrameBuilder:
         """Rectified stereo frame: one batched extraction over both images
         (the TPU-native version of the reference's two extraction threads,
         src/Frame.cc:58-61) + row-banded stereo matching."""
-        from orb_slam_system_tpu.ops.stereo import stereo_match
-
-        cam = self.cfg.camera
-        x = jnp.stack([jnp.asarray(img_left, jnp.float32),
-                       jnp.asarray(img_right, jnp.float32)])
-        fs = self.extractor(x)
-        und = self._undistort(fs.xy)
-        u_right, depth = stereo_match(
-            x[0], x[1],
-            fs.xy[0], fs.octave[0], fs.desc[0], fs.valid[0],
-            fs.xy[1], fs.octave[1], fs.desc[1], fs.valid[1],
-            jnp.asarray(self.scale_factors), cam.bf,
-            0.0, cam.fx)
-        feats = FrameFeatures(
-            xy=np.asarray(fs.xy[0]),
-            xy_und=np.asarray(und[0]),
-            response=np.asarray(fs.response[0]),
-            angle=np.asarray(fs.angle[0]),
-            octave=np.asarray(fs.octave[0]),
-            desc=np.asarray(fs.desc[0]),
-            valid=np.asarray(fs.valid[0]),
-            u_right=np.asarray(u_right),
-            depth=np.asarray(depth),
-        )
+        packed = np.asarray(self._extract_packed_stereo(
+            jnp.asarray(img_left, jnp.float32),
+            jnp.asarray(img_right, jnp.float32)))
+        feats = self._unpack_feats(packed)
         f = Frame(id=self._next_id, timestamp=timestamp, feats=feats,
                   u_right=feats.u_right, depth=feats.depth)
         self._next_id += 1
@@ -140,29 +188,14 @@ class FrameBuilder:
                    timestamp: float) -> Frame:
         """RGB-D frame: extraction + pseudo-stereo from the depth map
         (reference src/Frame.cc:99-151, :623-644)."""
-        from orb_slam_system_tpu.ops.stereo import rgbd_pseudo_stereo
-
-        cam = self.cfg.camera
-        x = jnp.asarray(img, jnp.float32)[None]
-        fs = self.extractor(x)
-        und = self._undistort(fs.xy)
         # Reference src/Tracking.cc:90-96: scale raw depth by 1/DepthMapFactor.
         df = self.cfg.depth_map_factor
         depth_scale = 1.0 / df if abs(df) > 1e-5 else 1.0
-        u_right, depth = rgbd_pseudo_stereo(
-            jnp.asarray(depth_map, jnp.float32), fs.xy[0], und[0],
-            fs.valid[0], cam.bf, depth_scale)
-        feats = FrameFeatures(
-            xy=np.asarray(fs.xy[0]),
-            xy_und=np.asarray(und[0]),
-            response=np.asarray(fs.response[0]),
-            angle=np.asarray(fs.angle[0]),
-            octave=np.asarray(fs.octave[0]),
-            desc=np.asarray(fs.desc[0]),
-            valid=np.asarray(fs.valid[0]),
-            u_right=np.asarray(u_right),
-            depth=np.asarray(depth),
-        )
+        packed = np.asarray(self._extract_packed_rgbd(
+            jnp.asarray(img, jnp.float32),
+            jnp.asarray(depth_map, jnp.float32),
+            jnp.asarray(depth_scale, jnp.float32)))
+        feats = self._unpack_feats(packed)
         f = Frame(id=self._next_id, timestamp=timestamp, feats=feats,
                   u_right=feats.u_right, depth=feats.depth)
         self._next_id += 1

@@ -23,6 +23,17 @@ from orb_slam_system_tpu.ops import matching
 from orb_slam_system_tpu.solvers.local_ba import BAProblem, local_bundle_adjustment
 from orb_slam_system_tpu.solvers.triangulate import triangulate_dlt
 
+import jax
+
+
+@jax.jit
+def _dlt_batch(uv1, uv2, P1, P2):
+    """Batched two-view DLT over M neighbor keyframes in one device call:
+    uv1/uv2 f32[M,N,2], P1 f32[3,4] (the new keyframe, shared), P2
+    f32[M,3,4]. Returns (X f32[M,N,3], ok bool[M,N])."""
+    return jax.vmap(triangulate_dlt, in_axes=(None, 0, None, 0))(
+        uv1, uv2, P1, P2)
+
 # Local BA size buckets (static shapes for XLA).
 BA_CAMS = 16
 BA_POINTS = 2048
@@ -127,6 +138,16 @@ class LocalMapper:
 
     # ----- triangulation ---------------------------------------------------
 
+
+    @staticmethod
+    def _pad_slots(a: np.ndarray, n: int, fill=0) -> np.ndarray:
+        """Pad a per-slot feature array to n slots (keyframes from the
+        mono-init 2x extractor carry more slots than regular ones)."""
+        if a.shape[0] == n:
+            return a
+        pad = np.full((n - a.shape[0],) + a.shape[1:], fill, a.dtype)
+        return np.concatenate([a, pad], axis=0)
+
     def _compute_f12(self, kf1: KeyFrameRec, kf2: KeyFrameRec) -> np.ndarray:
         """Fundamental matrix mapping kp1 -> epipolar line in image 2
         (reference ComputeF12 src/LocalMapping.cc:295-303)."""
@@ -156,6 +177,10 @@ class LocalMapper:
         neighbors = self.arena.covisible_ordered(kf, n_neighbors)
         O1 = kf.camera_center()
         avail1 = kf.feats.valid & (kf.mp_ids < 0)
+        # Gather all passing neighbors, then run ONE batched epipolar search
+        # over the whole set (per-neighbor calls each cost a host round trip
+        # on the TPU tunnel; a new keyframe has up to 20 neighbors).
+        cand = []
         for nb_id in neighbors:
             kf2 = self.arena.kfs.get(nb_id)
             if kf2 is None or kf2.bad:
@@ -173,22 +198,67 @@ class LocalMapper:
             epi = np.array([
                 K[0, 0] * Xc[0] / Xc[2] + K[0, 2],
                 K[1, 1] * Xc[1] / Xc[2] + K[1, 2]], np.float32)
-            avail2 = kf2.feats.valid & (kf2.mp_ids < 0)
-            res = matching.search_for_triangulation(
-                jnp.asarray(kf.feats.xy_und), jnp.asarray(kf.feats.desc),
-                jnp.asarray(avail1), jnp.asarray(kf.feats.octave),
-                jnp.asarray(kf.feats.angle),
-                jnp.asarray(kf2.feats.xy_und), jnp.asarray(kf2.feats.desc),
-                jnp.asarray(avail2), jnp.asarray(kf2.feats.octave),
-                jnp.asarray(kf2.feats.angle),
-                jnp.asarray(F12), jnp.asarray(self.inv_sigma2),
-                jnp.asarray(epi), True)
-            idx2 = np.asarray(res.idx2)
-            rows = np.nonzero(idx2 >= 0)[0]
+            cand.append((kf2, F12.astype(np.float32), epi))
+        if not cand:
+            return
+        M = len(cand)
+        # Pad the neighbor axis to a power of two so the batched program
+        # compiles for ~5 shapes total instead of one per neighbor count,
+        # and pad per-slot arrays to the largest slot count in the batch
+        # (mono-init keyframes come from the 2x-features extractor).
+        M_pad = 1 << (M - 1).bit_length()
+        nb_valid = np.zeros(M_pad, bool)
+        nb_valid[:M] = True
+        cand_p = cand + [cand[0]] * (M_pad - M)
+        n2 = max(c[0].feats.n_slots for c in cand)
+
+        stack = lambda f, fill=0: np.stack(  # noqa: E731
+            [self._pad_slots(np.asarray(f(c)), n2, fill) for c in cand_p])
+        idx2_all = np.asarray(matching.search_for_triangulation_batch(
+            jnp.asarray(kf.feats.xy_und), jnp.asarray(kf.feats.desc),
+            jnp.asarray(avail1), jnp.asarray(kf.feats.octave),
+            jnp.asarray(kf.feats.angle),
+            jnp.asarray(stack(lambda c: c[0].feats.xy_und)),
+            jnp.asarray(stack(lambda c: c[0].feats.desc)),
+            jnp.asarray(stack(
+                lambda c: c[0].feats.valid & (c[0].mp_ids < 0))),
+            jnp.asarray(stack(lambda c: c[0].feats.octave)),
+            jnp.asarray(stack(lambda c: c[0].feats.angle)),
+            jnp.asarray(np.stack([c[1] for c in cand_p])),
+            jnp.asarray(self.inv_sigma2),
+            jnp.asarray(np.stack([c[2] for c in cand_p])),
+            jnp.asarray(nb_valid)))
+        # Batched DLT over all neighbors in one device call; per-neighbor
+        # acceptance gates stay vectorized numpy.
+        N1 = kf.feats.n_slots
+        Kc = cam.K.astype(np.float32)
+        P1 = (Kc @ kf.Tcw[:3, :]).astype(np.float32)
+        uv2_all = np.zeros((M_pad, N1, 2), np.float32)
+        P2_all = np.tile(P1, (M_pad, 1, 1))
+        sel2_all = np.zeros((M_pad, N1), np.int64)
+        for m in range(M):
+            idx2 = idx2_all[m]
+            sel = np.where(idx2 >= 0, idx2, 0)
+            sel2_all[m] = sel
+            uv2_all[m] = cand[m][0].feats.xy_und[sel]
+            P2_all[m] = (Kc @ cand[m][0].Tcw[:3, :]).astype(np.float32)
+        X_all, okd_all = _dlt_batch(
+            jnp.asarray(kf.feats.xy_und), jnp.asarray(uv2_all),
+            jnp.asarray(P1), jnp.asarray(P2_all))
+        X_all = np.asarray(X_all)
+        okd_all = np.asarray(okd_all)
+        for m in range(M):
+            kf2 = cand[m][0]
+            idx2 = idx2_all[m]
+            # Features claimed while processing an earlier neighbor are
+            # skipped (the sequential reference re-derives avail1 per
+            # neighbor; the batched search used the initial mask).
+            rows = np.nonzero((idx2 >= 0) & (kf.mp_ids < 0)
+                              & (kf2.mp_ids[idx2.clip(0)] < 0))[0]
             if len(rows) == 0:
                 continue
-            self._triangulate_matches(kf, kf2, rows, idx2[rows])
-            avail1 = kf.feats.valid & (kf.mp_ids < 0)
+            self._triangulate_matches(kf, kf2, rows, idx2[rows],
+                                      X_pre=X_all[m], ok_pre=okd_all[m])
 
     def _median_scene_depth(self, kf: KeyFrameRec) -> float:
         """Reference KeyFrame::ComputeSceneMedianDepth (src/KeyFrame.cc:613-643)."""
@@ -202,68 +272,80 @@ class LocalMapper:
                     zs.append(float(R2 @ mp.pos + t2))
         return float(np.median(zs)) if zs else -1.0
 
-    def _triangulate_matches(self, kf1, kf2, rows1, rows2):
+    def _triangulate_matches(self, kf1, kf2, rows1, rows2,
+                             X_pre=None, ok_pre=None):
+        """Batched triangulation + vectorized acceptance gates.
+
+        The DLT runs over the FULL padded slot set (fixed [N] shapes: a
+        variable-length call recompiled on every new match count, which
+        dominated steady-state mapping time on the TPU tunnel); all gates
+        (parallax, cheirality, reprojection chi2, scale consistency —
+        reference :219-233) are dense numpy, with a host loop only over the
+        accepted survivors for arena bookkeeping."""
         cam = self.cfg.camera
         K = cam.K.astype(np.float32)
         P1 = (K @ kf1.Tcw[:3, :]).astype(np.float32)
         P2 = (K @ kf2.Tcw[:3, :]).astype(np.float32)
-        uv1 = kf1.feats.xy_und[rows1]
-        uv2 = kf2.feats.xy_und[rows2]
+        N = kf1.feats.n_slots
+        sel2 = np.zeros(N, np.int64)
+        active = np.zeros(N, bool)
+        sel2[rows1] = rows2
+        active[rows1] = True
+        uv1 = kf1.feats.xy_und                      # [N,2] fixed shape
+        uv2 = kf2.feats.xy_und[sel2]                # [N,2] fixed shape
+        if X_pre is None:
+            X, ok_dlt = triangulate_dlt(
+                jnp.asarray(uv1), jnp.asarray(uv2),
+                jnp.asarray(P1), jnp.asarray(P2))
+            X = np.asarray(X)
+            ok = np.asarray(ok_dlt) & active
+        else:
+            X = X_pre
+            ok = ok_pre & active
         # Ray parallax gate (reference :219-233 upstream semantics).
         Kinv = np.linalg.inv(K)
-        r1 = (np.concatenate([uv1, np.ones((len(rows1), 1), np.float32)], 1)
-              @ Kinv.T)
-        r2 = (np.concatenate([uv2, np.ones((len(rows2), 1), np.float32)], 1)
-              @ Kinv.T)
-        R1w, R2w = kf1.Tcw[:3, :3], kf2.Tcw[:3, :3]
-        ray1 = r1 @ R1w
-        ray2 = r2 @ R2w
+        ones = np.ones((N, 1), np.float32)
+        ray1 = (np.concatenate([uv1, ones], 1) @ Kinv.T) @ kf1.Tcw[:3, :3]
+        ray2 = (np.concatenate([uv2, ones], 1) @ Kinv.T) @ kf2.Tcw[:3, :3]
         cosp = np.sum(ray1 * ray2, axis=1) / np.maximum(
-            np.linalg.norm(ray1, axis=1) * np.linalg.norm(ray2, axis=1), 1e-12)
-        X, ok = triangulate_dlt(
-            jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(P1), jnp.asarray(P2))
-        X = np.asarray(X)
-        ok = np.asarray(ok) & (cosp > 0) & (cosp < 0.9998)
-        # Cheirality + reprojection chi2 gates.
+            np.linalg.norm(ray1, axis=1) * np.linalg.norm(ray2, axis=1),
+            1e-12)
+        ok &= (cosp > 0) & (cosp < 0.9998)
+        # Cheirality both views.
+        z1 = X @ kf1.Tcw[2, :3] + kf1.Tcw[2, 3]
+        z2 = X @ kf2.Tcw[2, :3] + kf2.Tcw[2, 3]
+        ok &= (z1 > 0) & (z2 > 0)
+        # Reprojection chi2 both views (95% gate 5.991).
+        for kf_, uv_, rows_sel, z_ in ((kf1, uv1, np.arange(N), z1),
+                                       (kf2, uv2, sel2, z2)):
+            Xc = X @ kf_.Tcw[:3, :3].T + kf_.Tcw[:3, 3]
+            zs = np.where(np.abs(Xc[:, 2]) < 1e-12, 1e-12, Xc[:, 2])
+            u = cam.fx * Xc[:, 0] / zs + cam.cx
+            v = cam.fy * Xc[:, 1] / zs + cam.cy
+            e2 = (uv_[:, 0] - u) ** 2 + (uv_[:, 1] - v) ** 2
+            chi2 = e2 * self.inv_sigma2[kf_.feats.octave[rows_sel]]
+            ok &= chi2 <= 5.991
+        # Scale consistency (reference ratioFactor = 1.5 * scaleFactor).
         O1, O2 = kf1.camera_center(), kf2.camera_center()
-        for w, (i1, i2) in enumerate(zip(rows1, rows2)):
-            if not ok[w]:
-                continue
-            x3d = X[w]
-            z1 = float(kf1.Tcw[2, :3] @ x3d + kf1.Tcw[2, 3])
-            z2 = float(kf2.Tcw[2, :3] @ x3d + kf2.Tcw[2, 3])
-            if z1 <= 0 or z2 <= 0:
-                continue
-            ok1, e1 = self._reproj_chi2(kf1, x3d, i1)
-            ok2, e2 = self._reproj_chi2(kf2, x3d, i2)
-            if not (ok1 and ok2):
-                continue
-            # Scale consistency (reference ratioFactor = 1.5 * scaleFactor).
-            d1 = float(np.linalg.norm(x3d - O1))
-            d2 = float(np.linalg.norm(x3d - O2))
-            if d1 <= 0 or d2 <= 0:
-                continue
-            ratio_dist = d2 / d1
-            ratio_oct = (self.scale_factors[kf1.feats.octave[i1]]
-                         / self.scale_factors[kf2.feats.octave[i2]])
-            rf = 1.5 * self.cfg.orb.scale_factor
-            if ratio_dist * rf < ratio_oct or ratio_dist > ratio_oct * rf:
-                continue
-            mp = self.arena.new_point(x3d, kf2.feats.desc[i2], kf2.id, kf1.id)
+        d1 = np.linalg.norm(X - O1, axis=1)
+        d2 = np.linalg.norm(X - O2, axis=1)
+        ok &= (d1 > 0) & (d2 > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio_dist = d2 / np.maximum(d1, 1e-12)
+        ratio_oct = (self.scale_factors[kf1.feats.octave]
+                     / self.scale_factors[kf2.feats.octave[sel2]])
+        rf = 1.5 * self.cfg.orb.scale_factor
+        ok &= ~((ratio_dist * rf < ratio_oct) | (ratio_dist > ratio_oct * rf))
+        # Arena bookkeeping only for survivors.
+        for i1 in np.nonzero(ok)[0]:
+            i2 = int(sel2[i1])
+            mp = self.arena.new_point(X[i1], kf2.feats.desc[i2],
+                                      kf2.id, kf1.id)
             self.arena.add_observation(mp, kf1, int(i1))
-            self.arena.add_observation(mp, kf2, int(i2))
+            self.arena.add_observation(mp, kf2, i2)
             self.arena.compute_distinctive_descriptor(mp)
             self.arena.update_normal_and_depth(mp, self.scale_factors)
             self.recent_points.append((mp.id, kf1.id))
-
-    def _reproj_chi2(self, kf, x3d, idx):
-        cam = self.cfg.camera
-        Xc = kf.Tcw[:3, :3] @ x3d + kf.Tcw[:3, 3]
-        u = cam.fx * Xc[0] / Xc[2] + cam.cx
-        v = cam.fy * Xc[1] / Xc[2] + cam.cy
-        e = kf.feats.xy_und[idx] - [u, v]
-        chi2 = float(e @ e) * self.inv_sigma2[kf.feats.octave[idx]]
-        return chi2 <= 5.991, chi2
 
     # ----- fusion (reference SearchInNeighbors :235-293) -------------------
 
@@ -284,55 +366,150 @@ class LocalMapper:
                     targets.append(nb2)
         if not targets:
             return
-        # Fuse current KF's points into neighbors and vice versa.
+        # Direction A — current KF's points into ALL targets: one batched
+        # device program (per-pair calls each cost a tunnel round trip).
+        src_ids = [int(m) for m in kf.mp_ids
+                   if m >= 0 and int(m) in self.arena.mps]
+        self._fuse_points_into_many(targets, src_ids)
+        # Direction B — the union of the targets' points into the current
+        # KF: one device call over the deduplicated point set.
+        union: list[int] = []
+        seen_u: set[int] = set()
         for t_id in targets:
             t_kf = self.arena.kfs.get(t_id)
-            if t_kf is not None:
-                self._fuse(kf, t_kf)
-        for t_id in targets:
-            t_kf = self.arena.kfs.get(t_id)
-            if t_kf is not None:
-                self._fuse(t_kf, kf)
+            if t_kf is None:
+                continue
+            for m in t_kf.mp_ids:
+                if m >= 0 and int(m) not in seen_u and int(m) in self.arena.mps:
+                    seen_u.add(int(m))
+                    union.append(int(m))
+        self._fuse(kf, union)
         self.arena.update_connections(kf)
 
-    def _fuse(self, src_kf: KeyFrameRec, dst_kf: KeyFrameRec, radius_th=3.0):
-        """Project src's map points into dst; merge with dst's existing
-        points or add observations (reference ORBmatcher::Fuse :504-568)."""
+    def _project_for_fuse(self, dst_kf: KeyFrameRec, ids, radius_th=3.0):
+        """Fuse-projection geometry (reference ORBmatcher::Fuse :504-548):
+        in-front, in-image, scale-invariance distance band, viewing angle
+        < 60 deg; predicted level + radius th*scale. Vectorized over ids.
+        Returns (proj f32[P,2], radius f32[P], lvl i32[P], good bool[P])."""
         cam = self.cfg.camera
-        ids = [int(m) for m in src_kf.mp_ids if m >= 0]
-        ids = [m for m in ids if m in self.arena.mps]
-        if not ids:
-            return
-        pos = np.stack([self.arena.mps[m].pos for m in ids])
+        mps = [self.arena.mps[m] for m in ids]
+        pos = np.stack([mp.pos for mp in mps])
+        normal = np.stack([mp.normal for mp in mps])
+        maxd = np.asarray([max(1.2 * mp.max_dist, 1e-6) for mp in mps])
+        mind = np.asarray([0.8 * mp.min_dist for mp in mps])
         Xc = pos @ dst_kf.Tcw[:3, :3].T + dst_kf.Tcw[:3, 3]
         z = Xc[:, 2]
         good = z > 0
         with np.errstate(divide="ignore", invalid="ignore"):
-            proj = Xc[:, :2] / np.where(np.abs(z[:, None]) < 1e-9, 1e-9, z[:, None])
-        proj = proj * [cam.fx, cam.fy] + [cam.cx, cam.cy]
-        b = (proj[:, 0] >= 0) & (proj[:, 0] < cam.width) & \
-            (proj[:, 1] >= 0) & (proj[:, 1] < cam.height)
-        good &= b
-        dst_xy = dst_kf.feats.xy_und
-        dst_valid = dst_kf.feats.valid
-        for k in np.nonzero(good)[0]:
+            proj = Xc[:, :2] / np.where(np.abs(z[:, None]) < 1e-9, 1e-9,
+                                        z[:, None])
+        proj = (proj * [cam.fx, cam.fy] + [cam.cx, cam.cy]).astype(np.float32)
+        good &= ((proj[:, 0] >= 0) & (proj[:, 0] < cam.width)
+                 & (proj[:, 1] >= 0) & (proj[:, 1] < cam.height))
+        PO = pos - dst_kf.camera_center()
+        dist = np.linalg.norm(PO, axis=1)
+        good &= (dist >= mind) & (dist <= maxd)
+        good &= np.sum(PO * normal, axis=1) >= 0.5 * dist
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lvl = np.ceil(np.log(np.maximum(maxd / 1.2, 1e-9)
+                                 / np.maximum(dist, 1e-9))
+                          / np.log(self.cfg.orb.scale_factor))
+        lvl = np.clip(np.nan_to_num(lvl, nan=0.0), 0,
+                      self.cfg.orb.n_levels - 1).astype(np.int32)
+        radius = (radius_th * self.scale_factors[lvl]).astype(np.float32)
+        return proj, radius, lvl, good
+
+    @staticmethod
+    def _pad_pow2(n: int, lo: int = 256) -> int:
+        return max(lo, 1 << (max(n, 1) - 1).bit_length())
+
+    def _fuse_points_into_many(self, dst_ids, point_ids, radius_th=3.0):
+        """Fuse one point set into many keyframes with ONE batched device
+        call (vmapped projection-set search), then host-merge per target."""
+        dst_kfs = [self.arena.kfs[t] for t in dst_ids
+                   if t in self.arena.kfs]
+        ids = [m for m in point_ids if m in self.arena.mps]
+        if not dst_kfs or not ids:
+            return
+        P_pad = self._pad_pow2(len(ids))
+        M = len(dst_kfs)
+        M_pad = 1 << (M - 1).bit_length()
+        desc = np.zeros((P_pad, 8), np.uint32)
+        desc[:len(ids)] = np.stack([self.arena.mps[m].desc for m in ids])
+        projs = np.zeros((M_pad, P_pad, 2), np.float32)
+        radii = np.zeros((M_pad, P_pad), np.float32)
+        lvls = np.zeros((M_pad, P_pad), np.int32)
+        goods = np.zeros((M_pad, P_pad), bool)
+        for m, dkf in enumerate(dst_kfs):
+            proj, radius, lvl, good = self._project_for_fuse(
+                dkf, ids, radius_th)
+            projs[m, :len(ids)] = proj
+            radii[m, :len(ids)] = radius
+            lvls[m, :len(ids)] = lvl
+            goods[m, :len(ids)] = good
+        n2 = max(k.feats.n_slots for k in dst_kfs)
+        stackf = lambda f, fill=0: np.stack(  # noqa: E731
+            [self._pad_slots(np.asarray(f(dst_kfs[min(m, M - 1)])), n2, fill)
+             for m in range(M_pad)])
+        idx2_all = np.asarray(matching.search_by_projection_set_batch(
+            jnp.asarray(projs), jnp.asarray(radii), jnp.asarray(lvls),
+            jnp.asarray(goods), jnp.asarray(np.tile(desc, (M_pad, 1, 1))),
+            jnp.asarray(stackf(lambda k: k.feats.xy_und)),
+            jnp.asarray(stackf(lambda k: k.feats.desc)),
+            jnp.asarray(stackf(lambda k: k.feats.valid)),
+            jnp.asarray(stackf(lambda k: k.feats.octave)),
+            jnp.asarray(np.zeros((M_pad, n2), bool))))
+        for m, dkf in enumerate(dst_kfs):
+            self._merge_fuse_matches(dkf, ids, idx2_all[m])
+
+    def _fuse(self, dst_kf: KeyFrameRec, point_ids, radius_th=3.0,
+              replace_existing=False):
+        """Project a point set into one keyframe and merge duplicates
+        (reference ORBmatcher::Fuse :504-568): one masked-MXU search + a
+        host merge loop over the accepted matches."""
+        ids = [m for m in point_ids if m in self.arena.mps]
+        if not ids:
+            return
+        proj, radius, lvl, good = self._project_for_fuse(
+            dst_kf, ids, radius_th)
+        P_pad = self._pad_pow2(len(ids))
+        pad = P_pad - len(ids)
+        desc = np.stack([self.arena.mps[m].desc for m in ids])
+        if pad:
+            z2 = lambda a, fill=0: np.concatenate(  # noqa: E731
+                [a, np.full((pad,) + a.shape[1:], fill, a.dtype)])
+            proj, radius, lvl = z2(proj), z2(radius), z2(lvl)
+            good, desc = z2(good), z2(desc)
+        res = matching.search_by_projection_set(
+            jnp.asarray(proj), jnp.asarray(radius), jnp.asarray(lvl),
+            jnp.asarray(good), jnp.asarray(desc),
+            jnp.asarray(dst_kf.feats.xy_und), jnp.asarray(dst_kf.feats.desc),
+            jnp.asarray(dst_kf.feats.valid), jnp.asarray(dst_kf.feats.octave),
+            jnp.asarray(np.zeros(dst_kf.feats.n_slots, bool)),
+            max_dist=matching.TH_LOW)
+        self._merge_fuse_matches(dst_kf, ids, np.asarray(res.idx2),
+                                 replace_existing)
+
+    def _merge_fuse_matches(self, dst_kf: KeyFrameRec, ids, idx2,
+                            replace_existing=False):
+        """Apply fuse decisions: replace the less-observed duplicate or add
+        the missing observation (reference Fuse :549-568). With
+        replace_existing=True the incoming point always wins — the
+        SearchAndFuse(Scw) loop-closing variant (reference Fuse(KF, Scw,...)
+        + LoopClosing::SearchAndFuse :302-317, where corrected loop points
+        replace current-map duplicates unconditionally)."""
+        for k in np.nonzero(idx2[:len(ids)] >= 0)[0]:
             mp = self.arena.mps.get(ids[k])
             if mp is None or mp.bad or dst_kf.id in mp.obs:
                 continue
-            d = np.linalg.norm(dst_xy - proj[k], axis=1)
-            cand = np.nonzero((d < radius_th) & dst_valid)[0]
-            if len(cand) == 0:
-                continue
-            hd = hamming_np(mp.desc[None, :], dst_kf.feats.desc[cand])
-            j = cand[int(np.argmin(hd))]
-            if hd.min() > matching.TH_LOW:
-                continue
+            j = int(idx2[k])
             existing = int(dst_kf.mp_ids[j])
             if existing >= 0:
                 other = self.arena.mps.get(existing)
                 if other is not None and not other.bad and other.id != mp.id:
-                    # Keep the more-observed point (reference Fuse :549-560).
-                    if len(other.obs) > len(mp.obs):
+                    # Keep the more-observed point (reference Fuse :549-560),
+                    # unless the loop variant forces the incoming point.
+                    if not replace_existing and len(other.obs) > len(mp.obs):
                         self.arena.replace_point(mp, other)
                     else:
                         self.arena.replace_point(other, mp)

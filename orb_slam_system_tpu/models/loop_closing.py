@@ -51,6 +51,13 @@ class LoopCloser:
         self.inv_sigma2 = (1.0 / self.scale_factors ** 2).astype(np.float32)
         self.n_loops_closed = 0
         self.debug = False
+        self.gba = GBARunner()
+        # Synchronous GBA keeps unit tests deterministic; the upstream
+        # behavior (side thread + propagation to keyframes created during
+        # the solve) is the default.
+        import os
+        self.sync_gba = os.environ.get("ORB_SLAM_TPU_SYNC_GBA", "0") == "1"
+
         from orb_slam_system_tpu.config import Sensor
         self.fix_scale = cfg.sensor != Sensor.MONOCULAR
 
@@ -474,54 +481,24 @@ class LoopCloser:
         kf.loop_edges.add(matched_kf.id)
         matched_kf.loop_edges.add(kf.id)
         self.last_loop_kf_id = kf.id
-        # 7. Global BA (upstream RunGlobalBundleAdjustment :340-410);
-        # dense Schur for small maps, implicit Schur-CG for large ones.
-        self._global_ba()
+        # 7. Global BA (upstream RunGlobalBundleAdjustment :340-410):
+        # dense Schur for small maps, implicit Schur-CG for large ones;
+        # runs on a side thread in interruptible chunks (a newer loop
+        # aborts it) unless sync_gba is set.
+        self._start_global_ba()
 
     def _search_and_fuse(self, corrected: Dict[int, dict], loop_points):
-        cam = self.cfg.camera
+        """SearchAndFuse (reference LoopClosing.cc:302-317): project the
+        loop map points into every corrected keyframe and fuse — corrected
+        loop points REPLACE current-map duplicates unconditionally (the
+        Fuse(KF, Scw, ...) variant). Delegates to the local mapper's
+        vectorized masked-MXU fuse."""
         for g_id in corrected:
             gkf = self.arena.kfs.get(g_id)
             if gkf is None:
                 continue
-            self._fuse_points_into(gkf, loop_points, radius=4.0)
-
-    def _fuse_points_into(self, kf: KeyFrameRec, point_ids, radius=4.0):
-        cam = self.cfg.camera
-        ids = [m for m in point_ids if m in self.arena.mps]
-        if not ids:
-            return
-        pos = np.stack([self.arena.mps[m].pos for m in ids])
-        Xc = pos @ kf.Tcw[:3, :3].T + kf.Tcw[:3, 3]
-        z = Xc[:, 2]
-        good = z > 0
-        with np.errstate(divide="ignore", invalid="ignore"):
-            proj = Xc[:, :2] / np.where(np.abs(z[:, None]) < 1e-9, 1e-9,
-                                        z[:, None])
-        proj = proj * [cam.fx, cam.fy] + [cam.cx, cam.cy]
-        good &= ((proj[:, 0] >= 0) & (proj[:, 0] < cam.width)
-                 & (proj[:, 1] >= 0) & (proj[:, 1] < cam.height))
-        for k in np.nonzero(good)[0]:
-            mp = self.arena.mps.get(ids[k])
-            if mp is None or mp.bad or kf.id in mp.obs:
-                continue
-            d = np.linalg.norm(kf.feats.xy_und - proj[k], axis=1)
-            cand = np.nonzero((d < radius) & kf.feats.valid)[0]
-            if len(cand) == 0:
-                continue
-            hd = hamming_np(mp.desc[None, :], kf.feats.desc[cand])
-            j = cand[int(np.argmin(hd))]
-            if hd.min() > matching.TH_LOW:
-                continue
-            existing = int(kf.mp_ids[j])
-            if existing >= 0 and existing != mp.id:
-                other = self.arena.mps.get(existing)
-                if other is not None and not other.bad:
-                    self.arena.replace_point(other, mp)
-            elif existing < 0:
-                self.arena.add_observation(mp, kf, int(j))
-                self.arena.compute_distinctive_descriptor(mp)
-
+            self.local_mapper._fuse(gkf, list(loop_points), radius_th=4.0,
+                                    replace_existing=True)
     def _optimize_essential_graph(self, kf, matched_kf, corrected,
                                   non_corrected):
         """Build + solve the essential graph (reference Optimizer::
@@ -634,22 +611,23 @@ class LoopCloser:
             mp.pos = p_new.astype(np.float32)
             arena.update_normal_and_depth(mp, self.scale_factors)
 
-    def _global_ba(self):
-        """Synchronous GBA (upstream RunGlobalBundleAdjustment); switches to
-        the implicit Schur-CG solver beyond GBA_DENSE_MAX_CAMS cameras."""
-        from orb_slam_system_tpu.solvers.local_ba import (
-            BAProblem, bundle_adjust_cg, global_bundle_adjustment)
+    def _build_gba_problem(self):
+        """Snapshot the whole arena into a BAProblem (upstream
+        GlobalBundleAdjustemnt graph, src/Optimizer.cc:22-27). Runs on the
+        MAIN thread so the snapshot is consistent with the single-writer
+        arena; only the numeric solve leaves this thread."""
+        from orb_slam_system_tpu.solvers.local_ba import BAProblem
+
         arena = self.arena
-        cam = self.cfg.camera
         kf_ids = sorted(arena.kfs)
         C = len(kf_ids)
         index = {k: i for i, k in enumerate(kf_ids)}
         mp_ids = list(arena.mps)
         P = len(mp_ids)
         if P == 0 or C < 2:
-            return
+            return None
         p_index = {m: i for i, m in enumerate(mp_ids)}
-        e_cam, e_pt, e_uv, e_ur, e_is2, refs = [], [], [], [], [], []
+        e_cam, e_pt, e_uv, e_ur, e_is2 = [], [], [], [], []
         for m in mp_ids:
             mp = arena.mps[m]
             for kf_id, fidx in mp.obs.items():
@@ -662,9 +640,8 @@ class LoopCloser:
                 e_ur.append(w_kf.feats.u_right[fidx]
                             if w_kf.feats.u_right is not None else -1.0)
                 e_is2.append(self.inv_sigma2[w_kf.feats.octave[fidx]])
-                refs.append((m, kf_id))
         if len(e_cam) < 20:
-            return
+            return None
         prob = BAProblem(
             Tcw=jnp.asarray(np.stack([arena.kfs[k].Tcw for k in kf_ids])),
             cam_fixed=jnp.asarray(
@@ -679,19 +656,158 @@ class LoopCloser:
             e_valid=jnp.asarray(np.ones(len(e_cam), bool)),
             e_ur=jnp.asarray(np.asarray(e_ur, np.float32)),
             bf=self.cfg.camera.bf)
-        if C <= GBA_DENSE_MAX_CAMS:
-            Tcw_n, X_n, inlier = global_bundle_adjustment(
-                prob, cam.fx, cam.fy, cam.cx, cam.cy, n_iters=10)
-        else:
-            Tcw_n, X_n = bundle_adjust_cg(
-                prob, cam.fx, cam.fy, cam.cx, cam.cy, n_iters=10,
-                cg_iters=50)
-        Tcw_n = np.asarray(Tcw_n)
-        X_n = np.asarray(X_n)
-        for k_id in kf_ids:
-            if k_id != arena.kf_origin_id:
-                arena.kfs[k_id].Tcw = Tcw_n[index[k_id]].copy()
-        for m in mp_ids:
-            mp = arena.mps.get(m)
-            if mp is not None:
+        old_poses = {k: arena.kfs[k].Tcw.copy() for k in kf_ids}
+        return prob, kf_ids, mp_ids, old_poses
+
+    def _start_global_ba(self):
+        """Launch (or re-launch) global BA. A loop arriving while a GBA is
+        in flight aborts it first (upstream mbStopGBA, reference
+        LoopClosing.cc:255-263); with sync_gba the solve runs inline —
+        deterministic, used by tests."""
+        snap = self._build_gba_problem()
+        if snap is None:
+            return
+        if self.gba.running():
+            self.gba.abort()
+        self.gba.start(snap, self.cfg.camera,
+                       dense_max_cams=GBA_DENSE_MAX_CAMS,
+                       sync=self.sync_gba)
+        if self.sync_gba:
+            self.poll_gba()
+
+    def poll_gba(self):
+        """Apply a finished global BA on the MAIN thread (single-writer
+        arena): keyframes in the snapshot get their optimized pose;
+        keyframes created DURING the solve are corrected by propagating
+        through the spanning tree (upstream RunGlobalBundleAdjustment
+        :370-400: Tcw_child_new = Tcp_old * Tcw_parent_new); points not in
+        the snapshot re-anchor via their reference keyframe."""
+        result = self.gba.take_result()
+        if result is None:
+            return False
+        kf_ids, mp_ids, old_poses, Tcw_n, X_n = result
+        arena = self.arena
+        index = {k: i for i, k in enumerate(kf_ids)}
+        new_pose: Dict[int, np.ndarray] = {}
+        for k in kf_ids:
+            if k in arena.kfs and k != arena.kf_origin_id:
+                new_pose[k] = Tcw_n[index[k]].copy()
+        if arena.kf_origin_id in arena.kfs:
+            new_pose[arena.kf_origin_id] = \
+                arena.kfs[arena.kf_origin_id].Tcw.copy()
+        # Spanning-tree propagation to keyframes born during the solve
+        # (passes bounded by tree depth; each pass resolves children whose
+        # parent already has a corrected pose).
+        pre_apply = {k: kf.Tcw.copy() for k, kf in arena.kfs.items()}
+        changed = True
+        while changed:
+            changed = False
+            for k, kf in arena.kfs.items():
+                if k in new_pose or kf.parent < 0:
+                    continue
+                parent = kf.parent
+                if parent in new_pose:
+                    base = old_poses.get(parent, pre_apply.get(parent))
+                    Tcp = pre_apply[k] @ np.linalg.inv(base)
+                    new_pose[k] = (Tcp @ new_pose[parent]).astype(np.float32)
+                    changed = True
+        for k, T in new_pose.items():
+            if k in arena.kfs:
+                arena.kfs[k].Tcw = T
+        p_index = {m: i for i, m in enumerate(mp_ids)}
+        for m, mp in list(arena.mps.items()):
+            if m in p_index:
                 mp.pos = X_n[p_index[m]].copy()
+            else:
+                # Born during GBA: re-anchor via the reference keyframe's
+                # old->new pose pair (upstream :402-408).
+                ref = mp.ref_kf
+                T_old = old_poses.get(ref, pre_apply.get(ref))
+                if ref not in new_pose or T_old is None:
+                    continue
+                pc = T_old[:3, :3] @ mp.pos + T_old[:3, 3]
+                T_new = new_pose[ref]
+                mp.pos = (T_new[:3, :3].T @ (pc - T_new[:3, 3])).astype(
+                    np.float32)
+            arena.update_normal_and_depth(mp, self.scale_factors)
+        return True
+
+
+class GBARunner:
+    """Interruptible global-BA worker (upstream GBA thread machinery,
+    reference LoopClosing.cc:340-410 + mbStopGBA). The solve runs in
+    CHUNKS of a few LM iterations so an abort lands within one chunk; the
+    result is handed back to the main thread via take_result()."""
+
+    CHUNK_ITERS = 2
+    N_CHUNKS = 5
+
+    def __init__(self):
+        import threading
+        self._lock = threading.Lock()
+        self._thread = None
+        self._abort = False
+        self._result = None
+
+    def running(self) -> bool:
+        t = self._thread
+        return t is not None and t.is_alive()
+
+    def abort(self):
+        self._abort = True
+        t = self._thread
+        if t is not None:
+            t.join()
+        self._thread = None
+
+    def join(self):
+        t = self._thread
+        if t is not None:
+            t.join()
+
+    def start(self, snapshot, cam, dense_max_cams=48, sync=False):
+        self.join()
+        self._abort = False
+        with self._lock:
+            self._result = None
+        if sync:
+            self._solve(snapshot, cam, dense_max_cams)
+            return
+        import threading
+        self._thread = threading.Thread(
+            target=self._solve, args=(snapshot, cam, dense_max_cams),
+            daemon=True, name="gba")
+        self._thread.start()
+
+    def take_result(self):
+        with self._lock:
+            r = self._result
+            self._result = None
+        return r
+
+    def _solve(self, snapshot, cam, dense_max_cams):
+        from orb_slam_system_tpu.solvers.local_ba import (
+            bundle_adjust, bundle_adjust_cg)
+
+        prob, kf_ids, mp_ids, old_poses = snapshot
+        C = len(kf_ids)
+        dense = C <= dense_max_cams
+        Tcw, X = prob.Tcw, prob.points
+        for _ in range(self.N_CHUNKS):
+            if self._abort:
+                return  # superseded by a newer loop; discard
+            p = prob._replace(Tcw=Tcw, points=X)
+            if dense:
+                Tcw, X = bundle_adjust(
+                    p, cam.fx, cam.fy, cam.cx, cam.cy,
+                    n_iters=self.CHUNK_ITERS, use_huber=True)
+            else:
+                Tcw, X = bundle_adjust_cg(
+                    p, cam.fx, cam.fy, cam.cx, cam.cy,
+                    n_iters=self.CHUNK_ITERS, cg_iters=50)
+        Tcw_n = np.asarray(Tcw)
+        X_n = np.asarray(X)
+        if self._abort:
+            return
+        with self._lock:
+            self._result = (kf_ids, mp_ids, old_poses, Tcw_n, X_n)

@@ -100,6 +100,7 @@ class System:
             Tcw = self.tracker.grab_monocular(img, timestamp)
             t1 = time.perf_counter()
             self.local_mapper.process_pending()
+            self.loop_closer.poll_gba()
             t2 = time.perf_counter()
             self._timings.append(t2 - t0)
             self._emit_frame_metrics(timestamp, t1 - t0, t2 - t1)
@@ -121,6 +122,7 @@ class System:
             Tcw = self.tracker.grab_stereo(img_left, img_right, timestamp)
             t1 = time.perf_counter()
             self.local_mapper.process_pending()
+            self.loop_closer.poll_gba()
             t2 = time.perf_counter()
             self._timings.append(t2 - t0)
             self._emit_frame_metrics(timestamp, t1 - t0, t2 - t1)
@@ -139,6 +141,7 @@ class System:
             Tcw = self.tracker.grab_rgbd(img, depth, timestamp)
             t1 = time.perf_counter()
             self.local_mapper.process_pending()
+            self.loop_closer.poll_gba()
             t2 = time.perf_counter()
             self._timings.append(t2 - t0)
             self._emit_frame_metrics(timestamp, t1 - t0, t2 - t1)
@@ -166,8 +169,11 @@ class System:
         self.tracker.reset()
 
     def shutdown(self):
-        """Reference Shutdown (src/System.cc:280-299): drain mapping."""
+        """Reference Shutdown (src/System.cc:280-299): drain mapping and
+        wait for an in-flight global BA, applying its result."""
         self.local_mapper.process_pending()
+        self.loop_closer.gba.join()
+        self.loop_closer.poll_gba()
 
     Shutdown = shutdown
     Reset = reset

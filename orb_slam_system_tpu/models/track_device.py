@@ -1,0 +1,179 @@
+"""Fused per-frame tracking device programs.
+
+On the TPU tunnel every synchronous device round trip costs a full RTT
+(~26 ms measured); the unfused tracker paid ~13 RTTs per frame (search,
+widen-retry, pose opt, frustum, local search, per-array fetches...). These
+programs fuse each tracking stage into ONE jitted call whose outputs come
+back as ONE packed f32 buffer:
+
+  * motion_step: motion-model projection search (narrow + widened window
+    evaluated from the SAME distance matrix, selected in-program — the
+    reference's `if(nmatches<20) search again with 2*th`,
+    src/Tracking.cc:510-547) + the 4x10 LM pose optimization.
+  * localmap_step: frustum check over the local-map block (reference
+    SearchLocalPoints / isInFrustum), projection search with the
+    view-cos-dependent radius, in-program association scatter, and the
+    final pose optimization (reference TrackLocalMap :549-575).
+
+Semantics match the unfused host orchestration (the same matching masks,
+thresholds, and pose_optimization); only the host<->device cut changes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam_system_tpu.config import SlamConfig
+from orb_slam_system_tpu.ops import frustum as frustum_ops
+from orb_slam_system_tpu.ops import matching
+from orb_slam_system_tpu.ops.hamming import distance_matrix
+from orb_slam_system_tpu.solvers.pose_opt import pose_optimization
+
+
+class TrackPrograms:
+    """Shape-specialized fused tracking programs for one camera config."""
+
+    def __init__(self, cfg: SlamConfig, n_slots: int, local_slots: int,
+                 bounds):
+        cam = cfg.camera
+        scale_factors = jnp.asarray(cfg.orb.level_scales(), jnp.float32)
+        inv_sigma2 = 1.0 / scale_factors ** 2
+        log_sf = float(np.log(cfg.orb.scale_factor))
+        n_levels = cfg.orb.n_levels
+        fx, fy, cx, cy, bf = cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
+
+        def motion_step(proj, ok, pos_last, desc_last, oct_last, ang_last,
+                        cur_xy, cur_desc, cur_valid, cur_oct, cur_ang,
+                        cur_ur, Tcw_pred, th):
+            # One distance matrix; two window masks (narrow th, wide 2*th).
+            D = distance_matrix(desc_last, cur_desc)
+            radius = th * scale_factors[oct_last]
+
+            def masked_match(r):
+                dx = jnp.abs(cur_xy[None, :, 0] - proj[:, None, 0])
+                dy = jnp.abs(cur_xy[None, :, 1] - proj[:, None, 1])
+                in_win = (dx <= r[:, None]) & (dy <= r[:, None])
+                band = ((cur_oct[None, :] >= oct_last[:, None] - 1)
+                        & (cur_oct[None, :] <= oct_last[:, None] + 1))
+                mask = ok[:, None] & cur_valid[None, :] & in_win & band
+                best_j, best_d, _ = matching._masked_best2(D, mask)
+                m = (best_d <= matching.TH_HIGH) & ok
+                m = matching._dedupe_keep_best(best_j, best_d, m,
+                                               cur_xy.shape[0])
+                m = matching.rotation_consistency(ang_last, cur_ang[best_j], m)
+                return best_j, m
+
+            j1, m1 = masked_match(radius)
+            j2, m2 = masked_match(2.0 * radius)
+            use_wide = jnp.sum(m1.astype(jnp.int32)) < 20
+            best_j = jnp.where(use_wide, j2, j1)
+            matched = jnp.where(use_wide, m2, m1)
+            # Pose LM over the matched edges (Xw = last-slot point, obs =
+            # matched current keypoint).
+            obs = cur_xy[best_j]
+            obs_ur = cur_ur[best_j]
+            T_opt, inlier, n_in = pose_optimization(
+                Tcw_pred, pos_last, obs,
+                inv_sigma2[cur_oct[best_j]], matched,
+                fx, fy, cx, cy,
+                obs_ur=jnp.where(matched, obs_ur, -1.0), bf=bf)
+            packed = jnp.concatenate([
+                T_opt.ravel(),
+                best_j.astype(jnp.float32),
+                matched.astype(jnp.float32),
+                inlier.astype(jnp.float32),
+                jnp.stack([n_in.astype(jnp.float32),
+                           jnp.sum(matched.astype(jnp.float32))]),
+            ])
+            return packed
+
+        self._motion_step = jax.jit(motion_step)
+        self._n = n_slots
+
+        def localmap_step(pos, normal, mind, maxd, lm_desc, lm_valid,
+                          Xw_pre, ok_pre,
+                          cur_xy, cur_desc, cur_valid, cur_oct, cur_ur,
+                          already, Tcw):
+            fr = frustum_ops.frustum_check(
+                pos, normal, mind, maxd, lm_valid, Tcw,
+                fx, fy, cx, cy,
+                bounds[0], bounds[1], bounds[2], bounds[3],
+                log_sf, n_levels)
+            visible = fr["visible"]
+            proj_xy = fr["proj_xy"]
+            pred_level = fr["pred_level"]
+            view_cos = fr["view_cos"]
+            r = jnp.where(view_cos > 0.998, 2.5, 4.0)
+            radius = r * scale_factors[pred_level]
+            res = matching.search_by_projection_local_map(
+                proj_xy, radius, pred_level, visible, lm_desc,
+                cur_xy, cur_desc, cur_valid, cur_oct, already)
+            idx2 = res.idx2
+            matched = idx2 >= 0
+            # Attach: scatter local points onto their claimed current slots.
+            safe_idx = jnp.where(matched, idx2, 0)
+            Xw = Xw_pre.at[safe_idx].set(
+                jnp.where(matched[:, None], pos, Xw_pre[safe_idx]))
+            ok = ok_pre.at[safe_idx].set(ok_pre[safe_idx] | matched)
+            T_opt, inlier, n_in = pose_optimization(
+                Tcw, Xw, cur_xy, inv_sigma2[cur_oct], ok,
+                fx, fy, cx, cy,
+                obs_ur=jnp.where(ok, cur_ur, -1.0), bf=bf)
+            packed = jnp.concatenate([
+                T_opt.ravel(),
+                idx2.astype(jnp.float32),
+                visible.astype(jnp.float32),
+                inlier.astype(jnp.float32),
+                jnp.asarray([n_in], jnp.float32).reshape(1),
+            ])
+            return packed
+
+        self._localmap_step = jax.jit(localmap_step)
+        self._p = local_slots
+
+    # ---- host wrappers: one call, one fetch, numpy outputs ---------------
+
+    def motion_step(self, proj, ok, pos_last, last_feats, cur_feats, cur_ur,
+                    Tcw_pred, th=15.0):
+        out = np.asarray(self._motion_step(
+            jnp.asarray(proj.astype(np.float32)), jnp.asarray(ok),
+            jnp.asarray(pos_last.astype(np.float32)),
+            jnp.asarray(last_feats.desc), jnp.asarray(last_feats.octave),
+            jnp.asarray(last_feats.angle),
+            jnp.asarray(cur_feats.xy_und), jnp.asarray(cur_feats.desc),
+            jnp.asarray(cur_feats.valid), jnp.asarray(cur_feats.octave),
+            jnp.asarray(cur_feats.angle),
+            jnp.asarray(cur_ur.astype(np.float32)),
+            jnp.asarray(Tcw_pred.astype(np.float32)),
+            jnp.asarray(th, jnp.float32)))
+        n = self._n
+        T = out[:16].reshape(4, 4).astype(np.float32)
+        best_j = out[16:16 + n].astype(np.int64)
+        matched = out[16 + n:16 + 2 * n] > 0.5
+        inlier = out[16 + 2 * n:16 + 3 * n] > 0.5
+        n_in = int(out[16 + 3 * n])
+        n_matched = int(out[16 + 3 * n + 1])
+        return T, best_j, matched, inlier, n_in, n_matched
+
+    def localmap_step(self, pos, normal, mind, maxd, lm_desc, lm_valid,
+                      Xw_pre, ok_pre, cur_feats, cur_ur, already, Tcw):
+        out = np.asarray(self._localmap_step(
+            jnp.asarray(pos.astype(np.float32)),
+            jnp.asarray(normal.astype(np.float32)),
+            jnp.asarray(mind.astype(np.float32)),
+            jnp.asarray(maxd.astype(np.float32)),
+            jnp.asarray(lm_desc), jnp.asarray(lm_valid),
+            jnp.asarray(Xw_pre.astype(np.float32)), jnp.asarray(ok_pre),
+            jnp.asarray(cur_feats.xy_und), jnp.asarray(cur_feats.desc),
+            jnp.asarray(cur_feats.valid), jnp.asarray(cur_feats.octave),
+            jnp.asarray(cur_ur.astype(np.float32)),
+            jnp.asarray(already), jnp.asarray(Tcw.astype(np.float32))))
+        p, n = self._p, self._n
+        T = out[:16].reshape(4, 4).astype(np.float32)
+        idx2 = out[16:16 + p].astype(np.int64)
+        visible = out[16 + p:16 + 2 * p] > 0.5
+        inlier = out[16 + 2 * p:16 + 2 * p + n] > 0.5
+        n_in = int(out[16 + 2 * p + n])
+        return T, idx2, visible, inlier, n_in

@@ -65,6 +65,10 @@ class Tracker:
         # Mono init uses a 2x-features extractor (reference src/Tracking.cc:76-82).
         self.init_builder = FrameBuilder(
             cfg, n_features=2 * cfg.orb.n_features)
+        from orb_slam_system_tpu.models.track_device import TrackPrograms
+        self.programs = TrackPrograms(
+            cfg, self.builder.extractor.n_slots, LOCAL_MAP_SLOTS,
+            self.builder.bounds)
         self.scale_factors = self.builder.scale_factors
         self.inv_sigma2 = self.builder.inv_sigma2
         self.velocity: Optional[np.ndarray] = None
@@ -467,25 +471,36 @@ class Tracker:
             proj = (Xc[:, :2] / np.where(np.abs(z[:, None]) < 1e-9, 1e-9, z[:, None]))
         proj = proj * [cam.fx, cam.fy] + [cam.cx, cam.cy]
         ok = ok & (z > 0)
-        th = 15.0  # upstream mono search radius
-        matched_idx = self._motion_search(last, cur, proj, ok, th)
-        if int((matched_idx >= 0).sum()) < 20:
-            matched_idx = self._motion_search(last, cur, proj, ok, 2 * th)
-        n_matches = int((matched_idx >= 0).sum())
-        if n_matches < 20:
+        # ONE fused device program: projection search (narrow + widened
+        # window picked in-program) + 4x10 LM pose optimization, ONE fetch.
+        T, best_j, matched, inlier, n_in, n_matched = \
+            self.programs.motion_step(
+                proj, ok, pos, last.feats, cur.feats,
+                cur.feats.ur_or_neg(), Tcw_pred, th=15.0)
+        if n_matched < 20:
             return False
         # Attach matches to the current frame (VO-temp matches carry the
-        # 3D position, not a map-point id).
+        # 3D position, not a map-point id); edge r maps last slot r to
+        # current slot best_j[r].
         cur.mp_ids[:] = -1
         cur.vo_points = {}
-        rows = np.nonzero(matched_idx >= 0)[0]
-        for r in rows:
-            slot = int(matched_idx[r])
+        for r in np.nonzero(matched)[0]:
+            slot = int(best_j[r])
             if vo_mask[r]:
                 cur.vo_points[slot] = pos[r].copy()
             else:
                 cur.mp_ids[slot] = last.mp_ids[r]
-        if not self._optimize_current_pose(Tcw_pred, min_map_matches=10):
+        cur.Tcw = T
+        # Outlier pruning on current slots (reference :532-540 semantics).
+        out = np.zeros(cur.feats.n_slots, bool)
+        out[best_j[matched & ~inlier]] = True
+        cur.outlier = out
+        cur.mp_ids[out] = -1
+        for slot in list(cur.vo_points):
+            if out[slot]:
+                del cur.vo_points[slot]
+        self.n_inliers = n_in
+        if n_in < 10:
             return False
         if self.only_tracking:
             # mbVO: the frame is tracking the map only if >=10 inlier
@@ -494,17 +509,6 @@ class Tracker:
             self.mb_vo = n_map < 10
             return self.n_inliers >= 20 or n_map >= 10
         return True
-
-    def _motion_search(self, last, cur, proj, ok, th):
-        radius = th * self.scale_factors[last.feats.octave]
-        res = matching.search_by_projection_motion(
-            jnp.asarray(proj.astype(np.float32)), jnp.asarray(radius.astype(np.float32)),
-            jnp.asarray(ok), jnp.asarray(last.feats.desc),
-            jnp.asarray(last.feats.octave), jnp.asarray(last.feats.angle),
-            jnp.asarray(cur.feats.xy_und), jnp.asarray(cur.feats.desc),
-            jnp.asarray(cur.feats.valid), jnp.asarray(cur.feats.octave),
-            jnp.asarray(cur.feats.angle))
-        return np.asarray(res.idx2)
 
     def track_reference_keyframe(self) -> bool:
         """Reference TrackReferenceKeyFrame (:442-473) with real matching
@@ -651,36 +655,40 @@ class Tracker:
         attached = {int(m) for m in cur.mp_ids if m >= 0}
         in_frame = np.array([mid in attached for mid in ids] +
                             [False] * (LOCAL_MAP_SLOTS - len(ids)))
-        fr = frustum_ops.frustum_check(
-            jnp.asarray(pos), jnp.asarray(normal), jnp.asarray(mind),
-            jnp.asarray(maxd), jnp.asarray(valid & ~in_frame),
-            jnp.asarray(cur.Tcw), cam.fx, cam.fy, cam.cx, cam.cy,
-            self.builder.bounds[0], self.builder.bounds[1],
-            self.builder.bounds[2], self.builder.bounds[3],
-            float(np.log(self.cfg.orb.scale_factor)), self.cfg.orb.n_levels)
-        visible = np.asarray(fr["visible"])
-        proj_xy = np.asarray(fr["proj_xy"])
-        pred_level = np.asarray(fr["pred_level"])
-        view_cos = np.asarray(fr["view_cos"])
+        # Pre-attached edges (motion-model matches + localization-mode VO
+        # points) for the fused pose optimization.
+        Xw_pre, ok_pre = self._gather_frame_points(cur)
+        if cur.vo_points:
+            for slot, p in cur.vo_points.items():
+                if not ok_pre[slot]:
+                    Xw_pre[slot] = p
+                    ok_pre[slot] = True
+        # ONE fused device program: frustum check + projection search +
+        # association scatter + pose LM, ONE fetch.
+        T, idx2, visible, inlier, n_in = self.programs.localmap_step(
+            pos, normal, mind, maxd, desc, valid & ~in_frame,
+            Xw_pre, ok_pre, cur.feats, cur.feats.ur_or_neg(),
+            cur.mp_ids >= 0, cur.Tcw)
         for k, mid in enumerate(ids):
             mp = self.arena.mps.get(mid)
             if mp is not None and (visible[k] or in_frame[k]):
                 mp.n_visible += 1
-        if visible.sum() > 0:
-            r = np.where(view_cos > 0.998, 2.5, 4.0).astype(np.float32)
-            radius = r * self.scale_factors[pred_level]
-            already = cur.mp_ids >= 0
-            res = matching.search_by_projection_local_map(
-                jnp.asarray(proj_xy.astype(np.float32)), jnp.asarray(radius),
-                jnp.asarray(pred_level), jnp.asarray(visible),
-                jnp.asarray(desc),
-                jnp.asarray(cur.feats.xy_und), jnp.asarray(cur.feats.desc),
-                jnp.asarray(cur.feats.valid), jnp.asarray(cur.feats.octave),
-                jnp.asarray(already))
-            idx2 = np.asarray(res.idx2)
-            for k in np.nonzero(idx2 >= 0)[0]:
-                cur.mp_ids[idx2[k]] = ids[k]
-        ok = self._optimize_current_pose(cur.Tcw, min_map_matches=1)
+        for k in np.nonzero(idx2 >= 0)[0]:
+            cur.mp_ids[idx2[k]] = ids[k]
+        cur.Tcw = T
+        # Outlier pruning over the optimized edge set.
+        edge_ok = (cur.mp_ids >= 0)
+        if cur.vo_points:
+            edge_ok = edge_ok.copy()
+            for slot in cur.vo_points:
+                edge_ok[slot] = True
+        out = edge_ok & ~inlier
+        cur.outlier = out
+        cur.mp_ids[out] = -1
+        for slot in list(cur.vo_points or ()):
+            if out[slot]:
+                del cur.vo_points[slot]
+        self.n_inliers = n_in
         # IncreaseFound for inlier points (reference :567-571).
         for k, mid in enumerate(cur.mp_ids):
             if mid >= 0 and not cur.outlier[k]:

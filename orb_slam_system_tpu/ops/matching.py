@@ -353,3 +353,47 @@ def search_by_sim3(
     back = jnp.where(found2[match1], match2[match1], -1)
     mutual = found1 & (back == jnp.arange(match1.shape[0]))
     return jnp.where(mutual, match1, -1)
+
+
+@jax.jit
+def search_for_triangulation_batch(
+    xy1, desc1, avail1, oct1, ang1,
+    xy2, desc2, avail2, oct2, ang2,
+    F12, inv_sigma2_levels, epipole_xy, nb_valid,
+):
+    """search_for_triangulation vmapped over M neighbor keyframes in ONE
+    device program (kf2 args have a leading [M] axis; kf1 args broadcast).
+    Per-neighbor calls each cost a host round trip on the TPU tunnel —
+    batching the ~20 covisible neighbors of a new keyframe turns 20 RTTs
+    into 1. nb_valid masks padded neighbor slots. Returns idx2 i32[M, N1].
+    """
+    res = jax.vmap(
+        lambda b_xy2, b_desc2, b_avail2, b_oct2, b_ang2, b_F12, b_epi:
+        search_for_triangulation(
+            xy1, desc1, avail1, oct1, ang1,
+            b_xy2, b_desc2, b_avail2, b_oct2, b_ang2,
+            b_F12, inv_sigma2_levels, b_epi, True)
+    )(xy2, desc2, avail2, oct2, ang2, F12, epipole_xy)
+    return jnp.where(nb_valid[:, None], res.idx2, -1)
+
+
+@jax.jit
+def search_by_projection_set_batch(
+    proj_xy, radius, pred_level, pt_valid, desc_mp,
+    xy2, desc2, valid2, oct2, already_found2,
+    max_dist: jnp.ndarray = TH_LOW,
+):
+    """search_by_projection_set vmapped over M target keyframes in ONE
+    device program (all args carry a leading [M] axis except max_dist).
+    Used by map-point fusion, where the reference's ORBmatcher::Fuse
+    (src/ORBmatcher.cc:504-568) runs once per (source, target) pair — each
+    per-pair device call would cost a host round trip on the TPU tunnel.
+
+    Returns idx2 i32[M, P]: best feature slot per (target, point).
+    """
+    res = jax.vmap(
+        lambda p, r, l, v, d, x2, d2, v2, o2, a2: search_by_projection_set(
+            p, r, l, v, d, x2, d2, v2, o2, a2, max_dist=max_dist)
+    )(proj_xy, radius, pred_level, pt_valid, desc_mp,
+      xy2, desc2, valid2, oct2, already_found2)
+    return res.idx2
