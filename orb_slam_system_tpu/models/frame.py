@@ -29,27 +29,55 @@ from orb_slam_system_tpu.utils import camera as cam_ops
 
 @dataclasses.dataclass
 class Frame:
+    """One frame's padded feature state.
+
+    `feats` is materialized LAZILY from `packed_dev` (the device-resident
+    [N, 16|18] packed output of the fused extract program): fetching a
+    buffer from the device costs a full round trip on the TPU tunnel, and
+    the steady-state tracking path never needs the host copy — the fused
+    tracking programs consume `packed_dev` directly, and only keyframe
+    creation / initialization materialize."""
+
     id: int
     timestamp: float
-    feats: FrameFeatures
-    Tcw: Optional[np.ndarray] = None       # f32[4,4] world->camera
-    mp_ids: Optional[np.ndarray] = None    # i64[N] map point per feature
-    outlier: Optional[np.ndarray] = None   # bool[N]
+    feats_host: Optional[FrameFeatures] = None
+    packed_dev: Optional[object] = None     # jax f32[N, 16|18]
+    Tcw: Optional[np.ndarray] = None        # f32[4,4] world->camera
+    mp_ids: Optional[np.ndarray] = None     # i64[N] map point per feature
+    outlier: Optional[np.ndarray] = None    # bool[N]
     ref_kf_id: int = -1
-    # Stereo / RGB-D channel (reference mvuRight / mvDepth, src/Frame.cc):
-    u_right: Optional[np.ndarray] = None   # f32[N], -1 = mono feature
-    depth: Optional[np.ndarray] = None     # f32[N], -1 = no depth
     # Temporary visual-odometry points (localization mode, upstream
     # UpdateLastFrame: depth-backprojected points NOT in the map):
     # {feature slot -> world position f32[3]}.
     vo_points: Optional[dict] = None
 
     def __post_init__(self):
-        n = self.feats.n_slots
+        n = self.n_slots
         if self.mp_ids is None:
             self.mp_ids = np.full(n, -1, np.int64)
         if self.outlier is None:
             self.outlier = np.zeros(n, bool)
+
+    @property
+    def n_slots(self) -> int:
+        if self.feats_host is not None:
+            return self.feats_host.n_slots
+        return int(self.packed_dev.shape[0])
+
+    @property
+    def feats(self) -> FrameFeatures:
+        if self.feats_host is None:
+            self.feats_host = FrameBuilder._unpack_feats(
+                np.asarray(self.packed_dev))
+        return self.feats_host
+
+    @property
+    def u_right(self):
+        return self.feats.u_right
+
+    @property
+    def depth(self):
+        return self.feats.depth
 
     @property
     def n_valid(self) -> int:
@@ -162,11 +190,11 @@ class FrameBuilder:
         )
 
     def build(self, img: np.ndarray, timestamp: float) -> Frame:
-        """img: f32/u8 [H, W] grayscale. One device call, one fetch."""
-        packed = np.asarray(self._extract_packed(
-            jnp.asarray(img, jnp.float32)))
-        feats = self._unpack_feats(packed)
-        f = Frame(id=self._next_id, timestamp=timestamp, feats=feats)
+        """img: f32/u8 [H, W] grayscale. One device call, ZERO fetches —
+        the packed buffer stays device-resident; the host copy is
+        materialized lazily (keyframe creation, initialization)."""
+        packed = self._extract_packed(jnp.asarray(img, jnp.float32))
+        f = Frame(id=self._next_id, timestamp=timestamp, packed_dev=packed)
         self._next_id = self._next_id + 1
         return f
 
@@ -175,12 +203,10 @@ class FrameBuilder:
         """Rectified stereo frame: one batched extraction over both images
         (the TPU-native version of the reference's two extraction threads,
         src/Frame.cc:58-61) + row-banded stereo matching."""
-        packed = np.asarray(self._extract_packed_stereo(
+        packed = self._extract_packed_stereo(
             jnp.asarray(img_left, jnp.float32),
-            jnp.asarray(img_right, jnp.float32)))
-        feats = self._unpack_feats(packed)
-        f = Frame(id=self._next_id, timestamp=timestamp, feats=feats,
-                  u_right=feats.u_right, depth=feats.depth)
+            jnp.asarray(img_right, jnp.float32))
+        f = Frame(id=self._next_id, timestamp=timestamp, packed_dev=packed)
         self._next_id += 1
         return f
 
@@ -191,12 +217,10 @@ class FrameBuilder:
         # Reference src/Tracking.cc:90-96: scale raw depth by 1/DepthMapFactor.
         df = self.cfg.depth_map_factor
         depth_scale = 1.0 / df if abs(df) > 1e-5 else 1.0
-        packed = np.asarray(self._extract_packed_rgbd(
+        packed = self._extract_packed_rgbd(
             jnp.asarray(img, jnp.float32),
             jnp.asarray(depth_map, jnp.float32),
-            jnp.asarray(depth_scale, jnp.float32)))
-        feats = self._unpack_feats(packed)
-        f = Frame(id=self._next_id, timestamp=timestamp, feats=feats,
-                  u_right=feats.u_right, depth=feats.depth)
+            jnp.asarray(depth_scale, jnp.float32))
+        f = Frame(id=self._next_id, timestamp=timestamp, packed_dev=packed)
         self._next_id += 1
         return f

@@ -76,10 +76,17 @@ class System:
     def _emit_frame_metrics(self, timestamp: float, t_track: float,
                             t_map: float):
         cur = self.tracker.current
+        # Avoid forcing a device fetch just for telemetry: use the host
+        # copy when it exists, else the count the fused motion step
+        # reported (0 before tracking starts).
+        if cur is not None and cur.feats_host is not None:
+            n_kp = int(cur.feats_host.valid.sum())
+        else:
+            n_kp = getattr(self.tracker, "last_n_valid", 0)
         self.telemetry.emit(
             t=timestamp,
             state=int(self.tracker.state),
-            n_keypoints=int(cur.feats.valid.sum()) if cur is not None else 0,
+            n_keypoints=n_kp,
             n_inliers=self.tracker.n_inliers,
             n_tracked=len(self.get_tracked_map_points()),
             n_kfs=self.arena.n_keyframes(),

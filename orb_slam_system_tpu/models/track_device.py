@@ -44,9 +44,27 @@ class TrackPrograms:
         n_levels = cfg.orb.n_levels
         fx, fy, cx, cy, bf = cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
 
-        def motion_step(proj, ok, pos_last, desc_last, oct_last, ang_last,
-                        cur_xy, cur_desc, cur_valid, cur_oct, cur_ang,
-                        cur_ur, Tcw_pred, th):
+        def unpack(packed):
+            """Slice a device-resident packed frame buffer (see
+            FrameBuilder._extract_packed): columns 2:4 undistorted xy,
+            5 angle, 6 octave, 7 valid, 8:16 descriptor bits, 16 u_right
+            (stereo/RGB-D only)."""
+            xy = packed[:, 2:4]
+            ang = packed[:, 5]
+            octv = packed[:, 6].astype(jnp.int32)
+            valid = packed[:, 7] > 0.5
+            desc = jax.lax.bitcast_convert_type(packed[:, 8:16], jnp.uint32)
+            if packed.shape[1] > 16:
+                ur = packed[:, 16]
+            else:
+                ur = jnp.full(packed.shape[0], -1.0, jnp.float32)
+            return xy, ang, octv, valid, desc, ur
+
+        def motion_step(proj, ok, pos_last, packed_last, packed_cur,
+                        Tcw_pred, th):
+            _, ang_last, oct_last, _, desc_last, _ = unpack(packed_last)
+            cur_xy, cur_ang, cur_oct, cur_valid, cur_desc, cur_ur = \
+                unpack(packed_cur)
             # One distance matrix; two window masks (narrow th, wide 2*th).
             D = distance_matrix(desc_last, cur_desc)
             radius = th * scale_factors[oct_last]
@@ -85,7 +103,8 @@ class TrackPrograms:
                 matched.astype(jnp.float32),
                 inlier.astype(jnp.float32),
                 jnp.stack([n_in.astype(jnp.float32),
-                           jnp.sum(matched.astype(jnp.float32))]),
+                           jnp.sum(matched.astype(jnp.float32)),
+                           jnp.sum(cur_valid.astype(jnp.float32))]),
             ])
             return packed
 
@@ -93,9 +112,9 @@ class TrackPrograms:
         self._n = n_slots
 
         def localmap_step(pos, normal, mind, maxd, lm_desc, lm_valid,
-                          Xw_pre, ok_pre,
-                          cur_xy, cur_desc, cur_valid, cur_oct, cur_ur,
-                          already, Tcw):
+                          Xw_pre, ok_pre, packed_cur, already, Tcw):
+            cur_xy, cur_ang, cur_oct, cur_valid, cur_desc, cur_ur = \
+                unpack(packed_cur)
             fr = frustum_ops.frustum_check(
                 pos, normal, mind, maxd, lm_valid, Tcw,
                 fx, fy, cx, cy,
@@ -135,30 +154,26 @@ class TrackPrograms:
 
     # ---- host wrappers: one call, one fetch, numpy outputs ---------------
 
-    def motion_step(self, proj, ok, pos_last, last_feats, cur_feats, cur_ur,
+    def motion_step(self, proj, ok, pos_last, packed_last, packed_cur,
                     Tcw_pred, th=15.0):
         out = np.asarray(self._motion_step(
             jnp.asarray(proj.astype(np.float32)), jnp.asarray(ok),
             jnp.asarray(pos_last.astype(np.float32)),
-            jnp.asarray(last_feats.desc), jnp.asarray(last_feats.octave),
-            jnp.asarray(last_feats.angle),
-            jnp.asarray(cur_feats.xy_und), jnp.asarray(cur_feats.desc),
-            jnp.asarray(cur_feats.valid), jnp.asarray(cur_feats.octave),
-            jnp.asarray(cur_feats.angle),
-            jnp.asarray(cur_ur.astype(np.float32)),
+            packed_last, packed_cur,
             jnp.asarray(Tcw_pred.astype(np.float32)),
             jnp.asarray(th, jnp.float32)))
-        n = self._n
+        n = len(ok)
         T = out[:16].reshape(4, 4).astype(np.float32)
         best_j = out[16:16 + n].astype(np.int64)
         matched = out[16 + n:16 + 2 * n] > 0.5
         inlier = out[16 + 2 * n:16 + 3 * n] > 0.5
         n_in = int(out[16 + 3 * n])
         n_matched = int(out[16 + 3 * n + 1])
-        return T, best_j, matched, inlier, n_in, n_matched
+        n_valid_cur = int(out[16 + 3 * n + 2])
+        return T, best_j, matched, inlier, n_in, n_matched, n_valid_cur
 
     def localmap_step(self, pos, normal, mind, maxd, lm_desc, lm_valid,
-                      Xw_pre, ok_pre, cur_feats, cur_ur, already, Tcw):
+                      Xw_pre, ok_pre, packed_cur, already, Tcw):
         out = np.asarray(self._localmap_step(
             jnp.asarray(pos.astype(np.float32)),
             jnp.asarray(normal.astype(np.float32)),
@@ -166,11 +181,9 @@ class TrackPrograms:
             jnp.asarray(maxd.astype(np.float32)),
             jnp.asarray(lm_desc), jnp.asarray(lm_valid),
             jnp.asarray(Xw_pre.astype(np.float32)), jnp.asarray(ok_pre),
-            jnp.asarray(cur_feats.xy_und), jnp.asarray(cur_feats.desc),
-            jnp.asarray(cur_feats.valid), jnp.asarray(cur_feats.octave),
-            jnp.asarray(cur_ur.astype(np.float32)),
+            packed_cur,
             jnp.asarray(already), jnp.asarray(Tcw.astype(np.float32))))
-        p, n = self._p, self._n
+        p, n = self._p, len(ok_pre)
         T = out[:16].reshape(4, 4).astype(np.float32)
         idx2 = out[16:16 + p].astype(np.int64)
         visible = out[16 + p:16 + 2 * p] > 0.5

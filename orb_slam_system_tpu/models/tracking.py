@@ -87,6 +87,9 @@ class Tracker:
         self.n_inliers = 0
         self.local_kf_ids: list[int] = []
         self.frames_since_reloc = 10 ** 9
+        # Valid-keypoint count of the current frame, reported by the fused
+        # motion step so telemetry doesn't force a host materialization.
+        self.last_n_valid = 0
         # Localization-mode VO flag (upstream mbVO, reference
         # src/Tracking.cc:51,530-571): true when the last frame tracked
         # mostly temporary depth points rather than map points.
@@ -409,7 +412,7 @@ class Tracker:
 
     def _gather_frame_points(self, frame: Frame):
         """Padded arrays of the map points attached to a frame's features."""
-        n = frame.feats.n_slots
+        n = frame.n_slots
         pos = np.zeros((n, 3), np.float32)
         ok = np.zeros(n, bool)
         for k, mid in enumerate(frame.mp_ids):
@@ -473,10 +476,12 @@ class Tracker:
         ok = ok & (z > 0)
         # ONE fused device program: projection search (narrow + widened
         # window picked in-program) + 4x10 LM pose optimization, ONE fetch.
-        T, best_j, matched, inlier, n_in, n_matched = \
+        # Both frames' features stay DEVICE-RESIDENT (packed buffers).
+        T, best_j, matched, inlier, n_in, n_matched, n_valid = \
             self.programs.motion_step(
-                proj, ok, pos, last.feats, cur.feats,
-                cur.feats.ur_or_neg(), Tcw_pred, th=15.0)
+                proj, ok, pos, last.packed_dev, cur.packed_dev,
+                Tcw_pred, th=15.0)
+        self.last_n_valid = n_valid
         if n_matched < 20:
             return False
         # Attach matches to the current frame (VO-temp matches carry the
@@ -492,7 +497,7 @@ class Tracker:
                 cur.mp_ids[slot] = last.mp_ids[r]
         cur.Tcw = T
         # Outlier pruning on current slots (reference :532-540 semantics).
-        out = np.zeros(cur.feats.n_slots, bool)
+        out = np.zeros(cur.n_slots, bool)
         out[best_j[matched & ~inlier]] = True
         cur.outlier = out
         cur.mp_ids[out] = -1
@@ -667,7 +672,7 @@ class Tracker:
         # association scatter + pose LM, ONE fetch.
         T, idx2, visible, inlier, n_in = self.programs.localmap_step(
             pos, normal, mind, maxd, desc, valid & ~in_frame,
-            Xw_pre, ok_pre, cur.feats, cur.feats.ur_or_neg(),
+            Xw_pre, ok_pre, cur.packed_dev,
             cur.mp_ids >= 0, cur.Tcw)
         for k, mid in enumerate(ids):
             mp = self.arena.mps.get(mid)

@@ -113,7 +113,7 @@ class ORBExtractor:
     def _extract(self, img: jnp.ndarray) -> FeatureSet:
         cfg = self.cfg
         levels = pyr_ops.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
-        outs = []
+        xs, resps, valids, octs, patch_blocks = [], [], [], [], []
         for l, lvl in enumerate(levels):
             n_l = self.budgets[l]
             if n_l <= 0:
@@ -137,29 +137,27 @@ class ORBExtractor:
             # MACs per batch).
             R_G = PATCH_RADIUS + 3
             padded = jnp.pad(lvl, ((0, 0), (3, 3), (3, 3)), mode="reflect")
-            patches_g = self._gather_fn(padded, xy_l + 3, R_G)
-            c0 = R_G - HALF_PATCH
-            patches_o = patches_g[:, :, c0:c0 + 2 * HALF_PATCH + 1,
-                                  c0:c0 + 2 * HALF_PATCH + 1]
-            ang = ic_angles(patches_o)
-            patches_d = _blur_patches(patches_g)
-            desc = compute_descriptors(patches_d, ang)
-            scale = self.scales[l]
-            outs.append(
-                FeatureSet(
-                    xy=xy_l.astype(jnp.float32) * scale,
-                    response=resp,
-                    angle=ang,
-                    octave=jnp.full(resp.shape, l, jnp.int32),
-                    desc=desc,
-                    valid=valid,
-                )
-            )
+            patch_blocks.append(self._gather_fn(padded, xy_l + 3, R_G))
+            xs.append(xy_l.astype(jnp.float32) * self.scales[l])
+            resps.append(resp)
+            valids.append(valid)
+            octs.append(jnp.full(resp.shape, l, jnp.int32))
+        # Post-gather compute (IC angle, in-patch blur, rBRIEF matmul) runs
+        # ONCE over ALL levels' patches concatenated: 8 small per-level
+        # programs starve the MXU (the [A,P*P,256] descriptor contraction
+        # wants a large batch); one fused block keeps it fed.
+        patches_g = jnp.concatenate(patch_blocks, axis=1)  # [B, N_all, P, P]
+        c0 = (PATCH_RADIUS + 3) - HALF_PATCH
+        patches_o = patches_g[:, :, c0:c0 + 2 * HALF_PATCH + 1,
+                              c0:c0 + 2 * HALF_PATCH + 1]
+        ang = ic_angles(patches_o)
+        patches_d = _blur_patches(patches_g)
+        desc = compute_descriptors(patches_d, ang)
         return FeatureSet(
-            xy=jnp.concatenate([o.xy for o in outs], axis=1),
-            response=jnp.concatenate([o.response for o in outs], axis=1),
-            angle=jnp.concatenate([o.angle for o in outs], axis=1),
-            octave=jnp.concatenate([o.octave for o in outs], axis=1),
-            desc=jnp.concatenate([o.desc for o in outs], axis=1),
-            valid=jnp.concatenate([o.valid for o in outs], axis=1),
+            xy=jnp.concatenate(xs, axis=1),
+            response=jnp.concatenate(resps, axis=1),
+            angle=ang,
+            octave=jnp.concatenate(octs, axis=1),
+            desc=desc,
+            valid=jnp.concatenate(valids, axis=1),
         )
