@@ -137,7 +137,8 @@ class FrameBuilder:
                 x[0], x[1],
                 fs.xy[0], fs.octave[0], fs.desc[0], fs.valid[0],
                 fs.xy[1], fs.octave[1], fs.desc[1], fs.valid[1],
-                jnp.asarray(self.scale_factors), k.bf, 0.0, k.fx)
+                jnp.asarray(self.scale_factors), k.bf, 0.0, k.fx,
+                scale_factor=float(orb.scale_factor))
             return jnp.concatenate([
                 fs.xy[0], und[0],
                 fs.response[0][:, None], fs.angle[0][:, None],

@@ -150,8 +150,23 @@ def select_keypoints(
     has_strong = cell_max > ini_th
     eligible = jnp.where(has_strong, cells > ini_th, cells > min_th)
     cells = jnp.where(eligible, cells, 0.0)
-    # Per-cell top-K.
-    vals, idx = jax.lax.top_k(cells, topk_per_cell)  # [B, C, K]
+    # Per-cell top-K by K iterative max+mask passes: lax.top_k sorts each
+    # 256-element cell (the extractor's single hottest op on TPU); K cheap
+    # VPU max-reductions find the same K best responses.
+    vals_l, idx_l = [], []
+    remaining = cells
+    pos = jnp.arange(cells.shape[-1], dtype=jnp.int32)
+    for _ in range(topk_per_cell):
+        m = jnp.max(remaining, axis=-1)                      # [B, C]
+        is_m = remaining == m[..., None]
+        # Lowest index among ties (top_k tie-breaking order).
+        am = jnp.min(jnp.where(is_m, pos, 1 << 20), axis=-1)
+        vals_l.append(m)
+        idx_l.append(am.astype(jnp.int32))
+        remaining = jnp.where(pos[None, None, :] == am[..., None],
+                              -jnp.inf, remaining)
+    vals = jnp.stack(vals_l, axis=-1)                        # [B, C, K]
+    idx = jnp.stack(idx_l, axis=-1)
     # Global candidate ordering: cover cells first (rank 0 of every cell),
     # then rank 1, etc.; inside a rank order by response.
     rank = jnp.arange(topk_per_cell, dtype=jnp.float32)[None, None, :]

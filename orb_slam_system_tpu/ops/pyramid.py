@@ -30,6 +30,35 @@ def level_shapes(height: int, width: int, n_levels: int, scale_factor: float):
     return shapes
 
 
+@functools.lru_cache(maxsize=None)
+def _resize_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """Bilinear resampling as a constant [n_out, n_in] matrix (half-pixel
+    centers, clamped edges — the same mapping as jax.image.resize
+    method='linear' antialias=False and cv::resize INTER_LINEAR). Two
+    nonzeros per row; applied as a dense matmul, which the MXU eats for
+    free while a gather-based resize is the extractor's dominant cost."""
+    x = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+    x = np.clip(x, 0.0, n_in - 1)
+    x0 = np.floor(x).astype(np.int64)
+    x1 = np.minimum(x0 + 1, n_in - 1)
+    f = (x - x0).astype(np.float32)
+    M = np.zeros((n_out, n_in), np.float32)
+    M[np.arange(n_out), x0] += 1.0 - f
+    M[np.arange(n_out), x1] += f
+    return M
+
+
+def resize_bilinear_mxu(img: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Separable bilinear resize of f32[B, H, W] to [B, h, w] as two MXU
+    matmuls: out = Ry @ img @ Rx^T."""
+    Ry = jnp.asarray(_resize_matrix(h, img.shape[1]))
+    Rx = jnp.asarray(_resize_matrix(w, img.shape[2]))
+    t = jnp.einsum("oh,bhw->bow", Ry, img,
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("bow,pw->bop", t, Rx,
+                      preferred_element_type=jnp.float32)
+
+
 def build_pyramid(img: jnp.ndarray, n_levels: int, scale_factor: float):
     """img: f32[B, H, W] -> list of f32[B, Hl, Wl], resized successively from
     the previous level (matching the reference's cascaded cv::resize)."""
@@ -38,10 +67,7 @@ def build_pyramid(img: jnp.ndarray, n_levels: int, scale_factor: float):
     levels = [img]
     for l in range(1, n_levels):
         h, w = shapes[l]
-        prev = levels[-1]
-        levels.append(
-            jax.image.resize(prev, (B, h, w), method="linear", antialias=False)
-        )
+        levels.append(resize_bilinear_mxu(levels[-1], h, w))
     return levels
 
 

@@ -37,20 +37,22 @@ def _gather_strip(img, x0, y0, h, w):
                       slice_sizes=(h, w), mode=lax.GatherScatterMode.CLIP)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("scale_factor",))
 def stereo_match(
     imgL, imgR,
     xyL, octL, descL, validL,
     xyR, octR, descR, validR,
     scale_factors, bf, min_disp, max_disp,
+    scale_factor: float = 1.2,
 ):
     """Returns (u_right f32[NL] (-1 if unmatched), depth f32[NL]).
 
     Masks (reference :446-530): right keypoint in row band |vL - vR| <=
     2*scale^octR, octave band [octL-1, octL+1], disparity in
     [min_disp, max_disp]; Hamming gate TH_HIGH; then SAD subpixel refinement
-    on the level-0 images with parabola interpolation and the reference's
-    median-SAD outlier filter (1.5 * 1.4 * median).
+    on the keypoint's pyramid-level image (reference :527-575) with parabola
+    interpolation and the reference's median-SAD outlier filter
+    (1.5 * 1.4 * median).
     """
     NL = xyL.shape[0]
     D = distance_matrix(descL, descR)
@@ -68,24 +70,43 @@ def stereo_match(
     best_j, best_d, _ = _masked_best2(D, mask)
     coarse = (best_d <= TH_HIGH) & validL
     u_r0 = uR[best_j]
-    # ---- subpixel SAD refinement on level-0 images ----------------------
+    # ---- subpixel SAD refinement at the keypoint's PYRAMID LEVEL --------
+    # (reference src/Frame.cc:527-575 refines on mvImagePyramid[kpL.octave]
+    # with octave-scaled coordinates; refining on level 0 was a documented
+    # r1 parity deviation — removed here. The per-level pyramids are cheap
+    # MXU matmul resizes, and XLA CSEs them with the extractor's when
+    # traced in the same program.)
     w = SAD_W
     L = SAD_L
-    xL0 = jnp.round(uL).astype(jnp.int32) - w
-    yL0 = jnp.round(vL).astype(jnp.int32) - w
-    patchL = _gather_strip(imgL, xL0, yL0, 2 * w + 1, 2 * w + 1)  # [N,11,11]
-    xR0 = jnp.round(u_r0).astype(jnp.int32) - w - L
-    yR0 = yL0
-    strip = _gather_strip(imgR, xR0, yR0, 2 * w + 1, 2 * w + 1 + 2 * L)
-    # All 2L+1 sliding windows: [N, 2L+1, 11, 11] via static slices.
-    sads = []
-    centerL = patchL[:, w:w + 1, w:w + 1]
-    pl_n = patchL - centerL                     # reference normalizes by center
-    for s in range(2 * L + 1):
-        win = strip[:, :, s:s + 2 * w + 1]
-        win = win - win[:, w:w + 1, w:w + 1]
-        sads.append(jnp.sum(jnp.abs(pl_n - win), axis=(1, 2)))
-    sad = jnp.stack(sads, axis=1)               # [N, 2L+1]
+    n_levels = scale_factors.shape[0]
+    # Reconstruct the two pyramids (same op as the extractor's).
+    from orb_slam_system_tpu.ops.pyramid import build_pyramid
+
+    pyrL = [p[0] for p in build_pyramid(imgL[None], int(n_levels),
+                                        scale_factor)]
+    pyrR = [p[0] for p in build_pyramid(imgR[None], int(n_levels),
+                                        scale_factor)]
+    inv_scale = 1.0 / scale_factors[octL]                 # [NL]
+    uL_s = uL * inv_scale
+    vL_s = vL * inv_scale
+    uR_s = u_r0 * inv_scale
+    sad = jnp.zeros((NL, 2 * L + 1), jnp.float32)
+    for lv in range(int(n_levels)):
+        on_lv = octL == lv
+        xL0 = jnp.round(uL_s).astype(jnp.int32) - w
+        yL0 = jnp.round(vL_s).astype(jnp.int32) - w
+        patchL = _gather_strip(pyrL[lv], xL0, yL0, 2 * w + 1, 2 * w + 1)
+        xR0 = jnp.round(uR_s).astype(jnp.int32) - w - L
+        strip = _gather_strip(pyrR[lv], xR0, yL0,
+                              2 * w + 1, 2 * w + 1 + 2 * L)
+        centerL = patchL[:, w:w + 1, w:w + 1]
+        pl_n = patchL - centerL          # reference normalizes by center
+        sads = []
+        for s in range(2 * L + 1):
+            win = strip[:, :, s:s + 2 * w + 1]
+            win = win - win[:, w:w + 1, w:w + 1]
+            sads.append(jnp.sum(jnp.abs(pl_n - win), axis=(1, 2)))
+        sad = jnp.where(on_lv[:, None], jnp.stack(sads, axis=1), sad)
     best_s = jnp.argmin(sad, axis=1)
     best_sad = jnp.min(sad, axis=1)
     interior = (best_s > 0) & (best_s < 2 * L)
@@ -96,7 +117,10 @@ def stereo_match(
     delta = jnp.where(jnp.abs(denom) > 1e-9,
                       (sm1 - sp1) / (2.0 * jnp.maximum(denom, 1e-9)), 0.0)
     delta_ok = (delta >= -1.0) & (delta <= 1.0) & interior
-    u_best = u_r0 + (best_s.astype(jnp.float32) - L) + delta
+    # Back to level-0 pixel units (reference :570: bestuR = scale *
+    # (scaleduR0 + bestincR + deltaR)).
+    u_best = scale_factors[octL] * (
+        uR_s + (best_s.astype(jnp.float32) - L) + delta)
     disparity = uL - u_best
     disp_fine_ok = (disparity >= jnp.maximum(min_disp, 1e-3)) & (
         disparity <= max_disp)
