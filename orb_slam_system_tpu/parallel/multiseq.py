@@ -137,9 +137,9 @@ def make_multiseq_step(mesh: Mesh, height: int, width: int,
 def dryrun(n_devices: int, height: int = 96, width: int = 128):
     """One multi-chip step on tiny shapes; raises on sharding errors.
 
-    Exercises both sharded programs: the dp/sp tracking front-end step and
-    the edge-sharded Sim3 pose-graph solve (the framework's two scale-out
-    axes)."""
+    Exercises all three sharded programs: the dp/sp tracking front-end
+    step, the edge-sharded Sim3 pose-graph solve, and the edge-sharded
+    Schur-CG global bundle adjustment (the framework's scale-out axes)."""
     mesh = make_mesh(n_devices)
     step, args = make_multiseq_step(mesh, height, width,
                                     n_features=128, n_levels=2)
@@ -167,4 +167,35 @@ def dryrun(n_devices: int, height: int = 96, width: int = 128):
         e_i, e_j, e_R, e_t, e_s, np.ones(K - 1, bool),
         n_iters=3, cg_iters=10)
     assert np.isfinite(np.asarray(tn)).all()
+    # Edge-sharded global bundle adjustment (the third scale-out axis).
+    from orb_slam_system_tpu.parallel.ba_dist import bundle_adjust_cg_sharded
+    from orb_slam_system_tpu.solvers.local_ba import BAProblem
+
+    C, P_pts = 4, 24
+    world = rng.uniform(-1, 1, size=(P_pts, 3)).astype(np.float32)
+    world[:, 2] += 4.0
+    Tcw = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+    for c in range(C):
+        Tcw[c, 0, 3] = -0.1 * c
+    e_cam, e_pt, e_uv = [], [], []
+    fx = fy = 100.0
+    for c in range(C):
+        Xc = world @ Tcw[c, :3, :3].T + Tcw[c, :3, 3]
+        uv = Xc[:, :2] / Xc[:, 2:3] * fx + 64.0
+        for p in range(P_pts):
+            e_cam.append(c); e_pt.append(p); e_uv.append(uv[p])
+    prob = BAProblem(
+        Tcw=jnp.asarray(Tcw),
+        cam_fixed=jnp.asarray(np.arange(C) == 0),
+        cam_valid=jnp.asarray(np.ones(C, bool)),
+        points=jnp.asarray(world + 0.01),
+        pt_valid=jnp.asarray(np.ones(P_pts, bool)),
+        e_cam=jnp.asarray(np.asarray(e_cam, np.int32)),
+        e_pt=jnp.asarray(np.asarray(e_pt, np.int32)),
+        e_uv=jnp.asarray(np.asarray(e_uv, np.float32)),
+        e_inv_sigma2=jnp.asarray(np.ones(len(e_cam), np.float32)),
+        e_valid=jnp.asarray(np.ones(len(e_cam), bool)))
+    Tn, Xn = bundle_adjust_cg_sharded(gmesh, prob, fx, fy, 64.0, 64.0,
+                                      n_iters=2, cg_iters=8)
+    assert np.isfinite(np.asarray(Xn)).all()
     return int(n_in), int(n_match)

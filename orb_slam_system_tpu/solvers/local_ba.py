@@ -232,27 +232,38 @@ def bundle_adjust(prob: BAProblem, fx, fy, cx, cy,
     return Tcw, X
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "use_huber", "cg_iters"))
+@functools.partial(jax.jit, static_argnames=("n_iters", "use_huber",
+                                              "cg_iters", "axis_name"))
 def bundle_adjust_cg(prob: BAProblem, fx, fy, cx, cy,
                      n_iters: int = 10, use_huber: bool = True,
-                     cg_iters: int = 40):
+                     cg_iters: int = 40, axis_name=None):
     """Scalable LM bundle adjustment: the reduced camera system is solved by
     preconditioned CG whose matvec is assembled from per-EDGE blocks
     (never materializing the dense [C,P,6,3] cross tensor of
     `bundle_adjust`) — cost O(E) per CG iteration, so it scales to
     thousands of cameras/points (full GBA after loop closure, KITTI-sized
-    maps). Same interface/result contract as bundle_adjust."""
+    maps). Same interface/result contract as bundle_adjust.
+
+    axis_name: if set, the EDGE list is sharded over that mesh axis
+    (cameras/points replicated): every edge-reduced quantity — normal-
+    equation blocks, gradients, the Schur matvec's cross terms, robust
+    costs — is psum'd over the axis so each shard performs the identical
+    solve. This is the multi-chip GBA (SURVEY.md §5: solves sharded over
+    ICI); see parallel/ba_dist.py."""
     C = prob.Tcw.shape[0]
     P = prob.points.shape[0]
     f32 = prob.points.dtype
     free_cam = (~prob.cam_fixed) & prob.cam_valid
+
+    def psum_(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
 
     def cost_at(Tcw, X, xi_all, dX):
         p = prob._replace(Tcw=Tcw, points=X)
         e, _, _, z, is_st = _edge_residuals(xi_all, dX, p, fx, fy, cx, cy)
         cost, _ = _robust_cost(
             e, prob.e_inv_sigma2, prob.e_valid & (z > 0), use_huber, is_st)
-        return cost
+        return psum_(cost)
 
     def lm_iter(it, state):
         Tcw, X, lam = state
@@ -273,15 +284,15 @@ def bundle_adjust_cg(prob: BAProblem, fx, fy, cx, cy,
         Jc_w = Jc * sw                                   # weight-absorbed
         Jp_w = Jp * sw
         e_w = e * jnp.sqrt(w)[:, None]
-        # Block diagonals.
-        Hcc = jnp.zeros((C, 6, 6), f32).at[prob.e_cam].add(
-            jnp.einsum("eif,eig->efg", Jc_w, Jc_w))
-        Hpp = jnp.zeros((P, 3, 3), f32).at[prob.e_pt].add(
-            jnp.einsum("eif,eig->efg", Jp_w, Jp_w))
-        gc = jnp.zeros((C, 6), f32).at[prob.e_cam].add(
-            jnp.einsum("eif,ei->ef", Jc_w, e_w))
-        gp = jnp.zeros((P, 3), f32).at[prob.e_pt].add(
-            jnp.einsum("eif,ei->ef", Jp_w, e_w))
+        # Block diagonals (edge-sharded partials reduced over the mesh).
+        Hcc = psum_(jnp.zeros((C, 6, 6), f32).at[prob.e_cam].add(
+            jnp.einsum("eif,eig->efg", Jc_w, Jc_w)))
+        Hpp = psum_(jnp.zeros((P, 3, 3), f32).at[prob.e_pt].add(
+            jnp.einsum("eif,eig->efg", Jp_w, Jp_w)))
+        gc = psum_(jnp.zeros((C, 6), f32).at[prob.e_cam].add(
+            jnp.einsum("eif,ei->ef", Jc_w, e_w)))
+        gp = psum_(jnp.zeros((P, 3), f32).at[prob.e_pt].add(
+            jnp.einsum("eif,ei->ef", Jp_w, e_w)))
         Hcc_d = Hcc + lam * jnp.eye(6, dtype=f32)[None] * jnp.maximum(
             jnp.diagonal(Hcc, axis1=1, axis2=2), 1e-6)[:, :, None] \
             * jnp.eye(6, dtype=f32)[None]
@@ -297,13 +308,13 @@ def bundle_adjust_cg(prob: BAProblem, fx, fy, cx, cy,
             """A^T x: [C,6] -> [P,3] via per-edge W^T."""
             u = jnp.einsum("eif,ei->ef", Jp_w,
                            jnp.einsum("eig,eg->ei", Jc_w, x_c[prob.e_cam]))
-            return jnp.zeros((P, 3), f32).at[prob.e_pt].add(u)
+            return psum_(jnp.zeros((P, 3), f32).at[prob.e_pt].add(u))
 
         def A_(v_p):
             """A v: [P,3] -> [C,6]."""
             u = jnp.einsum("eif,ei->ef", Jc_w,
                            jnp.einsum("eig,eg->ei", Jp_w, v_p[prob.e_pt]))
-            return jnp.zeros((C, 6), f32).at[prob.e_cam].add(u)
+            return psum_(jnp.zeros((C, 6), f32).at[prob.e_cam].add(u))
 
         def schur_mv(x_c):
             x_c = x_c * fm
