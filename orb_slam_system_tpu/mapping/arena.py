@@ -265,6 +265,50 @@ class MapArena:
         mp.max_dist = dist * float(scale_factors[level])
         mp.min_dist = mp.max_dist / float(scale_factors[n_levels - 1])
 
+    def update_normals_many(self, mps, scale_factors: np.ndarray):
+        """update_normal_and_depth over many points with camera centers
+        cached per keyframe — the per-point version recomputes R^T @ t for
+        every observation, which dominates keyframe-time host work when
+        thousands of points move (triangulation, BA write-back, loop
+        corrections)."""
+        centers: Dict[int, np.ndarray] = {}
+
+        def center(kf_id):
+            c = centers.get(kf_id)
+            if c is None:
+                kf = self.kfs.get(kf_id)
+                if kf is None:
+                    return None
+                c = kf.camera_center()
+                centers[kf_id] = c
+            return c
+
+        n_levels = len(scale_factors)
+        for mp in mps:
+            if not mp.obs:
+                continue
+            normal = np.zeros(3, np.float64)
+            n_obs = 0
+            for kf_id in mp.obs:
+                c = center(kf_id)
+                if c is None:
+                    continue
+                v = mp.pos - c
+                n = np.linalg.norm(v)
+                if n > 1e-9:
+                    normal += v / n
+                n_obs += 1
+            mp.normal = (normal / max(n_obs, 1)).astype(np.float32)
+            idx = mp.obs.get(mp.ref_kf)
+            ref_c = center(mp.ref_kf) if idx is not None else None
+            if ref_c is None:
+                continue
+            ref = self.kfs[mp.ref_kf]
+            dist = float(np.linalg.norm(mp.pos - ref_c))
+            level = int(ref.feats.octave[idx])
+            mp.max_dist = dist * float(scale_factors[level])
+            mp.min_dist = mp.max_dist / float(scale_factors[n_levels - 1])
+
     def update_connections(self, kf: KeyFrameRec):
         """Covisibility recount (reference src/KeyFrame.cc:269-359)."""
         counter: Dict[int, int] = {}

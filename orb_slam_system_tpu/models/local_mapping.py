@@ -337,6 +337,7 @@ class LocalMapper:
         rf = 1.5 * self.cfg.orb.scale_factor
         ok &= ~((ratio_dist * rf < ratio_oct) | (ratio_dist > ratio_oct * rf))
         # Arena bookkeeping only for survivors.
+        created = []
         for i1 in np.nonzero(ok)[0]:
             i2 = int(sel2[i1])
             mp = self.arena.new_point(X[i1], kf2.feats.desc[i2],
@@ -344,8 +345,9 @@ class LocalMapper:
             self.arena.add_observation(mp, kf1, int(i1))
             self.arena.add_observation(mp, kf2, i2)
             self.arena.compute_distinctive_descriptor(mp)
-            self.arena.update_normal_and_depth(mp, self.scale_factors)
             self.recent_points.append((mp.id, kf1.id))
+            created.append(mp)
+        self.arena.update_normals_many(created, self.scale_factors)
 
     # ----- fusion (reference SearchInNeighbors :235-293) -------------------
 
@@ -599,11 +601,11 @@ class LocalMapper:
             e_pt=jnp.asarray(e_pt), e_uv=jnp.asarray(e_uv),
             e_inv_sigma2=jnp.asarray(e_is2), e_valid=jnp.asarray(e_valid),
             e_ur=jnp.asarray(e_ur), bf=self.cfg.camera.bf)
-        Tcw_new, X_new, inlier = local_bundle_adjustment(
+        Tcw_d, X_d, inl_d = local_bundle_adjustment(
             prob, cam.fx, cam.fy, cam.cx, cam.cy)
-        Tcw_new = np.asarray(Tcw_new)
-        X_new = np.asarray(X_new)
-        inlier = np.asarray(inlier)
+        # One fetch for all three results (each np.asarray costs a host
+        # round trip on the TPU tunnel).
+        Tcw_new, X_new, inlier = jax.device_get((Tcw_d, X_d, inl_d))
         # Write back (reference :692-738, under the map-update mutex there).
         for c_id, i in cam_index.items():
             if not cam_fixed[i]:
@@ -618,10 +620,10 @@ class LocalMapper:
                 mp = self.arena.mps.get(m)
                 if mp is not None:
                     self.arena.erase_observation(mp, kf_id)
-        for m in pt_ids:
-            mp = self.arena.mps.get(m)
-            if mp is not None and not mp.bad:
-                self.arena.update_normal_and_depth(mp, self.scale_factors)
+        self.arena.update_normals_many(
+            [mp for m in pt_ids
+             if (mp := self.arena.mps.get(m)) is not None and not mp.bad],
+            self.scale_factors)
         self._abort_ba = False
 
     # ----- keyframe culling (reference :382-410) ---------------------------

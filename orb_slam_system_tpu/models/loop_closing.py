@@ -437,6 +437,7 @@ class LoopCloser:
             corrected[g_id] = {"s": Scw["s"], "R": R_n, "t": t_n}
         # 2. Correct the group's map points + update poses (:253-290).
         moved: set[int] = set()
+        moved_recs = []
         for g_id, S_n in corrected.items():
             gkf = arena.kfs[g_id]
             T_old = non_corrected[g_id]
@@ -451,13 +452,14 @@ class LoopCloser:
                 sinv = 1.0 / S_n["s"]
                 p_new = sinv * (S_n["R"].T @ (pc - S_n["t"]))
                 mp.pos = p_new.astype(np.float32)
-                arena.update_normal_and_depth(mp, self.scale_factors)
                 moved.add(int(mid))
+                moved_recs.append(mp)
             # Pose: SE3 from corrected Sim3 with t/s (reference :283-288).
             gkf.Tcw = np.eye(4, dtype=np.float32)
             gkf.Tcw[:3, :3] = S_n["R"]
             gkf.Tcw[:3, 3] = S_n["t"] / S_n["s"]
             arena.update_connections(gkf)
+        arena.update_normals_many(moved_recs, self.scale_factors)
         # 3. Fuse matched loop points into the current KF (:273-279).
         for feat_idx, loop_mid in cur_matches.items():
             cur_mid = int(kf.mp_ids[feat_idx])
@@ -598,6 +600,7 @@ class LoopCloser:
             T[:3, :3] = Rn[i]
             T[:3, 3] = tn[i] / max(sn[i], 1e-9)
             arena.kfs[k_id].Tcw = T
+        eg_moved = []
         for mp in list(arena.mps.values()):
             ref_id = mp.ref_kf if mp.ref_kf in index else next(
                 (k for k in mp.obs if k in index), None)
@@ -609,7 +612,8 @@ class LoopCloser:
             # p_new = S_new^-1 (pc) with S_new = (sR, t).
             p_new = (Rn[i].T @ (pc - tn[i])) / max(sn[i], 1e-9)
             mp.pos = p_new.astype(np.float32)
-            arena.update_normal_and_depth(mp, self.scale_factors)
+            eg_moved.append(mp)
+        arena.update_normals_many(eg_moved, self.scale_factors)
 
     def _build_gba_problem(self):
         """Snapshot the whole arena into a BAProblem (upstream
@@ -715,6 +719,7 @@ class LoopCloser:
             if k in arena.kfs:
                 arena.kfs[k].Tcw = T
         p_index = {m: i for i, m in enumerate(mp_ids)}
+        moved = []
         for m, mp in list(arena.mps.items()):
             if m in p_index:
                 mp.pos = X_n[p_index[m]].copy()
@@ -729,7 +734,8 @@ class LoopCloser:
                 T_new = new_pose[ref]
                 mp.pos = (T_new[:3, :3].T @ (pc - T_new[:3, 3])).astype(
                     np.float32)
-            arena.update_normal_and_depth(mp, self.scale_factors)
+            moved.append(mp)
+        arena.update_normals_many(moved, self.scale_factors)
         return True
 
 
