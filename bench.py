@@ -135,12 +135,18 @@ def main():
         out = step(imgs, prev_desc, prev_valid)
         n_valid = float(np.asarray(out[1])) / B
 
+    # Best-of-3 timing loops: the TPU tunnel's dispatch latency drifts by
+    # tens of percent between windows; the minimum is the honest device
+    # throughput.
     iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(imgs, prev_desc, prev_valid)
-    _ = float(np.asarray(out[0]))  # scalar fetch = real synchronization
-    dt = time.perf_counter() - t0
+    best_dt = float("inf")
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step(imgs, prev_desc, prev_valid)
+        _ = float(np.asarray(out[0]))  # scalar fetch = real synchronization
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    dt = best_dt
     frames_per_sec = B * iters / dt
     kps_per_sec = frames_per_sec * n_valid
 

@@ -131,6 +131,12 @@ class MapArena:
         self.next_mp_id = 0
         self.kf_origin_id = -1
         self.big_change_idx = 0
+        # Monotone mutation counter: bumped whenever map-point state that
+        # feeds the tracker's local-map block (pos/normal/dists/desc/alive
+        # set) can change. Lets the tracker cache the padded local-map
+        # arrays between keyframes (rebuilding them each frame was a major
+        # host cost at device-speed frame rates).
+        self.version = 0
         # Callbacks fired when a keyframe is erased (e.g. keyframe-database
         # index maintenance, reference KeyFrameDatabase::erase).
         self.erase_hooks = []
@@ -155,6 +161,7 @@ class MapArena:
         return kf
 
     def new_point(self, pos, desc, ref_kf: int, first_kf_id: int) -> MapPointRec:
+        self.version += 1
         mp = MapPointRec(
             id=self.next_mp_id,
             pos=np.asarray(pos, np.float32).copy(),
@@ -178,6 +185,7 @@ class MapArena:
         kf.mp_ids[feat_idx] = mp.id
 
     def erase_observation(self, mp: MapPointRec, kf_id: int):
+        self.version += 1
         idx = mp.obs.pop(kf_id, None)
         if idx is not None:
             kf = self.kfs.get(kf_id)
@@ -191,6 +199,7 @@ class MapArena:
             self.set_point_bad(mp)
 
     def set_point_bad(self, mp: MapPointRec):
+        self.version += 1
         mp.bad = True
         for kf_id, idx in list(mp.obs.items()):
             kf = self.kfs.get(kf_id)
@@ -202,6 +211,7 @@ class MapArena:
     def replace_point(self, old: MapPointRec, new: MapPointRec):
         """MapPoint::Replace (src/MapPoint.cc:153-190): move observations,
         merge visibility counters."""
+        self.version += 1
         if old.id == new.id:
             return
         for kf_id, idx in list(old.obs.items()):
@@ -227,6 +237,7 @@ class MapArena:
     def compute_distinctive_descriptor(self, mp: MapPointRec):
         """Representative descriptor = min-median-Hamming over observations
         (reference src/MapPoint.cc:222-278)."""
+        self.version += 1
         descs = []
         for kf_id, idx in mp.obs.items():
             kf = self.kfs.get(kf_id)
@@ -241,6 +252,7 @@ class MapArena:
 
     def update_normal_and_depth(self, mp: MapPointRec, scale_factors: np.ndarray):
         """Reference src/MapPoint.cc:301-351."""
+        self.version += 1
         if not mp.obs:
             return
         normal = np.zeros(3, np.float64)
@@ -271,6 +283,7 @@ class MapArena:
         every observation, which dominates keyframe-time host work when
         thousands of points move (triangulation, BA write-back, loop
         corrections)."""
+        self.version += 1
         centers: Dict[int, np.ndarray] = {}
 
         def center(kf_id):

@@ -610,6 +610,7 @@ class LocalMapper:
         for c_id, i in cam_index.items():
             if not cam_fixed[i]:
                 self.arena.kfs[c_id].Tcw = Tcw_new[i].copy()
+        self.arena.version += 1  # point positions move (local-map cache)
         for m, i in pt_index.items():
             mp = self.arena.mps.get(m)
             if mp is not None:

@@ -452,6 +452,7 @@ class LoopCloser:
                 sinv = 1.0 / S_n["s"]
                 p_new = sinv * (S_n["R"].T @ (pc - S_n["t"]))
                 mp.pos = p_new.astype(np.float32)
+                self.arena.version += 1  # local-map cache invalidation
                 moved.add(int(mid))
                 moved_recs.append(mp)
             # Pose: SE3 from corrected Sim3 with t/s (reference :283-288).

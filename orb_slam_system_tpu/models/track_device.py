@@ -60,7 +60,7 @@ class TrackPrograms:
                 ur = jnp.full(packed.shape[0], -1.0, jnp.float32)
             return xy, ang, octv, valid, desc, ur
 
-        def motion_step(proj, ok, pos_last, packed_last, packed_cur,
+        def motion_core(proj, ok, pos_last, packed_last, packed_cur,
                         Tcw_pred, th):
             _, ang_last, oct_last, _, desc_last, _ = unpack(packed_last)
             cur_xy, cur_ang, cur_oct, cur_valid, cur_desc, cur_ur = \
@@ -97,6 +97,12 @@ class TrackPrograms:
                 inv_sigma2[cur_oct[best_j]], matched,
                 fx, fy, cx, cy,
                 obs_ur=jnp.where(matched, obs_ur, -1.0), bf=bf)
+            return T_opt, best_j, matched, inlier, n_in, cur_valid
+
+        def motion_step(proj, ok, pos_last, packed_last, packed_cur,
+                        Tcw_pred, th):
+            T_opt, best_j, matched, inlier, n_in, cur_valid = motion_core(
+                proj, ok, pos_last, packed_last, packed_cur, Tcw_pred, th)
             packed = jnp.concatenate([
                 T_opt.ravel(),
                 best_j.astype(jnp.float32),
@@ -111,7 +117,7 @@ class TrackPrograms:
         self._motion_step = jax.jit(motion_step)
         self._n = n_slots
 
-        def localmap_step(pos, normal, mind, maxd, lm_desc, lm_valid,
+        def localmap_core(pos, normal, mind, maxd, lm_desc, lm_valid,
                           Xw_pre, ok_pre, packed_cur, already, Tcw):
             cur_xy, cur_ang, cur_oct, cur_valid, cur_desc, cur_ur = \
                 unpack(packed_cur)
@@ -140,6 +146,13 @@ class TrackPrograms:
                 Tcw, Xw, cur_xy, inv_sigma2[cur_oct], ok,
                 fx, fy, cx, cy,
                 obs_ur=jnp.where(ok, cur_ur, -1.0), bf=bf)
+            return T_opt, idx2, visible, inlier, n_in
+
+        def localmap_step(pos, normal, mind, maxd, lm_desc, lm_valid,
+                          Xw_pre, ok_pre, packed_cur, already, Tcw):
+            T_opt, idx2, visible, inlier, n_in = localmap_core(
+                pos, normal, mind, maxd, lm_desc, lm_valid,
+                Xw_pre, ok_pre, packed_cur, already, Tcw)
             packed = jnp.concatenate([
                 T_opt.ravel(),
                 idx2.astype(jnp.float32),
@@ -151,6 +164,58 @@ class TrackPrograms:
 
         self._localmap_step = jax.jit(localmap_step)
         self._p = local_slots
+
+        def fused_step(proj, ok, pos_last, packed_last, packed_cur,
+                       Tcw_pred, th,
+                       lm_pos, lm_normal, lm_mind, lm_maxd, lm_desc,
+                       lm_valid, last2local):
+            """Motion-model stage + local-map stage as ONE device program
+            (one host round trip per steady-state frame instead of two).
+
+            The local-map block is chosen by the host from the PREVIOUS
+            frame's final associations (the reference recomputes the local
+            keyframe set from the current frame's motion matches,
+            src/Tracking.cc:719-794; one frame of covisibility staleness —
+            the host falls back to the exact two-step path when the fused
+            result is weak). `last2local` maps each last-frame slot to its
+            point's slot in the local block (-1 if absent) so the
+            in-program association scatter can exclude already-matched
+            points exactly like SearchLocalPoints (:661-678)."""
+            n = pos_last.shape[0]
+            P = lm_pos.shape[0]
+            T1, best_j, matched, inlier1, n_in1, cur_valid = motion_core(
+                proj, ok, pos_last, packed_last, packed_cur, Tcw_pred, th)
+            good = matched & inlier1
+            safe_j = jnp.where(good, best_j, 0)
+            Xw_pre = jnp.zeros((n, 3), jnp.float32)
+            Xw_pre = Xw_pre.at[safe_j].set(
+                jnp.where(good[:, None], pos_last, Xw_pre[safe_j]))
+            ok_pre = jnp.zeros(n, bool)
+            ok_pre = ok_pre.at[safe_j].set(ok_pre[safe_j] | good)
+            # Local-block points already claimed by the motion stage.
+            ll = jnp.where(good & (last2local >= 0), last2local, P)
+            already_local = jnp.zeros(P, bool).at[ll].set(True, mode="drop")
+            T2, idx2, visible, inlier2, n_in2 = localmap_core(
+                lm_pos, lm_normal, lm_mind, lm_maxd, lm_desc,
+                lm_valid & ~already_local,
+                Xw_pre, ok_pre, packed_cur, ok_pre, T1)
+            packed = jnp.concatenate([
+                T2.ravel(),
+                best_j.astype(jnp.float32),
+                matched.astype(jnp.float32),
+                inlier1.astype(jnp.float32),
+                idx2.astype(jnp.float32),
+                visible.astype(jnp.float32),
+                already_local.astype(jnp.float32),
+                inlier2.astype(jnp.float32),
+                jnp.stack([n_in1.astype(jnp.float32),
+                           jnp.sum(matched.astype(jnp.float32)),
+                           jnp.sum(cur_valid.astype(jnp.float32)),
+                           n_in2.astype(jnp.float32)]),
+            ])
+            return packed
+
+        self._fused_step = jax.jit(fused_step)
 
     # ---- host wrappers: one call, one fetch, numpy outputs ---------------
 
@@ -190,3 +255,34 @@ class TrackPrograms:
         inlier = out[16 + 2 * p:16 + 2 * p + n] > 0.5
         n_in = int(out[16 + 2 * p + n])
         return T, idx2, visible, inlier, n_in
+
+    def fused_step(self, proj, ok, pos_last, packed_last, packed_cur,
+                   Tcw_pred, lm_pos, lm_normal, lm_mind, lm_maxd, lm_desc,
+                   lm_valid, last2local, th=15.0):
+        """One call, ONE fetch: motion + local-map tracking stages fused."""
+        out = np.asarray(self._fused_step(
+            jnp.asarray(proj.astype(np.float32)), jnp.asarray(ok),
+            jnp.asarray(pos_last.astype(np.float32)),
+            packed_last, packed_cur,
+            jnp.asarray(Tcw_pred.astype(np.float32)),
+            jnp.asarray(th, jnp.float32),
+            jnp.asarray(lm_pos.astype(np.float32)),
+            jnp.asarray(lm_normal.astype(np.float32)),
+            jnp.asarray(lm_mind.astype(np.float32)),
+            jnp.asarray(lm_maxd.astype(np.float32)),
+            jnp.asarray(lm_desc), jnp.asarray(lm_valid),
+            jnp.asarray(last2local.astype(np.int32))))
+        n, p = len(ok), self._p
+        o = 16
+        T2 = out[:16].reshape(4, 4).astype(np.float32)
+        best_j = out[o:o + n].astype(np.int64); o += n
+        matched = out[o:o + n] > 0.5; o += n
+        inlier1 = out[o:o + n] > 0.5; o += n
+        idx2 = out[o:o + p].astype(np.int64); o += p
+        visible = out[o:o + p] > 0.5; o += p
+        already = out[o:o + p] > 0.5; o += p
+        inlier2 = out[o:o + n] > 0.5; o += n
+        n_in1 = int(out[o]); n_matched = int(out[o + 1])
+        n_valid_cur = int(out[o + 2]); n_in2 = int(out[o + 3])
+        return (T2, best_j, matched, inlier1, idx2, visible, already,
+                inlier2, n_in1, n_matched, n_valid_cur, n_in2)

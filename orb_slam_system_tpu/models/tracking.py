@@ -86,6 +86,8 @@ class Tracker:
             make_ransac_sets(self.init_builder.extractor.n_slots, 200, 8, seed=0))
         self.n_inliers = 0
         self.local_kf_ids: list[int] = []
+        # ((local_kf_ids tuple, arena.version) -> padded local-map block)
+        self._local_block_cache = None
         self.frames_since_reloc = 10 ** 9
         # Valid-keypoint count of the current frame, reported by the fused
         # motion step so telemetry doesn't force a host materialization.
@@ -141,15 +143,20 @@ class Tracker:
             return
 
         ok = False
+        fused_done = False
         if self.state == TrackingState.OK:
             self._replace_updated_points(self.last_frame)
             if not self.only_tracking or not self.mb_vo:
                 # Normal tracking (localization mode with enough map
                 # matches follows the same path, reference :521-529).
-                if self.velocity is not None:
-                    ok = self.track_with_motion_model()
-                if not ok:
-                    ok = self.track_reference_keyframe()
+                if self.track_fused():
+                    ok = True
+                    fused_done = True
+                else:
+                    if self.velocity is not None:
+                        ok = self.track_with_motion_model()
+                    if not ok:
+                        ok = self.track_reference_keyframe()
             else:
                 # Localization-mode VO (mbVO, reference :530-571): the last
                 # frame tracked mostly temporary depth points — run BOTH
@@ -177,7 +184,9 @@ class Tracker:
             if ok:
                 self.frames_since_reloc = 0
 
-        if ok and not self.only_tracking:
+        if fused_done:
+            pass  # local map already tracked inside the fused program
+        elif ok and not self.only_tracking:
             ok = self.track_local_map()
         elif ok and self.only_tracking and not self.mb_vo:
             # In localization mode the local map is only searched when the
@@ -616,20 +625,27 @@ class Tracker:
         return True
 
     def _gather_local_points(self):
-        """Padded device arrays for the local map point set."""
-        seen: set[int] = set()
-        ids: list[int] = []
-        for kf_id in self.local_kf_ids:
-            kf = self.arena.kfs.get(kf_id)
-            if kf is None:
-                continue
-            for mid in kf.mp_ids:
-                if mid >= 0 and int(mid) not in seen:
-                    mp = self.arena.mps.get(int(mid))
-                    if mp is not None and not mp.bad:
-                        seen.add(int(mid))
-                        ids.append(int(mid))
-        ids = ids[:LOCAL_MAP_SLOTS]
+        """Padded device arrays for the local map point set.
+
+        Cached on (local keyframe set, arena.version): between keyframe
+        insertions the map is immutable, so the block — previously rebuilt
+        with ~|local KFs| x n_slots dict lookups EVERY frame — is reused
+        verbatim. Any mutator that can move/retire/re-describe a point
+        bumps arena.version (see mapping/arena.py)."""
+        key = (tuple(self.local_kf_ids), self.arena.version)
+        if self._local_block_cache is not None \
+                and self._local_block_cache[0] == key:
+            return self._local_block_cache[1]
+        id_arrays = [self.arena.kfs[k].mp_ids for k in self.local_kf_ids
+                     if k in self.arena.kfs]
+        if id_arrays:
+            all_ids = np.concatenate(id_arrays)
+            uniq = np.unique(all_ids[all_ids >= 0])
+        else:
+            uniq = np.empty(0, np.int64)
+        ids = [int(m) for m in uniq
+               if (mp := self.arena.mps.get(int(m))) is not None
+               and not mp.bad][:LOCAL_MAP_SLOTS]
         P = LOCAL_MAP_SLOTS
         pos = np.zeros((P, 3), np.float32)
         normal = np.zeros((P, 3), np.float32)
@@ -645,7 +661,9 @@ class Tracker:
             maxd[k] = 1.2 * mp.max_dist
             desc[k] = mp.desc
             valid[k] = True
-        return ids, pos, normal, mind, maxd, desc, valid
+        out = (ids, pos, normal, mind, maxd, desc, valid)
+        self._local_block_cache = (key, out)
+        return out
 
     def track_local_map(self) -> bool:
         if not self.update_local_keyframes():
@@ -704,6 +722,87 @@ class Tracker:
         if self.frames_since_reloc < self.max_frames and self.n_inliers < 50:
             return False
         return self.n_inliers >= 30
+
+    def track_fused(self):
+        """1-RTT steady-state tracking: motion-model + local-map stages in
+        ONE device program (track_device.fused_step). The local-map block
+        comes from the PREVIOUS frame's final associations — the reference
+        rebuilds the local keyframe set from the current frame's motion
+        matches (src/Tracking.cc:719-794); here it lags one frame, and
+        update_local_keyframes() runs on this frame's FINAL associations to
+        prepare the next frame. Returns True/False like the two-step path,
+        or None to request the exact two-step fallback (weak result or
+        insufficient prior state)."""
+        if (self.only_tracking or self.velocity is None
+                or not self.local_kf_ids or self.last_frame is None):
+            return None
+        cur, last = self.current, self.last_frame
+        ids, pos_lm, normal, mind, maxd, desc_lm, valid_lm = \
+            self._gather_local_points()
+        if not ids:
+            return None
+        pos, ok = self._gather_frame_points(last)
+        if ok.sum() < 10:
+            return None
+        cam = self.cfg.camera
+        Tcw_pred = (self.velocity @ last.Tcw).astype(np.float32)
+        Xc = pos @ Tcw_pred[:3, :3].T + Tcw_pred[:3, 3]
+        z = Xc[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            proj = Xc[:, :2] / np.where(np.abs(z[:, None]) < 1e-9, 1e-9,
+                                        z[:, None])
+        proj = proj * [cam.fx, cam.fy] + [cam.cx, cam.cy]
+        ok = ok & (z > 0)
+        # last slot -> local block slot (identity known pre-call).
+        ids_arr = np.asarray(ids, np.int64)
+        order = np.argsort(ids_arr)
+        sorted_ids = ids_arr[order]
+        li = np.clip(np.searchsorted(sorted_ids, last.mp_ids), 0,
+                     len(sorted_ids) - 1)
+        found = (sorted_ids[li] == last.mp_ids) & (last.mp_ids >= 0)
+        last2local = np.where(found, order[li], -1).astype(np.int32)
+        (T2, best_j, matched, inlier1, idx2, visible, already, inlier2,
+         n_in1, n_matched, n_valid, n_in2) = self.programs.fused_step(
+            proj, ok, pos, last.packed_dev, cur.packed_dev, Tcw_pred,
+            pos_lm, normal, mind, maxd, desc_lm, valid_lm, last2local)
+        self.last_n_valid = n_valid
+        if n_matched < 20 or n_in1 < 10:
+            return None
+        # Acceptance gates first (reference :570-575): a weak fused result
+        # falls back to the exact two-step path with NO state mutated (the
+        # stale local block may be the culprit).
+        if n_in2 < 30 or (self.frames_since_reloc < self.max_frames
+                          and n_in2 < 50):
+            return None
+        # Motion-stage bookkeeping: only inlier edges attach (the two-step
+        # path attaches then prunes — same end state).
+        cur.mp_ids[:] = -1
+        cur.vo_points = {}
+        good = matched & inlier1
+        cur.mp_ids[best_j[good]] = last.mp_ids[good]
+        # Local-map bookkeeping (mirrors track_local_map).
+        for k in np.nonzero(visible | already)[0]:
+            if k < len(ids):
+                mp = self.arena.mps.get(ids[k])
+                if mp is not None:
+                    mp.n_visible += 1
+        for k in np.nonzero(idx2 >= 0)[0]:
+            cur.mp_ids[idx2[k]] = ids[k]
+        cur.Tcw = T2
+        edge_ok = cur.mp_ids >= 0
+        out = edge_ok & ~inlier2
+        cur.outlier = out
+        cur.mp_ids[out] = -1
+        self.n_inliers = n_in2
+        for k, mid in enumerate(cur.mp_ids):
+            if mid >= 0 and not cur.outlier[k]:
+                mp = self.arena.mps.get(int(mid))
+                if mp is not None:
+                    mp.n_found += 1
+        # Refresh local keyframes + reference KF from the FINAL
+        # associations (feeds the next frame's fused block).
+        self.update_local_keyframes()
+        return True
 
     def _clean_outlier_associations(self):
         cur = self.current

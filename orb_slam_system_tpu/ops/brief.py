@@ -81,19 +81,21 @@ import ml_dtypes  # ships with jax
 _E_BINNED = _binned_test_matrices().astype(ml_dtypes.bfloat16)
 
 
-def compute_descriptors(patches: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
-    """patches: f32[B,N,P,P] from the *blurred* level image, P=2*18+1=37;
-    angles: f32[B,N] radians. Returns uint32[B,N,8] packed descriptors.
+def _angle_bins(angles: jnp.ndarray) -> jnp.ndarray:
+    bin_f = angles * (N_ANGLE_BINS / (2 * jnp.pi))
+    return jnp.round(bin_f).astype(jnp.int32) % N_ANGLE_BINS
 
-    MXU formulation: instead of 512 rotated scalar gathers per keypoint
-    (gather-bound on TPU), the intensity differences for ALL angle bins are
-    computed as one bf16 contraction against static +/-1 test matrices, and
-    each keypoint selects its bin's row — turning the descriptor into a
-    matmul (SURVEY.md §7.1 MXU-first rule)."""
+
+def compute_descriptors_dense(patches: jnp.ndarray,
+                              angles: jnp.ndarray) -> jnp.ndarray:
+    """Reference formulation (all angle bins computed, one selected):
+    kept as the oracle for equality tests and small problem sizes.
+
+    patches: f32[B,N,P,P] from the *blurred* level image, P=2*18+1=37;
+    angles: f32[B,N] radians. Returns uint32[B,N,8] packed descriptors."""
     B, N, P, _ = patches.shape
     assert P == 2 * PATCH_RADIUS + 1
-    bin_f = angles * (N_ANGLE_BINS / (2 * jnp.pi))
-    bins = jnp.round(bin_f).astype(jnp.int32) % N_ANGLE_BINS   # [B,N]
+    bins = _angle_bins(angles)                                 # [B,N]
     flat = patches.reshape(B, N, P * P).astype(jnp.bfloat16)
     E = jnp.asarray(_E_BINNED, jnp.bfloat16)                   # [A,PP,256]
     # diffs[a, b*n, bit] = patch . E[a]  -> select per-keypoint bin.
@@ -103,6 +105,83 @@ def compute_descriptors(patches: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarra
         diffs, bins[:, None, :, None].astype(jnp.int32), axis=1)[:, 0]
     bits = (sel > 0).astype(jnp.uint32)                        # [B,N,256]
     return pack_bits(bits)
+
+
+# Chunk size for the binned-sort descriptor path: keypoints sorted by angle
+# bin are processed in single-bin chunks of CHUNK rows, so each chunk
+# contracts against ONE [P*P, 256] test matrix instead of all 32 (the dense
+# einsum above computes 32x the needed FLOPs and was the extractor's
+# hottest op after the r2 kernel round).
+CHUNK = 128
+
+# Test hook: force the binned-chunk path on non-TPU backends (CPU equality
+# tests vs the dense oracle).
+FORCE_BINNED = False
+
+
+def _chunk_layout(bins_flat: jnp.ndarray, n_chunks: int):
+    """Assign each keypoint a slot in a padded, bin-sorted layout where
+    every CHUNK-row chunk holds keypoints of a single angle bin.
+
+    bins_flat: i32[M]. Returns (padded_idx i32[n_chunks*CHUNK] with M as
+    the dummy row id, chunk_bin i32[n_chunks], slot_of i32[M])."""
+    M = bins_flat.shape[0]
+    # Rank-within-bin via one-hot prefix sum: no argsort needed (lax sort
+    # of M keys was ~1.9 ms on TPU; this is a [M, A] cumsum).
+    oh = (bins_flat[:, None]
+          == jnp.arange(N_ANGLE_BINS, dtype=jnp.int32)[None, :])
+    ohi = oh.astype(jnp.int32)
+    counts = jnp.sum(ohi, axis=0)                                # [A]
+    rank_in_bin = jnp.sum(jnp.cumsum(ohi, axis=0) * ohi, axis=1) - 1
+    chunks_per_bin = (counts + CHUNK - 1) // CHUNK
+    chunk_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(chunks_per_bin)])   # [A+1]
+    slot = chunk_start[bins_flat] * CHUNK + rank_in_bin          # [M]
+    padded_idx = jnp.full((n_chunks * CHUNK,), M, jnp.int32).at[slot].set(
+        jnp.arange(M, dtype=jnp.int32))
+    k = jnp.arange(n_chunks, dtype=jnp.int32)
+    chunk_bin = jnp.clip(
+        jnp.searchsorted(chunk_start[1:], k, side="right"),
+        0, N_ANGLE_BINS - 1).astype(jnp.int32)
+    return padded_idx, chunk_bin, slot
+
+
+def compute_descriptors(patches: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
+    """patches: f32[B,N,P,P] from the *blurred* level image, P=2*18+1=37;
+    angles: f32[B,N] radians. Returns uint32[B,N,8] packed descriptors.
+
+    MXU formulation: instead of 512 rotated scalar gathers per keypoint
+    (gather-bound on TPU), keypoints are sorted by angle bin and processed
+    in single-bin chunks, each one a [CHUNK, P*P] @ [P*P, 256] bf16 matmul
+    against that bin's static +/-1 test matrix (SURVEY.md §7.1 MXU-first
+    rule). Bit-identical to compute_descriptors_dense: same per-keypoint
+    contraction, just without materializing the 31 unused bins."""
+    B, N, P, _ = patches.shape
+    assert P == 2 * PATCH_RADIUS + 1
+    if jax.default_backend() != "tpu" and not FORCE_BINNED:
+        # The chunk layout + per-chunk matmuls only pay off on the MXU;
+        # bit-identical to the dense oracle (asserted in tests).
+        return compute_descriptors_dense(patches, angles)
+    M = B * N
+    # Worst-case chunk count: full occupancy + one partial chunk per bin.
+    n_chunks = -(-M // CHUNK) + N_ANGLE_BINS
+    bins = _angle_bins(angles).reshape(M)
+    padded_idx, chunk_bin, slot_of = _chunk_layout(bins, n_chunks)
+    flat = patches.reshape(M, P * P).astype(jnp.bfloat16)
+    flat = jnp.concatenate(
+        [flat, jnp.zeros((1, P * P), jnp.bfloat16)], axis=0)   # dummy row M
+    p_sorted = flat[padded_idx]                      # [S, PP] row gather
+    from orb_slam_system_tpu.ops import brief_pallas
+    if brief_pallas.use_pallas():
+        diffs = brief_pallas.binned_diffs_pallas(p_sorted, chunk_bin)
+    else:
+        E = jnp.asarray(_E_BINNED, jnp.bfloat16)               # [A,PP,256]
+        diffs = jnp.einsum(
+            "kcp,kpq->kcq",
+            p_sorted.reshape(n_chunks, CHUNK, P * P), E[chunk_bin],
+            preferred_element_type=jnp.float32).reshape(-1, N_BITS)
+    bits = (diffs[slot_of] > 0).astype(jnp.uint32)             # [M,256]
+    return pack_bits(bits).reshape(B, N, 8)
 
 
 def pack_bits(bits: jnp.ndarray) -> jnp.ndarray:

@@ -102,8 +102,22 @@ class ORBExtractor:
             self._pre_nms = False
         if gather_pallas.use_pallas():
             self._gather_fn = gather_pallas.gather_patches_pallas
+            self._fused_gather = True
         else:
             self._gather_fn = gather_patches
+            self._fused_gather = False
+        # All-level gather canvas geometry: each reflect-padded level is
+        # stacked at an 8-aligned row offset so ONE kernel call gathers
+        # every level's patches (see _extract).
+        shapes = pyr_ops.level_shapes(height, width, cfg.n_levels,
+                                      cfg.scale_factor)
+        offs, rows = [], 0
+        for (h, _w) in shapes:
+            offs.append(rows)
+            rows += -(-(h + 6) // 8) * 8
+        self._canvas_offs = offs
+        self._canvas_rows = rows
+        self._canvas_cols = width + 6
         self._fn = jax.jit(self._extract)
 
     def __call__(self, img: jnp.ndarray) -> FeatureSet:
@@ -113,45 +127,59 @@ class ORBExtractor:
     def _extract(self, img: jnp.ndarray) -> FeatureSet:
         cfg = self.cfg
         levels = pyr_ops.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
-        xs, resps, valids, octs, patch_blocks = [], [], [], [], []
-        for l, lvl in enumerate(levels):
-            n_l = self.budgets[l]
-            if n_l <= 0:
-                continue
-            score = self._score_fn(lvl, EDGE_MARGIN)
-            xy_l, resp, valid = fast_ops.select_keypoints(
-                score,
-                n_max=n_l,
-                ini_th=float(cfg.ini_th_fast),
-                min_th=float(cfg.min_th_fast),
-                cell=self.cell,
-                border=EDGE_MARGIN,
-                pre_nms=self._pre_nms,
-            )
-            # ONE patch gather per level: a 43x43 patch (radius 21 =
-            # descriptor radius 18 + blur halo 3) from the reflect-padded
-            # unblurred level serves both the IC-angle moments (center
-            # 31x31) and, after an in-patch separable 7x7 blur, the rBRIEF
-            # sampling window — replacing two gathers + an image-wide blur
-            # (gathers are the TPU bottleneck; the per-patch blur is ~50M
-            # MACs per batch).
-            R_G = PATCH_RADIUS + 3
-            padded = jnp.pad(lvl, ((0, 0), (3, 3), (3, 3)), mode="reflect")
-            patch_blocks.append(self._gather_fn(padded, xy_l + 3, R_G))
+        B = img.shape[0]
+        R_G = PATCH_RADIUS + 3
+        xs, resps, valids, octs, xy_gather = [], [], [], [], []
+        active = [l for l in range(len(levels)) if self.budgets[l] > 0]
+        # ALL levels' keypoint selection in ONE fused program (stacked
+        # cell grids + per-row budgets); 8 sequential per-level selects
+        # were dispatch-bound on TPU.
+        selections = fast_ops.select_keypoints_multi(
+            [self._score_fn(levels[l], EDGE_MARGIN) for l in active],
+            [self.budgets[l] for l in active],
+            ini_th=float(cfg.ini_th_fast),
+            min_th=float(cfg.min_th_fast),
+            cell=self.cell,
+            pre_nms=self._pre_nms,
+        )
+        for l, (xy_l, resp, valid) in zip(active, selections):
+            # Per-level gather coordinates in the all-level canvas (below):
+            # +3 for the reflect-pad blur halo, + the level's row offset.
+            xy_gather.append(xy_l + jnp.asarray([3, 3 + self._canvas_offs[l]],
+                                                jnp.int32))
             xs.append(xy_l.astype(jnp.float32) * self.scales[l])
             resps.append(resp)
             valids.append(valid)
             octs.append(jnp.full(resp.shape, l, jnp.int32))
-        # Post-gather compute (IC angle, in-patch blur, rBRIEF matmul) runs
-        # ONCE over ALL levels' patches concatenated: 8 small per-level
-        # programs starve the MXU (the [A,P*P,256] descriptor contraction
-        # wants a large batch); one fused block keeps it fed.
-        patches_g = jnp.concatenate(patch_blocks, axis=1)  # [B, N_all, P, P]
-        c0 = (PATCH_RADIUS + 3) - HALF_PATCH
-        patches_o = patches_g[:, :, c0:c0 + 2 * HALF_PATCH + 1,
-                              c0:c0 + 2 * HALF_PATCH + 1]
-        ang = ic_angles(patches_o)
-        patches_d = _blur_patches(patches_g)
+        # ONE patch gather for ALL levels: the reflect-padded levels are
+        # stacked into a single canvas (8-aligned row offsets) so a single
+        # kernel call extracts every 43x43 patch (radius 21 = descriptor
+        # radius 18 + blur halo 3); per-level kernel launches starved the
+        # DMA pipeline. The patch serves both the IC-angle moments (center
+        # 31x31) and, after the in-patch separable 7x7 blur, the rBRIEF
+        # window — replacing two gathers + an image-wide blur.
+        canvas = jnp.zeros((B, self._canvas_rows, self._canvas_cols),
+                           img.dtype)
+        for l, lvl in enumerate(levels):
+            padded = jnp.pad(lvl, ((0, 0), (3, 3), (3, 3)), mode="reflect")
+            canvas = jax.lax.dynamic_update_slice(
+                canvas, padded, (0, self._canvas_offs[l], 0))
+        xy_all = jnp.concatenate(xy_gather, axis=1)        # [B, N_all, 2]
+        if self._fused_gather:
+            # Gather + in-VMEM blur + IC moments in ONE Pallas kernel: the
+            # raw 43x43 patch never round-trips through HBM.
+            from orb_slam_system_tpu.ops import gather_pallas
+            from orb_slam_system_tpu.ops.orientation import angles_from_moments
+            patches_d, mom = gather_pallas.gather_blur_moments_pallas(
+                canvas, xy_all, R_G)
+            ang = angles_from_moments(mom)
+        else:
+            patches_g = self._gather_fn(canvas, xy_all, R_G)  # [B,N_all,P,P]
+            c0 = (PATCH_RADIUS + 3) - HALF_PATCH
+            patches_o = patches_g[:, :, c0:c0 + 2 * HALF_PATCH + 1,
+                                  c0:c0 + 2 * HALF_PATCH + 1]
+            ang = ic_angles(patches_o)
+            patches_d = _blur_patches(patches_g)
         desc = compute_descriptors(patches_d, ang)
         return FeatureSet(
             xy=jnp.concatenate(xs, axis=1),

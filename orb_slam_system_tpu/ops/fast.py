@@ -112,6 +112,69 @@ def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(score >= pooled, score, 0.0)
 
 
+def _sortable_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """Monotone f32 -> uint32 mapping (IEEE total order incl. +/-inf)."""
+    i = jax.lax.bitcast_convert_type(x, jnp.int32)
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    flip = jnp.where(i < 0, jnp.uint32(0xFFFFFFFF), jnp.uint32(0x80000000))
+    return u ^ flip
+
+
+def _top_n_select_rows(key: jnp.ndarray, n_rows: jnp.ndarray, n_out: int):
+    """Exact per-row top-n selection over key f32[R,M] WITHOUT a sort,
+    with a PER-ROW budget n_rows i32[R] (<= n_out): 32-step radix search
+    finds each row's n-th largest bit pattern, threshold ties break toward
+    lower index (the set lax.top_k picks), survivors are compacted by
+    cumsum-scatter into n_out slots.
+
+    Returns (flat_idx i32[R,n_out], keyvals f32[R,n_out], filled
+    bool[R,n_out]). Output is in ascending-index order, not key order."""
+    R, M = key.shape
+    u = _sortable_bits(key)
+    n_col = n_rows[:, None]
+
+    def body(i, prefix):
+        shift = (jnp.int32(31) - i).astype(jnp.uint32)
+        cand = prefix | jax.lax.shift_left(jnp.uint32(1), shift)
+        c = jnp.sum((u >= cand[:, None]).astype(jnp.int32), axis=1)
+        return jnp.where(c >= n_rows, cand, prefix)
+
+    kth = jax.lax.fori_loop(0, 32, body,
+                            jnp.zeros((R,), jnp.uint32))[:, None]
+    strict = u > kth
+    n_strict = jnp.sum(strict.astype(jnp.int32), axis=1, keepdims=True)
+    ties = u == kth
+    tie_rank = jnp.cumsum(ties.astype(jnp.int32), axis=1)
+    selected = strict | (ties & (tie_rank <= n_col - n_strict))
+    pos = jnp.cumsum(selected.astype(jnp.int32), axis=1) - 1
+    pos = jnp.where(selected, pos, n_out)                  # n_out -> dropped
+    src = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (R, M))
+
+    def scatter_row(p, s):
+        return jnp.zeros((n_out,), jnp.int32).at[p].set(s, mode="drop")
+
+    flat_idx = jax.vmap(scatter_row)(pos, src)
+    count = jnp.sum(selected.astype(jnp.int32), axis=1, keepdims=True)
+    filled = jnp.arange(n_out, dtype=jnp.int32)[None, :] < count
+    keyvals = jnp.take_along_axis(key, flat_idx, axis=1)
+    return flat_idx, keyvals, filled
+
+
+def _top_n_select(key: jnp.ndarray, n: int):
+    """Exact top-n selection over key f32[B,M] WITHOUT a sort: 32-step
+    radix search finds the n-th largest value's bit pattern (count-reduce
+    per bit), ties at the threshold are broken toward lower index (same set
+    lax.top_k picks), and the survivors are compacted by cumsum-scatter.
+
+    Returns (flat_idx i32[B,n] indices into M, keyvals f32[B,n],
+    filled bool[B,n]). Output is in ascending-index order, not key order:
+    the n-element result is a SET (callers mask, they don't rank).
+    lax.top_k over M ~ 5k was the extractor's hottest op after the kernel
+    rounds; this replacement is O(32 reduces + one cumsum)."""
+    R = key.shape[0]
+    return _top_n_select_rows(key, jnp.full((R,), n, jnp.int32), n)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_max", "cell", "topk_per_cell", "border", "pre_nms"),
@@ -136,6 +199,26 @@ def select_keypoints(
 
     Returns (xy i32[B, n_max, 2] as (x, y), response f32[B, n_max],
     valid bool[B, n_max]).
+    """
+    B = score.shape[0]
+    vals, idx, hc, wc = _cell_candidates(score, ini_th, min_th, cell,
+                                         topk_per_cell, pre_nms)
+    flat_key = _order_key(vals, topk_per_cell).reshape(B, -1)
+    if jax.default_backend() == "tpu":
+        # Radix threshold select: TPU lax.top_k at k~n_max is a full sort.
+        flat_idx, top_vals, filled = _top_n_select(flat_key, n_max)
+    else:
+        top_vals, flat_idx = jax.lax.top_k(flat_key, n_max)
+        filled = jnp.ones_like(flat_idx, bool)
+    wc_rows = jnp.full((B,), wc, jnp.int32)
+    return _decode_selection(flat_idx, top_vals, filled, vals, idx,
+                             wc_rows, cell, topk_per_cell)
+
+
+def _cell_candidates(score, ini_th, min_th, cell, topk_per_cell, pre_nms):
+    """Dense score map -> per-cell top-K candidates.
+
+    Returns (vals f32[B,C,K], idx i32[B,C,K] in-cell flat position, hc, wc).
     """
     B, H, W = score.shape
     s = score if pre_nms else nms3x3(score)
@@ -167,24 +250,90 @@ def select_keypoints(
                               -jnp.inf, remaining)
     vals = jnp.stack(vals_l, axis=-1)                        # [B, C, K]
     idx = jnp.stack(idx_l, axis=-1)
-    # Global candidate ordering: cover cells first (rank 0 of every cell),
-    # then rank 1, etc.; inside a rank order by response.
-    rank = jnp.arange(topk_per_cell, dtype=jnp.float32)[None, None, :]
+    return vals, idx, hc, wc
+
+
+def _order_key(vals, topk_per_cell):
+    """Global candidate ordering: cover cells first (rank 0 of every cell),
+    then rank 1, etc.; inside a rank order by response."""
+    rank = jnp.arange(topk_per_cell, dtype=jnp.float32)
+    rank = rank.reshape((1,) * (vals.ndim - 1) + (-1,))
     smax = jnp.max(vals) + 1.0
-    order_key = jnp.where(vals > 0.0, -rank * smax + vals, -jnp.inf)
-    flat_key = order_key.reshape(B, -1)
-    top_vals, flat_idx = jax.lax.top_k(flat_key, n_max)  # over C*K
+    return jnp.where(vals > 0.0, -rank * smax + vals, -jnp.inf)
+
+
+def _decode_selection(flat_idx, top_vals, filled, vals, idx, wc_rows,
+                      cell, topk_per_cell):
+    """Selected flat candidate indices -> (xy, resp, valid); wc_rows gives
+    each row's cell-grid width (rows may mix pyramid levels)."""
+    R = flat_idx.shape[0]
     cell_idx = flat_idx // topk_per_cell
     k_idx = flat_idx % topk_per_cell
     in_cell = jnp.take_along_axis(
-        idx.reshape(B, -1), cell_idx * topk_per_cell + k_idx, axis=1
-    )
-    resp = jnp.take_along_axis(vals.reshape(B, -1), cell_idx * topk_per_cell + k_idx, axis=1)
-    cy = cell_idx // wc
-    cx = cell_idx % wc
+        idx.reshape(R, -1), cell_idx * topk_per_cell + k_idx, axis=1)
+    resp = jnp.take_along_axis(
+        vals.reshape(R, -1), cell_idx * topk_per_cell + k_idx, axis=1)
+    wc_col = wc_rows[:, None]
+    cy = cell_idx // wc_col
+    cx = cell_idx % wc_col
     py = cy * cell + in_cell // cell
     px = cx * cell + in_cell % cell
-    valid = (resp > 0.0) & jnp.isfinite(top_vals)
+    valid = (resp > 0.0) & jnp.isfinite(top_vals) & filled
     xy = jnp.stack([px, py], axis=-1).astype(jnp.int32)
     xy = jnp.where(valid[..., None], xy, 0)
     return xy, resp, valid
+
+
+def select_keypoints_multi(
+    scores,
+    budgets,
+    ini_th: float,
+    min_th: float,
+    cell: int = 16,
+    topk_per_cell: int = 4,
+    pre_nms: bool = False,
+):
+    """select_keypoints over ALL pyramid levels in ONE fused program.
+
+    scores: list of f32[B,Hl,Wl] score maps; budgets: per-level n_max.
+    The per-level candidate grids are padded to a common cell count and
+    stacked level-major into rows of one radix select with PER-ROW budgets
+    (_top_n_select_rows) — replacing 8 sequential per-level select chains
+    (the per-level dispatch overhead was most of their cost on TPU).
+
+    Returns per-level lists (xy i32[B,n_l,2], resp f32[B,n_l],
+    valid bool[B,n_l]) — identical contract to per-level select_keypoints.
+    """
+    B = scores[0].shape[0]
+    K = topk_per_cell
+    per = [_cell_candidates(s, ini_th, min_th, cell, K, pre_nms)
+           for s in scores]
+    C_max = max(v.shape[1] for v, _, _, _ in per)
+    vals = jnp.stack([jnp.pad(v, ((0, 0), (0, C_max - v.shape[1]), (0, 0)))
+                      for v, _, _, _ in per])                # [L,B,C_max,K]
+    idx = jnp.stack([jnp.pad(i, ((0, 0), (0, C_max - i.shape[1]), (0, 0)))
+                     for _, i, _, _ in per])
+    L = len(scores)
+    R = L * B
+    vals = vals.reshape(R, C_max, K)
+    idx = idx.reshape(R, C_max, K)
+    flat_key = _order_key(vals, K).reshape(R, -1)
+    n_rows = jnp.asarray(np.repeat(np.asarray(budgets, np.int32), B))
+    n_out = int(max(budgets))
+    if jax.default_backend() == "tpu":
+        flat_idx, top_vals, filled = _top_n_select_rows(flat_key, n_rows,
+                                                        n_out)
+    else:
+        top_vals, flat_idx = jax.lax.top_k(flat_key, n_out)
+        filled = (jnp.arange(n_out, dtype=jnp.int32)[None, :]
+                  < n_rows[:, None])
+    wc_rows = jnp.asarray(np.repeat(
+        np.asarray([wc for _, _, _, wc in per], np.int32), B))
+    xy, resp, valid = _decode_selection(flat_idx, top_vals, filled, vals,
+                                        idx, wc_rows, cell, K)
+    out = []
+    for l in range(L):
+        n_l = budgets[l]
+        sl = slice(l * B, (l + 1) * B)
+        out.append((xy[sl, :n_l], resp[sl, :n_l], valid[sl, :n_l]))
+    return out

@@ -107,6 +107,123 @@ def gather_patches_pallas(img: jnp.ndarray, xy: jnp.ndarray, radius: int):
     return out[:, :N]
 
 
+def _kernel_fused(ys_ref, xs_ref, img_ref, wx_ref, wy_ref,
+                  blur_ref, mom_ref, win, sem, *, P, PB, PO, taps):
+    """Fused gather + 7x7 separable blur + IC-angle moments.
+
+    Per keypoint: extract the P x P patch exactly as _kernel, then
+    (a) valid-mode blur it to PB x PB for rBRIEF (replacing extractor.
+    _blur_patches) and (b) reduce the unblurred PO x PO center against the
+    circular moment weights (replacing orientation.ic_angles) — the 43x43
+    raw patch never round-trips through HBM."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+
+    def corner(k):
+        kp = j * KPT + k
+        y0 = ys_ref[b, kp]
+        x0 = xs_ref[b, kp]
+        ya = pl.multiple_of((y0 // 8) * 8, 8)
+        xa = pl.multiple_of((x0 // 128) * 128, 128)
+        return y0, x0, ya, xa
+
+    def get_dma(k):
+        _, _, ya, xa = corner(k)
+        return pltpu.make_async_copy(
+            img_ref.at[b, pl.ds(ya, WIN_H), pl.ds(xa, WIN_W)],
+            win.at[k], sem.at[k])
+
+    for k in range(KPT):
+        get_dma(k).start()
+    co = (P - PO) // 2                     # 31x31 orientation center
+    for k in range(KPT):
+        get_dma(k).wait()
+        y0, x0, ya, xa = corner(k)
+        oy = y0 - ya
+        ox = x0 - xa
+        rows = jax.lax.switch(
+            oy, [(lambda o: (lambda: win[k, o:o + P, :]))(o)
+                 for o in range(8)])
+        patch = pltpu.roll(rows, WIN_W - ox, axis=1)[:, :P]
+        sub = patch[co:co + PO, co:co + PO]
+        # Keep the moment reduction VECTORIZED (sublane sum -> [PO] lane
+        # vector); a full scalar reduction per keypoint forces a vector->
+        # scalar sync that serializes the whole program (~10x slowdown).
+        mom_ref[0, k, 0, :] = jnp.sum(sub * wx_ref[...], axis=0)
+        mom_ref[0, k, 1, :] = jnp.sum(sub * wy_ref[...], axis=0)
+        # Same axis order as extractor._blur_patches (rows then columns)
+        # so results stay bit-comparable with the XLA path.
+        acc_v = None
+        for i in range(7):
+            t = patch[i:i + PB, :] * taps[i]
+            acc_v = t if acc_v is None else acc_v + t
+        acc = None
+        for i in range(7):
+            t = acc_v[:, i:i + PB] * taps[i]
+            acc = t if acc is None else acc + t
+        blur_ref[0, k] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def gather_blur_moments_pallas(img: jnp.ndarray, xy: jnp.ndarray,
+                               radius: int = 21):
+    """img: f32[B,H,W] (already reflect-padded for the blur halo by the
+    caller, like gather_patches callers); xy: i32[B,N,2] patch centers in
+    the padded image. Returns (blurred f32[B,N,PB,PB] with PB=P-6 and the
+    patch center at index (PB-1)/2, moments f32[B,N,2] = (m10, m01) over
+    the circular 31x31 IC-angle window of the unblurred patch)."""
+    from orb_slam_system_tpu.ops.orientation import HALF_PATCH, moment_weights
+    from orb_slam_system_tpu.ops.pyramid import gaussian_kernel_1d
+
+    B, H, W0 = img.shape
+    N = xy.shape[1]
+    P = 2 * radius + 1
+    PB = P - 6
+    PO = 2 * HALF_PATCH + 1
+    assert PO <= P
+    W = -(-W0 // 128) * 128 + 128
+    Hp = -(-H // 8) * 8 + 16
+    x = jnp.pad(img, ((0, 0), (0, Hp - H), (0, W - W0)))
+    x0 = jnp.clip(xy[..., 0] - radius, 0,
+                  min(W0 - P, W - WIN_W + 127)).astype(jnp.int32)
+    y0 = jnp.clip(xy[..., 1] - radius, 0,
+                  min(H - P, Hp - WIN_H + 7)).astype(jnp.int32)
+    n_pad = -(-N // KPT) * KPT
+    if n_pad != N:
+        x0 = jnp.pad(x0, ((0, 0), (0, n_pad - N)))
+        y0 = jnp.pad(y0, ((0, 0), (0, n_pad - N)))
+    wx, wy = moment_weights()
+    taps = tuple(float(v) for v in gaussian_kernel_1d(7, 2.0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, n_pad // KPT),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((PO, PO), lambda b, j, ys, xs: (0, 0)),
+            pl.BlockSpec((PO, PO), lambda b, j, ys, xs: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, KPT, PB, PB), lambda b, j, ys, xs: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KPT, 2, PO), lambda b, j, ys, xs: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((KPT, WIN_H, WIN_W), img.dtype),
+            pltpu.SemaphoreType.DMA((KPT,)),
+        ],
+    )
+    blur, mom = pl.pallas_call(
+        functools.partial(_kernel_fused, P=P, PB=PB, PO=PO, taps=taps),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_pad, PB, PB), img.dtype),
+            jax.ShapeDtypeStruct((B, n_pad, 2, PO), jnp.float32),
+        ],
+    )(y0, x0, x, jnp.asarray(wx), jnp.asarray(wy))
+    return blur[:, :N], jnp.sum(mom[:, :N], axis=-1)
+
+
 _DISABLED = False
 
 

@@ -11,6 +11,7 @@ sums over gathered patches — pure VPU reductions, no per-keypoint loops.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,6 +55,12 @@ def moment_weights(half_patch: int = HALF_PATCH):
 _WX, _WY = moment_weights()
 
 
+def angles_from_moments(m: jnp.ndarray) -> jnp.ndarray:
+    """m: f32[..., 2] = (m10, m01) -> angle radians in [0, 2pi)."""
+    ang = jnp.arctan2(m[..., 1], m[..., 0])
+    return jnp.where(ang < 0, ang + 2.0 * jnp.pi, ang)
+
+
 def ic_angles(patches: jnp.ndarray) -> jnp.ndarray:
     """patches: f32[B,N,31,31] (unblurred level image) -> angle radians
     f32[B,N] in [0, 2pi) measured like OpenCV's fastAtan2 result (degrees
@@ -63,6 +70,10 @@ def ic_angles(patches: jnp.ndarray) -> jnp.ndarray:
     (MXU) instead of broadcast-multiply reductions."""
     B, N, P, _ = patches.shape
     Wm = jnp.asarray(np.stack([_WX.reshape(-1), _WY.reshape(-1)], axis=1))
-    m = patches.reshape(B, N, P * P) @ Wm                 # [B,N,2]
+    # HIGHEST precision: the moments are a cancellation-heavy +-15-weighted
+    # sum; default TPU bf16 matmul input rounding shifts angles materially
+    # on low-texture patches (the Pallas fused kernel computes them in f32).
+    m = jnp.einsum("bnp,pk->bnk", patches.reshape(B, N, P * P), Wm,
+                   precision=jax.lax.Precision.HIGHEST)   # [B,N,2]
     ang = jnp.arctan2(m[..., 1], m[..., 0])
     return jnp.where(ang < 0, ang + 2.0 * jnp.pi, ang)

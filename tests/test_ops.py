@@ -172,3 +172,75 @@ def test_extractor_descriptor_stability(frame, extractor):
                 low += 1
     assert matched > 30
     assert low > 0.8 * matched
+
+
+def test_binned_descriptors_match_dense_oracle():
+    """The sorted single-bin-chunk descriptor path must be bit-identical to
+    the dense all-bins formulation (integer-valued patches make the sign of
+    the f32-accumulated contraction order-independent)."""
+    from orb_slam_system_tpu.ops import brief
+    from orb_slam_system_tpu.ops.brief import (
+        PATCH_RADIUS, compute_descriptors, compute_descriptors_dense)
+
+    rng = np.random.default_rng(3)
+    P = 2 * PATCH_RADIUS + 1
+    brief.FORCE_BINNED = True
+    try:
+        for B, N in [(1, 5), (2, 37), (3, 130)]:
+            patches = rng.integers(0, 256, size=(B, N, P, P)).astype(
+                np.float32)
+            angles = rng.uniform(0, 2 * np.pi, size=(B, N)).astype(
+                np.float32)
+            got = np.asarray(compute_descriptors(
+                jnp.asarray(patches), jnp.asarray(angles)))
+            want = np.asarray(compute_descriptors_dense(
+                jnp.asarray(patches), jnp.asarray(angles)))
+            np.testing.assert_array_equal(got, want)
+    finally:
+        brief.FORCE_BINNED = False
+
+
+def test_top_n_select_matches_lax_top_k_set():
+    """_top_n_select must pick exactly lax.top_k's element set (ties at the
+    threshold broken toward lower index), including -inf padding rows."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    B, M, n = 3, 400, 37
+    key = rng.normal(size=(B, M)).astype(np.float32)
+    key[key < -0.5] = -np.inf
+    # Inject exact ties around the likely threshold region.
+    key[0, 10:30] = key[0, 50]
+    key[1, :] = -np.inf                      # fewer than n finite
+    key[1, :5] = 1.0
+    jkey = jnp.asarray(key)
+    want_vals, want_idx = jax.lax.top_k(jkey, n)
+    got_idx, got_vals, filled = fast_ops._top_n_select(jkey, n)
+    for b in range(B):
+        gi = np.asarray(got_idx[b])[np.asarray(filled[b])]
+        wi = np.asarray(want_idx[b])[: len(gi)]
+        assert set(gi.tolist()) == set(wi.tolist()), b
+        assert np.asarray(filled[b]).sum() == n  # -inf rows still fill
+
+
+def test_select_keypoints_multi_matches_per_level(frame):
+    """The fused multi-level selection must equal per-level select_keypoints
+    exactly (same candidates, same ordering semantics)."""
+    img = jnp.asarray(np.stack([frame, frame[::-1]]))  # B=2
+    shapes = [(120, 160), (100, 133), (83, 111)]
+    scores = []
+    for (h, w) in shapes:
+        from orb_slam_system_tpu.ops.pyramid import resize_bilinear_mxu
+        lvl = resize_bilinear_mxu(img, h, w)
+        scores.append(fast_ops.fast_score_map(lvl, border=19))
+    budgets = [96, 64, 32]
+    multi = fast_ops.select_keypoints_multi(
+        scores, budgets, ini_th=20.0, min_th=7.0, cell=16)
+    for score, n_l, (xy_m, resp_m, valid_m) in zip(scores, budgets, multi):
+        xy, resp, valid = fast_ops.select_keypoints(
+            score, n_max=n_l, ini_th=20.0, min_th=7.0, cell=16)
+        np.testing.assert_array_equal(np.asarray(valid_m), np.asarray(valid))
+        v = np.asarray(valid)
+        np.testing.assert_array_equal(np.asarray(xy_m)[v], np.asarray(xy)[v])
+        np.testing.assert_allclose(np.asarray(resp_m)[v],
+                                   np.asarray(resp)[v], rtol=1e-6)
