@@ -46,7 +46,9 @@ def bench_system_fps(n_frames: int = 60, warmup: int = 12):
     r = PlanarSceneRenderer(cam.K, W, H, texture=make_texture(2048, 8, 7),
                             tex_scale=440.0)
     poses = orbit_trajectory(n_frames, radius=0.35, depth=-2.0, tilt=0.3)
-    frames = [r.render(T) for T in poses]
+    # u8 frames, like every real dataset: uploads 4x less than f32 over
+    # the tunnel/PCIe (FrameBuilder casts on device).
+    frames = [np.clip(r.render(T), 0, 255).astype(np.uint8) for T in poses]
     slam = System(None, cfg, Sensor.MONOCULAR)
     for i in range(warmup):
         slam.track_monocular(frames[i], i / 30.0)

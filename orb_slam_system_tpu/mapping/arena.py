@@ -208,9 +208,12 @@ class MapArena:
         mp.obs.clear()
         self.mps.pop(mp.id, None)
 
-    def replace_point(self, old: MapPointRec, new: MapPointRec):
+    def replace_point(self, old: MapPointRec, new: MapPointRec,
+                      refresh_desc: bool = True):
         """MapPoint::Replace (src/MapPoint.cc:153-190): move observations,
-        merge visibility counters."""
+        merge visibility counters. refresh_desc=False defers the
+        distinctive-descriptor recompute so batch callers (fusion) can run
+        ONE compute_distinctive_many over all survivors instead."""
         self.version += 1
         if old.id == new.id:
             return
@@ -218,9 +221,12 @@ class MapArena:
             kf = self.kfs.get(kf_id)
             if kf is None:
                 continue
-            if new.id not in {int(v) for v in kf.mp_ids[kf.mp_ids >= 0]}:
+            # new.obs is the authoritative observation set: O(1) membership
+            # (scanning kf.mp_ids per observation made Replace O(N) and
+            # dominated fusion-time host work).
+            if kf_id not in new.obs:
                 kf.mp_ids[idx] = new.id
-                new.obs.setdefault(kf_id, idx)
+                new.obs[kf_id] = idx
             else:
                 kf.mp_ids[idx] = -1
         new.n_visible += old.n_visible
@@ -230,7 +236,8 @@ class MapArena:
         old.replaced_by = new.id
         self.mps.pop(old.id, None)
         self.dead_mps[old.id] = old
-        self.compute_distinctive_descriptor(new)
+        if refresh_desc:
+            self.compute_distinctive_descriptor(new)
 
     # ----- derived state --------------------------------------------------
 
@@ -278,49 +285,116 @@ class MapArena:
         mp.min_dist = mp.max_dist / float(scale_factors[n_levels - 1])
 
     def update_normals_many(self, mps, scale_factors: np.ndarray):
-        """update_normal_and_depth over many points with camera centers
-        cached per keyframe — the per-point version recomputes R^T @ t for
-        every observation, which dominates keyframe-time host work when
-        thousands of points move (triangulation, BA write-back, loop
-        corrections)."""
+        """update_normal_and_depth over many points, fully vectorized: one
+        flat (point, observation) pair array, one normalization pass, one
+        segment-sum (np.add.at) — the per-point Python loop paid numpy
+        dispatch overhead for every tiny op and dominated keyframe-time
+        host work (hundreds of points x a few observations each)."""
         self.version += 1
-        centers: Dict[int, np.ndarray] = {}
+        mps = [mp for mp in mps if mp.obs]
+        if not mps:
+            return
+        centers: Dict[int, Optional[np.ndarray]] = {}
 
         def center(kf_id):
-            c = centers.get(kf_id)
-            if c is None:
+            if kf_id not in centers:
                 kf = self.kfs.get(kf_id)
-                if kf is None:
-                    return None
-                c = kf.camera_center()
-                centers[kf_id] = c
-            return c
+                centers[kf_id] = (kf.camera_center()
+                                  if kf is not None else None)
+            return centers[kf_id]
 
-        n_levels = len(scale_factors)
-        for mp in mps:
-            if not mp.obs:
-                continue
-            normal = np.zeros(3, np.float64)
-            n_obs = 0
+        pt_of_pair: List[int] = []
+        ctr_rows: List[np.ndarray] = []
+        for p, mp in enumerate(mps):
             for kf_id in mp.obs:
                 c = center(kf_id)
-                if c is None:
-                    continue
-                v = mp.pos - c
-                n = np.linalg.norm(v)
-                if n > 1e-9:
-                    normal += v / n
-                n_obs += 1
-            mp.normal = (normal / max(n_obs, 1)).astype(np.float32)
+                if c is not None:
+                    pt_of_pair.append(p)
+                    ctr_rows.append(c)
+        P = len(mps)
+        pos = np.stack([mp.pos for mp in mps]).astype(np.float64)  # [P,3]
+        normal = np.zeros((P, 3), np.float64)
+        if ctr_rows:
+            seg = np.asarray(pt_of_pair, np.int64)
+            v = pos[seg] - np.stack(ctr_rows)                      # [E,3]
+            nrm = np.linalg.norm(v, axis=1)
+            v = np.where(nrm[:, None] > 1e-9,
+                         v / np.maximum(nrm[:, None], 1e-12), 0.0)
+            np.add.at(normal, seg, v)
+        # Reference divides by the observation count (src/MapPoint.cc:
+        # 301-351), including observations whose keyframe is gone.
+        n_obs = np.asarray([max(len(mp.obs), 1) for mp in mps], np.float64)
+        normal = (normal / n_obs[:, None]).astype(np.float32)
+        n_levels = len(scale_factors)
+        # Reference-keyframe distance band, vectorized over the points
+        # whose ref_kf observation is alive.
+        ref_rows, ref_ctrs, ref_lvls = [], [], []
+        for p, mp in enumerate(mps):
+            mp.normal = normal[p]
             idx = mp.obs.get(mp.ref_kf)
-            ref_c = center(mp.ref_kf) if idx is not None else None
-            if ref_c is None:
+            if idx is None:
                 continue
-            ref = self.kfs[mp.ref_kf]
-            dist = float(np.linalg.norm(mp.pos - ref_c))
-            level = int(ref.feats.octave[idx])
-            mp.max_dist = dist * float(scale_factors[level])
-            mp.min_dist = mp.max_dist / float(scale_factors[n_levels - 1])
+            c = center(mp.ref_kf)
+            if c is None:
+                continue
+            ref_rows.append(p)
+            ref_ctrs.append(c)
+            ref_lvls.append(int(self.kfs[mp.ref_kf].feats.octave[idx]))
+        if ref_rows:
+            rr = np.asarray(ref_rows, np.int64)
+            dist = np.linalg.norm(pos[rr] - np.stack(ref_ctrs), axis=1)
+            maxd = dist * scale_factors[np.asarray(ref_lvls)]
+            mind = maxd / float(scale_factors[n_levels - 1])
+            for k, p in enumerate(ref_rows):
+                mps[p].max_dist = float(maxd[k])
+                mps[p].min_dist = float(mind[k])
+
+    def compute_distinctive_many(self, mps):
+        """compute_distinctive_descriptor over many points in one padded
+        numpy pass (reference src/MapPoint.cc:222-278 semantics: pick the
+        observation descriptor with the minimum median Hamming distance to
+        the others). The per-point version pays a Python call + M^2 tiny
+        hamming ops per point; here ALL points' pairwise distances form one
+        [P, M*, M*] popcount tensor with column masking for ragged
+        observation counts."""
+        self.version += 1
+        mps = [mp for mp in mps if not mp.bad]
+        rows = []
+        for mp in mps:
+            descs = []
+            for kf_id, idx in mp.obs.items():
+                kf = self.kfs.get(kf_id)
+                if kf is not None and not kf.bad:
+                    descs.append(kf.feats.desc[idx])
+            rows.append(descs)
+        counts = np.asarray([len(r) for r in rows], np.int64)
+        if not (counts > 0).any():
+            return
+        M = int(counts.max())
+        P = len(mps)
+        D = np.zeros((P, M, 8), np.uint32)
+        for p, descs in enumerate(rows):
+            if descs:
+                D[p, :len(descs)] = np.stack(descs)
+        dist = hamming_np(D[:, :, None, :], D[:, None, :, :]).astype(
+            np.float64)                                        # [P,M,M]
+        col = np.arange(M)
+        col_ok = col[None, :] < counts[:, None]                # [P,M]
+        # Median over the valid columns only, matching np.median on the
+        # unpadded vector (average of the two middle order statistics).
+        dist = np.where(col_ok[:, None, :], dist, np.inf)
+        dist.sort(axis=2)
+        safe = np.maximum(counts, 1)
+        lo = (safe - 1) // 2
+        hi = safe // 2
+        pidx = np.arange(P)[:, None]
+        med = 0.5 * (dist[pidx, col[None, :], lo[:, None]]
+                     + dist[pidx, col[None, :], hi[:, None]])  # [P,M]
+        med = np.where(col_ok, med, np.inf)
+        best = np.argmin(med, axis=1)
+        for p, mp in enumerate(mps):
+            if counts[p] > 0:
+                mp.desc = D[p, best[p]].copy()
 
     def update_connections(self, kf: KeyFrameRec):
         """Covisibility recount (reference src/KeyFrame.cc:269-359)."""

@@ -34,6 +34,28 @@ def _dlt_batch(uv1, uv2, P1, P2):
     return jax.vmap(triangulate_dlt, in_axes=(None, 0, None, 0))(
         uv1, uv2, P1, P2)
 
+
+@jax.jit
+def _search_and_dlt(xy1, desc1, avail1, oct1, ang1,
+                    xy2, desc2, avail2, oct2, ang2,
+                    F12, inv_sigma2_levels, epipole_xy, nb_valid,
+                    P1, P2):
+    """Epipolar triangulation search + two-view DLT fused into ONE device
+    program with ONE packed output fetch (search idx2 fed the DLT through
+    the host before, costing a second tunnel round trip per keyframe
+    insertion). Returns f32[M, N1, 5]: [:, :, 0] idx2, 1:4 X, 4 dlt-ok."""
+    idx2 = matching.search_for_triangulation_batch(
+        xy1, desc1, avail1, oct1, ang1,
+        xy2, desc2, avail2, oct2, ang2,
+        F12, inv_sigma2_levels, epipole_xy, nb_valid)
+    sel = jnp.where(idx2 >= 0, idx2, 0)
+    uv2 = jnp.take_along_axis(xy2, sel[..., None], axis=1)   # [M,N1,2]
+    X, okd = jax.vmap(triangulate_dlt, in_axes=(None, 0, None, 0))(
+        xy1, uv2, P1, P2)
+    return jnp.concatenate([
+        idx2[..., None].astype(jnp.float32), X,
+        okd[..., None].astype(jnp.float32)], axis=-1)
+
 # Local BA size buckets (static shapes for XLA).
 BA_CAMS = 16
 BA_POINTS = 2048
@@ -58,6 +80,8 @@ class LocalMapper:
         # (reference src/LocalMapping.cc:137-151 cnThObs).
         from orb_slam_system_tpu.config import Sensor
         self.cull_obs_th = 2 if cfg.sensor == Sensor.MONOCULAR else 3
+        from orb_slam_system_tpu.utils.metrics import StageTimer
+        self.stage_ms = StageTimer()
 
     # ----- thread-protocol surface (reference :305-458) -------------------
 
@@ -78,28 +102,44 @@ class LocalMapper:
     # ----- main stage ------------------------------------------------------
 
     def process_pending(self):
-        """Drain the keyframe queue (reference Run/ProcessKeyFrames :28-75)."""
+        """Drain the keyframe queue (reference Run/ProcessKeyFrames :28-75).
+
+        Per-stage wall time is recorded in self.stage_ms (SURVEY.md §5
+        observability: keyframe insertion is the system-throughput spike,
+        so each stage is attributable)."""
+        t = self.stage_ms
         while self.queue:
             kf_id = self.queue.popleft()
             kf = self.arena.kfs.get(kf_id)
             if kf is None:
                 continue
-            self.process_new_keyframe(kf)
-            self.cull_map_points(kf)
-            self.create_new_map_points(kf)
+            with t.stage("process_new_kf"):
+                self.process_new_keyframe(kf)
+            with t.stage("cull_points"):
+                self.cull_map_points(kf)
+            with t.stage("triangulate"):
+                self.create_new_map_points(kf)
             if not self.queue:
-                self.search_in_neighbors(kf)
+                with t.stage("fuse_neighbors"):
+                    self.search_in_neighbors(kf)
             if self.arena.n_keyframes() > 2 and self.enable_local_ba:
-                self.local_ba(kf)
+                with t.stage("local_ba"):
+                    self.local_ba(kf)
             if self.enable_kf_culling:
-                self.cull_keyframes(kf)
+                with t.stage("cull_kfs"):
+                    self.cull_keyframes(kf)
             # Hand off to loop closing (reference :72, the thread boundary).
             if self.loop_closer is not None and kf.id in self.arena.kfs:
-                self.loop_closer.process(kf.id)
+                with t.stage("loop_closer"):
+                    self.loop_closer.process(kf.id)
 
     def process_new_keyframe(self, kf: KeyFrameRec):
         """Reference ProcessNewKeyFrame (:105-132): bind tracked map points,
-        refresh their statistics, update the covisibility graph."""
+        refresh their statistics, update the covisibility graph. The
+        per-point descriptor/normal refreshes run as ONE batched arena pass
+        (a ~450-iteration Python loop of tiny numpy ops was the largest
+        keyframe-time host cost on the TPU tunnel)."""
+        fresh = []
         for idx, mid in enumerate(kf.mp_ids):
             if mid < 0:
                 continue
@@ -109,8 +149,10 @@ class LocalMapper:
                 continue
             if kf.id not in mp.obs:
                 self.arena.add_observation(mp, kf, idx)
-                self.arena.compute_distinctive_descriptor(mp)
-                self.arena.update_normal_and_depth(mp, self.scale_factors)
+                fresh.append(mp)
+        if fresh:
+            self.arena.compute_distinctive_many(fresh)
+            self.arena.update_normals_many(fresh, self.scale_factors)
         self.arena.update_connections(kf)
         # BoW + keyframe-database indexing (reference ProcessNewKeyFrame
         # ComputeBoW :108 + KeyFrameDatabase add in LoopClosing).
@@ -202,11 +244,13 @@ class LocalMapper:
         if not cand:
             return
         M = len(cand)
-        # Pad the neighbor axis to a power of two so the batched program
-        # compiles for ~5 shapes total instead of one per neighbor count,
-        # and pad per-slot arrays to the largest slot count in the batch
-        # (mono-init keyframes come from the 2x-features extractor).
-        M_pad = 1 << (M - 1).bit_length()
+        # Pad the neighbor axis to a power of two (min 8) so the batched
+        # program compiles for ~3 shapes total instead of one per neighbor
+        # count (each fresh shape is a multi-second XLA compile that lands
+        # in the frame loop), and pad per-slot arrays to the largest slot
+        # count in the batch (mono-init keyframes come from the 2x-features
+        # extractor).
+        M_pad = max(8, 1 << (M - 1).bit_length())
         nb_valid = np.zeros(M_pad, bool)
         nb_valid[:M] = True
         cand_p = cand + [cand[0]] * (M_pad - M)
@@ -214,7 +258,14 @@ class LocalMapper:
 
         stack = lambda f, fill=0: np.stack(  # noqa: E731
             [self._pad_slots(np.asarray(f(c)), n2, fill) for c in cand_p])
-        idx2_all = np.asarray(matching.search_for_triangulation_batch(
+        Kc = cam.K.astype(np.float32)
+        P1 = (Kc @ kf.Tcw[:3, :]).astype(np.float32)
+        P2_all = np.stack([(Kc @ c[0].Tcw[:3, :]).astype(np.float32)
+                           for c in cand_p])
+        # Epipolar search + batched DLT: ONE device program, ONE fetch
+        # (the idx2->uv2 gather runs on device); per-neighbor acceptance
+        # gates stay vectorized numpy.
+        out = np.asarray(_search_and_dlt(
             jnp.asarray(kf.feats.xy_und), jnp.asarray(kf.feats.desc),
             jnp.asarray(avail1), jnp.asarray(kf.feats.octave),
             jnp.asarray(kf.feats.angle),
@@ -227,26 +278,11 @@ class LocalMapper:
             jnp.asarray(np.stack([c[1] for c in cand_p])),
             jnp.asarray(self.inv_sigma2),
             jnp.asarray(np.stack([c[2] for c in cand_p])),
-            jnp.asarray(nb_valid)))
-        # Batched DLT over all neighbors in one device call; per-neighbor
-        # acceptance gates stay vectorized numpy.
-        N1 = kf.feats.n_slots
-        Kc = cam.K.astype(np.float32)
-        P1 = (Kc @ kf.Tcw[:3, :]).astype(np.float32)
-        uv2_all = np.zeros((M_pad, N1, 2), np.float32)
-        P2_all = np.tile(P1, (M_pad, 1, 1))
-        sel2_all = np.zeros((M_pad, N1), np.int64)
-        for m in range(M):
-            idx2 = idx2_all[m]
-            sel = np.where(idx2 >= 0, idx2, 0)
-            sel2_all[m] = sel
-            uv2_all[m] = cand[m][0].feats.xy_und[sel]
-            P2_all[m] = (Kc @ cand[m][0].Tcw[:3, :]).astype(np.float32)
-        X_all, okd_all = _dlt_batch(
-            jnp.asarray(kf.feats.xy_und), jnp.asarray(uv2_all),
-            jnp.asarray(P1), jnp.asarray(P2_all))
-        X_all = np.asarray(X_all)
-        okd_all = np.asarray(okd_all)
+            jnp.asarray(nb_valid),
+            jnp.asarray(P1), jnp.asarray(P2_all)))
+        idx2_all = out[..., 0].astype(np.int64)
+        X_all = out[..., 1:4]
+        okd_all = out[..., 4] > 0.5
         for m in range(M):
             kf2 = cand[m][0]
             idx2 = idx2_all[m]
@@ -344,10 +380,11 @@ class LocalMapper:
                                       kf2.id, kf1.id)
             self.arena.add_observation(mp, kf1, int(i1))
             self.arena.add_observation(mp, kf2, i2)
-            self.arena.compute_distinctive_descriptor(mp)
             self.recent_points.append((mp.id, kf1.id))
             created.append(mp)
-        self.arena.update_normals_many(created, self.scale_factors)
+        if created:
+            self.arena.compute_distinctive_many(created)
+            self.arena.update_normals_many(created, self.scale_factors)
 
     # ----- fusion (reference SearchInNeighbors :235-293) -------------------
 
@@ -368,13 +405,12 @@ class LocalMapper:
                     targets.append(nb2)
         if not targets:
             return
-        # Direction A — current KF's points into ALL targets: one batched
-        # device program (per-pair calls each cost a tunnel round trip).
+        # Direction A — current KF's points into ALL targets; direction B —
+        # the union of the targets' points into the current KF. BOTH ride
+        # ONE batched device program (the B call used to cost a second
+        # tunnel round trip per insertion).
         src_ids = [int(m) for m in kf.mp_ids
                    if m >= 0 and int(m) in self.arena.mps]
-        self._fuse_points_into_many(targets, src_ids)
-        # Direction B — the union of the targets' points into the current
-        # KF: one device call over the deduplicated point set.
         union: list[int] = []
         seen_u: set[int] = set()
         for t_id in targets:
@@ -385,35 +421,42 @@ class LocalMapper:
                 if m >= 0 and int(m) not in seen_u and int(m) in self.arena.mps:
                     seen_u.add(int(m))
                     union.append(int(m))
-        self._fuse(kf, union)
+        jobs = [(t, src_ids) for t in targets] + [(kf.id, union)]
+        self._fuse_jobs(jobs)
         self.arena.update_connections(kf)
 
-    def _project_for_fuse(self, dst_kf: KeyFrameRec, ids, radius_th=3.0):
+    def _project_for_fuse_many(self, dst_kfs, ids, radius_th=3.0):
         """Fuse-projection geometry (reference ORBmatcher::Fuse :504-548):
         in-front, in-image, scale-invariance distance band, viewing angle
-        < 60 deg; predicted level + radius th*scale. Vectorized over ids.
-        Returns (proj f32[P,2], radius f32[P], lvl i32[P], good bool[P])."""
+        < 60 deg; predicted level + radius th*scale. Vectorized over BOTH
+        the point set and the destination keyframes (the per-keyframe
+        version re-gathered the point arrays ~15x per insertion).
+        Returns (proj f32[M,P,2], radius f32[M,P], lvl i32[M,P],
+        good bool[M,P])."""
         cam = self.cfg.camera
         mps = [self.arena.mps[m] for m in ids]
-        pos = np.stack([mp.pos for mp in mps])
+        pos = np.stack([mp.pos for mp in mps])                    # [P,3]
         normal = np.stack([mp.normal for mp in mps])
         maxd = np.asarray([max(1.2 * mp.max_dist, 1e-6) for mp in mps])
         mind = np.asarray([0.8 * mp.min_dist for mp in mps])
-        Xc = pos @ dst_kf.Tcw[:3, :3].T + dst_kf.Tcw[:3, 3]
-        z = Xc[:, 2]
+        R = np.stack([kf.Tcw[:3, :3] for kf in dst_kfs])          # [M,3,3]
+        t = np.stack([kf.Tcw[:3, 3] for kf in dst_kfs])           # [M,3]
+        ctr = np.stack([kf.camera_center() for kf in dst_kfs])    # [M,3]
+        Xc = np.einsum("mij,pj->mpi", R, pos) + t[:, None, :]     # [M,P,3]
+        z = Xc[..., 2]
         good = z > 0
         with np.errstate(divide="ignore", invalid="ignore"):
-            proj = Xc[:, :2] / np.where(np.abs(z[:, None]) < 1e-9, 1e-9,
-                                        z[:, None])
+            proj = Xc[..., :2] / np.where(np.abs(z[..., None]) < 1e-9, 1e-9,
+                                          z[..., None])
         proj = (proj * [cam.fx, cam.fy] + [cam.cx, cam.cy]).astype(np.float32)
-        good &= ((proj[:, 0] >= 0) & (proj[:, 0] < cam.width)
-                 & (proj[:, 1] >= 0) & (proj[:, 1] < cam.height))
-        PO = pos - dst_kf.camera_center()
-        dist = np.linalg.norm(PO, axis=1)
-        good &= (dist >= mind) & (dist <= maxd)
-        good &= np.sum(PO * normal, axis=1) >= 0.5 * dist
+        good &= ((proj[..., 0] >= 0) & (proj[..., 0] < cam.width)
+                 & (proj[..., 1] >= 0) & (proj[..., 1] < cam.height))
+        PO = pos[None] - ctr[:, None, :]                          # [M,P,3]
+        dist = np.linalg.norm(PO, axis=2)
+        good &= (dist >= mind[None]) & (dist <= maxd[None])
+        good &= np.sum(PO * normal[None], axis=2) >= 0.5 * dist
         with np.errstate(divide="ignore", invalid="ignore"):
-            lvl = np.ceil(np.log(np.maximum(maxd / 1.2, 1e-9)
+            lvl = np.ceil(np.log(np.maximum(maxd[None] / 1.2, 1e-9)
                                  / np.maximum(dist, 1e-9))
                           / np.log(self.cfg.orb.scale_factor))
         lvl = np.clip(np.nan_to_num(lvl, nan=0.0), 0,
@@ -421,48 +464,65 @@ class LocalMapper:
         radius = (radius_th * self.scale_factors[lvl]).astype(np.float32)
         return proj, radius, lvl, good
 
+    def _project_for_fuse(self, dst_kf: KeyFrameRec, ids, radius_th=3.0):
+        """Single-keyframe wrapper over _project_for_fuse_many."""
+        proj, radius, lvl, good = self._project_for_fuse_many(
+            [dst_kf], ids, radius_th)
+        return proj[0], radius[0], lvl[0], good[0]
+
     @staticmethod
     def _pad_pow2(n: int, lo: int = 256) -> int:
         return max(lo, 1 << (max(n, 1) - 1).bit_length())
 
-    def _fuse_points_into_many(self, dst_ids, point_ids, radius_th=3.0):
-        """Fuse one point set into many keyframes with ONE batched device
-        call (vmapped projection-set search), then host-merge per target."""
-        dst_kfs = [self.arena.kfs[t] for t in dst_ids
-                   if t in self.arena.kfs]
-        ids = [m for m in point_ids if m in self.arena.mps]
-        if not dst_kfs or not ids:
+    def _fuse_jobs(self, jobs, radius_th=3.0, replace_existing=False):
+        """Fuse many (destination keyframe, point-id set) jobs with ONE
+        batched device call (vmapped projection-set search), then
+        host-merge per job. Jobs sharing the same id-list OBJECT (e.g. the
+        current keyframe's points projected into every neighbor) share one
+        vectorized projection pass."""
+        filt: list[tuple[KeyFrameRec, list[int]]] = []
+        for dst_id, pids in jobs:
+            dkf = self.arena.kfs.get(dst_id)
+            ids = [m for m in pids if m in self.arena.mps]
+            if dkf is not None and ids:
+                filt.append((dkf, ids))
+        if not filt:
             return
-        P_pad = self._pad_pow2(len(ids))
-        M = len(dst_kfs)
-        M_pad = 1 << (M - 1).bit_length()
-        desc = np.zeros((P_pad, 8), np.uint32)
-        desc[:len(ids)] = np.stack([self.arena.mps[m].desc for m in ids])
+        M = len(filt)
+        M_pad = max(8, 1 << (M - 1).bit_length())
+        P_pad = self._pad_pow2(max(len(ids) for _, ids in filt))
         projs = np.zeros((M_pad, P_pad, 2), np.float32)
         radii = np.zeros((M_pad, P_pad), np.float32)
         lvls = np.zeros((M_pad, P_pad), np.int32)
         goods = np.zeros((M_pad, P_pad), bool)
-        for m, dkf in enumerate(dst_kfs):
-            proj, radius, lvl, good = self._project_for_fuse(
-                dkf, ids, radius_th)
-            projs[m, :len(ids)] = proj
-            radii[m, :len(ids)] = radius
-            lvls[m, :len(ids)] = lvl
-            goods[m, :len(ids)] = good
-        n2 = max(k.feats.n_slots for k in dst_kfs)
+        descs = np.zeros((M_pad, P_pad, 8), np.uint32)
+        groups: dict[int, tuple[list[int], list[int]]] = {}
+        for j, (_, ids) in enumerate(filt):
+            groups.setdefault(id(ids), ([], ids))[0].append(j)
+        for rows, ids in groups.values():
+            proj, radius, lvl, good = self._project_for_fuse_many(
+                [filt[j][0] for j in rows], ids, radius_th)
+            dgrp = np.stack([self.arena.mps[m].desc for m in ids])
+            for k, j in enumerate(rows):
+                projs[j, :len(ids)] = proj[k]
+                radii[j, :len(ids)] = radius[k]
+                lvls[j, :len(ids)] = lvl[k]
+                goods[j, :len(ids)] = good[k]
+                descs[j, :len(ids)] = dgrp
+        n2 = max(dkf.feats.n_slots for dkf, _ in filt)
         stackf = lambda f, fill=0: np.stack(  # noqa: E731
-            [self._pad_slots(np.asarray(f(dst_kfs[min(m, M - 1)])), n2, fill)
+            [self._pad_slots(np.asarray(f(filt[min(m, M - 1)][0])), n2, fill)
              for m in range(M_pad)])
         idx2_all = np.asarray(matching.search_by_projection_set_batch(
             jnp.asarray(projs), jnp.asarray(radii), jnp.asarray(lvls),
-            jnp.asarray(goods), jnp.asarray(np.tile(desc, (M_pad, 1, 1))),
+            jnp.asarray(goods), jnp.asarray(descs),
             jnp.asarray(stackf(lambda k: k.feats.xy_und)),
             jnp.asarray(stackf(lambda k: k.feats.desc)),
             jnp.asarray(stackf(lambda k: k.feats.valid)),
             jnp.asarray(stackf(lambda k: k.feats.octave)),
             jnp.asarray(np.zeros((M_pad, n2), bool))))
-        for m, dkf in enumerate(dst_kfs):
-            self._merge_fuse_matches(dkf, ids, idx2_all[m])
+        for j, (dkf, ids) in enumerate(filt):
+            self._merge_fuse_matches(dkf, ids, idx2_all[j], replace_existing)
 
     def _fuse(self, dst_kf: KeyFrameRec, point_ids, radius_th=3.0,
               replace_existing=False):
@@ -500,6 +560,7 @@ class LocalMapper:
         SearchAndFuse(Scw) loop-closing variant (reference Fuse(KF, Scw,...)
         + LoopClosing::SearchAndFuse :302-317, where corrected loop points
         replace current-map duplicates unconditionally)."""
+        touched: dict[int, object] = {}
         for k in np.nonzero(idx2[:len(ids)] >= 0)[0]:
             mp = self.arena.mps.get(ids[k])
             if mp is None or mp.bad or dst_kf.id in mp.obs:
@@ -512,12 +573,21 @@ class LocalMapper:
                     # Keep the more-observed point (reference Fuse :549-560),
                     # unless the loop variant forces the incoming point.
                     if not replace_existing and len(other.obs) > len(mp.obs):
-                        self.arena.replace_point(mp, other)
+                        self.arena.replace_point(mp, other,
+                                                 refresh_desc=False)
+                        touched[other.id] = other
+                        touched.pop(mp.id, None)
                     else:
-                        self.arena.replace_point(other, mp)
+                        self.arena.replace_point(other, mp,
+                                                 refresh_desc=False)
+                        touched[mp.id] = mp
+                        touched.pop(other.id, None)
             else:
                 self.arena.add_observation(mp, dst_kf, int(j))
-                self.arena.compute_distinctive_descriptor(mp)
+                touched[mp.id] = mp
+        if touched:
+            # ONE batched refresh for every survivor the merge touched.
+            self.arena.compute_distinctive_many(list(touched.values()))
 
     # ----- local bundle adjustment ----------------------------------------
 
@@ -568,32 +638,47 @@ class LocalMapper:
         for m, i in pt_index.items():
             pts[i] = self.arena.mps[m].pos
             pt_valid[i] = True
+        # Edge build: pure-Python triple collection (cheap appends), then
+        # vectorized per-camera gathers — the scalar per-edge numpy writes
+        # this replaces were a measurable slice of keyframe-time host work.
+        tri_pt: list[int] = []          # point slot
+        tri_cam: list[int] = []         # camera slot
+        tri_fidx: list[int] = []        # feature index in that keyframe
+        edge_refs: list[tuple[int, int]] = []  # (mp_id, kf_id)
+        for m in pt_ids:
+            pi = pt_index[m]
+            for kf_id, fidx in self.arena.mps[m].obs.items():
+                ci = cam_index.get(kf_id)
+                if ci is None or len(tri_pt) >= BA_EDGES:
+                    continue
+                tri_pt.append(pi)
+                tri_cam.append(ci)
+                tri_fidx.append(fidx)
+                edge_refs.append((m, kf_id))
+        n_e = len(tri_pt)
+        if n_e < 10:
+            return
         e_cam = np.zeros(BA_EDGES, np.int32)
         e_pt = np.zeros(BA_EDGES, np.int32)
         e_uv = np.zeros((BA_EDGES, 2), np.float32)
         e_ur = np.full(BA_EDGES, -1.0, np.float32)
         e_is2 = np.ones(BA_EDGES, np.float32)
         e_valid = np.zeros(BA_EDGES, bool)
-        edge_refs: list[tuple[int, int]] = []  # (mp_id, kf_id)
-        n_e = 0
-        for m in pt_ids:
-            mp = self.arena.mps[m]
-            for kf_id, fidx in mp.obs.items():
-                ci = cam_index.get(kf_id)
-                if ci is None or n_e >= BA_EDGES:
-                    continue
-                w_kf = self.arena.kfs[kf_id]
-                e_cam[n_e] = ci
-                e_pt[n_e] = pt_index[m]
-                e_uv[n_e] = w_kf.feats.xy_und[fidx]
-                if w_kf.feats.u_right is not None:
-                    e_ur[n_e] = w_kf.feats.u_right[fidx]
-                e_is2[n_e] = self.inv_sigma2[w_kf.feats.octave[fidx]]
-                e_valid[n_e] = True
-                edge_refs.append((m, kf_id))
-                n_e += 1
-        if n_e < 10:
-            return
+        e_cam[:n_e] = tri_cam
+        e_pt[:n_e] = tri_pt
+        e_valid[:n_e] = True
+        fidx_arr = np.asarray(tri_fidx, np.int64)
+        cam_arr = e_cam[:n_e]
+        for c_id, ci in cam_index.items():
+            rows = np.nonzero(cam_arr == ci)[0]
+            if rows.size == 0:
+                continue
+            w_kf = self.arena.kfs[c_id]
+            f = fidx_arr[rows]
+            e_uv[rows] = w_kf.feats.xy_und[f]
+            if w_kf.feats.u_right is not None:
+                e_ur[rows] = w_kf.feats.u_right[f]
+            e_is2[rows] = self.inv_sigma2[w_kf.feats.octave[f]]
         prob = BAProblem(
             Tcw=jnp.asarray(Tcw), cam_fixed=jnp.asarray(cam_fixed),
             cam_valid=jnp.asarray(cam_valid), points=jnp.asarray(pts),

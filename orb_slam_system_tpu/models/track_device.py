@@ -165,10 +165,20 @@ class TrackPrograms:
         self._localmap_step = jax.jit(localmap_step)
         self._p = local_slots
 
-        def fused_step(proj, ok, pos_last, packed_last, packed_cur,
-                       Tcw_pred, th,
+        def fused_step(host_in, packed_last, packed_cur,
                        lm_pos, lm_normal, lm_mind, lm_maxd, lm_desc,
-                       lm_valid, last2local):
+                       lm_valid):
+            """host_in packs every per-frame host input into ONE f32[N,8]
+            upload (each separate host->device transfer costs enqueue
+            latency on the TPU tunnel): columns 0:2 proj, 2 ok, 3:6
+            pos_last, 6 last2local, 7 row 0..16 = Tcw_pred.ravel() and
+            row 17 = th."""
+            proj = host_in[:, 0:2]
+            ok = host_in[:, 2] > 0.5
+            pos_last = host_in[:, 3:6]
+            last2local = host_in[:, 6].astype(jnp.int32)
+            Tcw_pred = host_in[:16, 7].reshape(4, 4)
+            th = host_in[17, 7]
             """Motion-model stage + local-map stage as ONE device program
             (one host round trip per steady-state frame instead of two).
 
@@ -259,19 +269,24 @@ class TrackPrograms:
     def fused_step(self, proj, ok, pos_last, packed_last, packed_cur,
                    Tcw_pred, lm_pos, lm_normal, lm_mind, lm_maxd, lm_desc,
                    lm_valid, last2local, th=15.0):
-        """One call, ONE fetch: motion + local-map tracking stages fused."""
+        """One call, ONE upload, ONE fetch: motion + local-map tracking
+        stages fused; all per-frame host inputs ride one packed buffer
+        (the lm_* block is device-resident, cached by the tracker)."""
+        n = len(ok)
+        host_in = np.zeros((n, 8), np.float32)
+        host_in[:, 0:2] = proj
+        host_in[:, 2] = ok
+        host_in[:, 3:6] = pos_last
+        host_in[:, 6] = last2local
+        host_in[:16, 7] = Tcw_pred.astype(np.float32).ravel()
+        host_in[17, 7] = th
         out = np.asarray(self._fused_step(
-            jnp.asarray(proj.astype(np.float32)), jnp.asarray(ok),
-            jnp.asarray(pos_last.astype(np.float32)),
-            packed_last, packed_cur,
-            jnp.asarray(Tcw_pred.astype(np.float32)),
-            jnp.asarray(th, jnp.float32),
+            jnp.asarray(host_in), packed_last, packed_cur,
             jnp.asarray(lm_pos.astype(np.float32)),
             jnp.asarray(lm_normal.astype(np.float32)),
             jnp.asarray(lm_mind.astype(np.float32)),
             jnp.asarray(lm_maxd.astype(np.float32)),
-            jnp.asarray(lm_desc), jnp.asarray(lm_valid),
-            jnp.asarray(last2local.astype(np.int32))))
+            jnp.asarray(lm_desc), jnp.asarray(lm_valid)))
         n, p = len(ok), self._p
         o = 16
         T2 = out[:16].reshape(4, 4).astype(np.float32)

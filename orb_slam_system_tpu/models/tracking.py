@@ -618,7 +618,10 @@ class Tracker:
                 local.add(c)
             if kf.parent >= 0:
                 local.add(kf.parent)
-        self.local_kf_ids = [k for k in local if k in self.arena.kfs][
+        # Sorted for determinism AND cache stability: `local` is a set, so
+        # unsorted iteration order varied run to run, defeating the
+        # local-block cache key (same keyframe SET, different tuple).
+        self.local_kf_ids = sorted(k for k in local if k in self.arena.kfs)[
             :MAX_LOCAL_KEYFRAMES]
         self.ref_kf_id = max(counts, key=counts.get)
         cur.ref_kf_id = self.ref_kf_id
@@ -661,7 +664,11 @@ class Tracker:
             maxd[k] = 1.2 * mp.max_dist
             desc[k] = mp.desc
             valid[k] = True
-        out = (ids, pos, normal, mind, maxd, desc, valid)
+        # Device-put ONCE per cache epoch: re-uploading the block's five
+        # arrays every frame cost per-transfer tunnel latency.
+        import jax.numpy as jnp
+        out = (ids, jnp.asarray(pos), jnp.asarray(normal), jnp.asarray(mind),
+               jnp.asarray(maxd), jnp.asarray(desc), valid)
         self._local_block_cache = (key, out)
         return out
 
