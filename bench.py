@@ -49,7 +49,9 @@ def bench_system_fps(n_frames: int = 60, warmup: int = 12):
     # u8 frames, like every real dataset: uploads 4x less than f32 over
     # the tunnel/PCIe (FrameBuilder casts on device).
     frames = [np.clip(r.render(T), 0, 255).astype(np.uint8) for T in poses]
-    slam = System(None, cfg, Sensor.MONOCULAR)
+    # async_mapping = the reference's own thread model (tracking + local
+    # mapping on separate threads); device round trips overlap.
+    slam = System(None, cfg, Sensor.MONOCULAR, async_mapping=True)
     for i in range(warmup):
         slam.track_monocular(frames[i], i / 30.0)
     t0 = time.perf_counter()

@@ -137,9 +137,37 @@ class MapArena:
         # arrays between keyframes (rebuilding them each frame was a major
         # host cost at device-speed frame rates).
         self.version = 0
+        # Map mutex (reference Map::mMutexMapUpdate, src/Map.cc): taken by
+        # the tracker for the frame's arena-touching section and by the
+        # async local-mapping worker around each stage's host phases. Both
+        # sides RELEASE it around device fetches so tunnel round trips
+        # overlap (the point of running mapping on its own thread).
+        import threading
+        self.lock = threading.RLock()
         # Callbacks fired when a keyframe is erased (e.g. keyframe-database
         # index maintenance, reference KeyFrameDatabase::erase).
         self.erase_hooks = []
+
+    def unlocked(self):
+        """Context manager releasing ONE level of self.lock (no-op when the
+        caller doesn't hold it) — wraps device fetches inside otherwise
+        locked sections so the other thread's host phases proceed during
+        the tunnel round trip."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            try:
+                self.lock.release()
+                released = True
+            except RuntimeError:
+                released = False
+            try:
+                yield
+            finally:
+                if released:
+                    self.lock.acquire()
+        return _cm()
 
     # ----- creation -------------------------------------------------------
 

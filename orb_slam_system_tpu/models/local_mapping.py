@@ -82,22 +82,81 @@ class LocalMapper:
         self.cull_obs_th = 2 if cfg.sensor == Sensor.MONOCULAR else 3
         from orb_slam_system_tpu.utils.metrics import StageTimer
         self.stage_ms = StageTimer()
+        # Async-worker state (start_async / stop_async).
+        self._thread = None
+        self._cv = None
+        self._stop = False
+        self._busy = False
 
     # ----- thread-protocol surface (reference :305-458) -------------------
 
     def insert_keyframe(self, kf_id: int):
         self.queue.append(kf_id)
         self._abort_ba = True
+        cv = self._cv
+        if cv is not None:
+            with cv:
+                cv.notify()
 
     def accepting(self) -> bool:
-        return self._accepting and len(self.queue) == 0
+        return self._accepting and len(self.queue) == 0 and not self._busy
 
     def interrupt_ba(self):
         self._abort_ba = True
 
     def reset(self):
+        self.flush()
         self.queue.clear()
         self.recent_points.clear()
+
+    # ----- async worker (reference LocalMapping::Run thread, :28-53) ------
+
+    def start_async(self):
+        """Run keyframe processing on a dedicated thread (the reference's
+        LocalMapping thread). Tracking and mapping then overlap: both sides
+        hold arena.lock for host phases and release it around device
+        fetches, so tunnel round trips pipeline instead of serializing."""
+        import threading
+        if self._thread is not None and self._thread.is_alive():
+            return
+        self._stop = False
+        self._cv = threading.Condition()
+        self._thread = threading.Thread(target=self._worker, daemon=True,
+                                        name="local_mapping")
+        self._thread.start()
+
+    def stop_async(self):
+        t = self._thread
+        if t is None:
+            return
+        self._stop = True
+        with self._cv:
+            self._cv.notify()
+        t.join()
+        self._thread = None
+        self._cv = None
+
+    def flush(self, timeout: float = 60.0):
+        """Block until the worker drains the queue (sync mode: no-op)."""
+        import time as _time
+        if self._thread is None:
+            return
+        t0 = _time.monotonic()
+        while (self.queue or self._busy) and _time.monotonic() - t0 < timeout:
+            _time.sleep(0.002)
+
+    def _worker(self):
+        while True:
+            with self._cv:
+                while not self.queue and not self._stop:
+                    self._cv.wait(0.05)
+            if self._stop and not self.queue:
+                return
+            try:
+                self._busy = True
+                self.process_pending()
+            finally:
+                self._busy = False
 
     # ----- main stage ------------------------------------------------------
 
@@ -108,29 +167,33 @@ class LocalMapper:
         observability: keyframe insertion is the system-throughput spike,
         so each stage is attributable)."""
         t = self.stage_ms
+        lk = self.arena.lock
         while self.queue:
             kf_id = self.queue.popleft()
             kf = self.arena.kfs.get(kf_id)
             if kf is None:
                 continue
-            with t.stage("process_new_kf"):
+            # Each stage holds the map mutex; the heavy stages release it
+            # internally around their device fetches (arena.unlocked) so
+            # the tracker's host phases overlap the tunnel round trips.
+            with t.stage("process_new_kf"), lk:
                 self.process_new_keyframe(kf)
-            with t.stage("cull_points"):
+            with t.stage("cull_points"), lk:
                 self.cull_map_points(kf)
-            with t.stage("triangulate"):
+            with t.stage("triangulate"), lk:
                 self.create_new_map_points(kf)
             if not self.queue:
-                with t.stage("fuse_neighbors"):
+                with t.stage("fuse_neighbors"), lk:
                     self.search_in_neighbors(kf)
             if self.arena.n_keyframes() > 2 and self.enable_local_ba:
-                with t.stage("local_ba"):
+                with t.stage("local_ba"), lk:
                     self.local_ba(kf)
             if self.enable_kf_culling:
-                with t.stage("cull_kfs"):
+                with t.stage("cull_kfs"), lk:
                     self.cull_keyframes(kf)
             # Hand off to loop closing (reference :72, the thread boundary).
             if self.loop_closer is not None and kf.id in self.arena.kfs:
-                with t.stage("loop_closer"):
+                with t.stage("loop_closer"), lk:
                     self.loop_closer.process(kf.id)
 
     def process_new_keyframe(self, kf: KeyFrameRec):
@@ -264,8 +327,9 @@ class LocalMapper:
                            for c in cand_p])
         # Epipolar search + batched DLT: ONE device program, ONE fetch
         # (the idx2->uv2 gather runs on device); per-neighbor acceptance
-        # gates stay vectorized numpy.
-        out = np.asarray(_search_and_dlt(
+        # gates stay vectorized numpy. The map mutex is released for the
+        # round trip (inputs are immutable copies by this point).
+        args = (
             jnp.asarray(kf.feats.xy_und), jnp.asarray(kf.feats.desc),
             jnp.asarray(avail1), jnp.asarray(kf.feats.octave),
             jnp.asarray(kf.feats.angle),
@@ -279,7 +343,9 @@ class LocalMapper:
             jnp.asarray(self.inv_sigma2),
             jnp.asarray(np.stack([c[2] for c in cand_p])),
             jnp.asarray(nb_valid),
-            jnp.asarray(P1), jnp.asarray(P2_all)))
+            jnp.asarray(P1), jnp.asarray(P2_all))
+        with self.arena.unlocked():
+            out = np.asarray(_search_and_dlt(*args))
         idx2_all = out[..., 0].astype(np.int64)
         X_all = out[..., 1:4]
         okd_all = out[..., 4] > 0.5
@@ -513,14 +579,17 @@ class LocalMapper:
         stackf = lambda f, fill=0: np.stack(  # noqa: E731
             [self._pad_slots(np.asarray(f(filt[min(m, M - 1)][0])), n2, fill)
              for m in range(M_pad)])
-        idx2_all = np.asarray(matching.search_by_projection_set_batch(
+        args = (
             jnp.asarray(projs), jnp.asarray(radii), jnp.asarray(lvls),
             jnp.asarray(goods), jnp.asarray(descs),
             jnp.asarray(stackf(lambda k: k.feats.xy_und)),
             jnp.asarray(stackf(lambda k: k.feats.desc)),
             jnp.asarray(stackf(lambda k: k.feats.valid)),
             jnp.asarray(stackf(lambda k: k.feats.octave)),
-            jnp.asarray(np.zeros((M_pad, n2), bool))))
+            jnp.asarray(np.zeros((M_pad, n2), bool)))
+        with self.arena.unlocked():
+            idx2_all = np.asarray(
+                matching.search_by_projection_set_batch(*args))
         for j, (dkf, ids) in enumerate(filt):
             self._merge_fuse_matches(dkf, ids, idx2_all[j], replace_existing)
 
@@ -686,11 +755,13 @@ class LocalMapper:
             e_pt=jnp.asarray(e_pt), e_uv=jnp.asarray(e_uv),
             e_inv_sigma2=jnp.asarray(e_is2), e_valid=jnp.asarray(e_valid),
             e_ur=jnp.asarray(e_ur), bf=self.cfg.camera.bf)
-        Tcw_d, X_d, inl_d = local_bundle_adjustment(
-            prob, cam.fx, cam.fy, cam.cx, cam.cy)
         # One fetch for all three results (each np.asarray costs a host
-        # round trip on the TPU tunnel).
-        Tcw_new, X_new, inlier = jax.device_get((Tcw_d, X_d, inl_d))
+        # round trip on the TPU tunnel); the map mutex is released for the
+        # solve + fetch so tracking proceeds during it.
+        with self.arena.unlocked():
+            Tcw_d, X_d, inl_d = local_bundle_adjustment(
+                prob, cam.fx, cam.fy, cam.cx, cam.cy)
+            Tcw_new, X_new, inlier = jax.device_get((Tcw_d, X_d, inl_d))
         # Write back (reference :692-738, under the map-update mutex there).
         for c_id, i in cam_index.items():
             if not cam_fixed[i]:

@@ -690,6 +690,10 @@ class LoopCloser:
         result = self.gba.take_result()
         if result is None:
             return False
+        with self.arena.lock:
+            return self._apply_gba(result)
+
+    def _apply_gba(self, result):
         kf_ids, mp_ids, old_poses, Tcw_n, X_n = result
         arena = self.arena
         index = {k: i for i, k in enumerate(kf_ids)}

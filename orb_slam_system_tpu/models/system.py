@@ -33,7 +33,8 @@ class System:
                  settings: Union[str, SlamConfig],
                  sensor: Sensor = Sensor.MONOCULAR,
                  use_viewer: bool = False,
-                 metrics_jsonl: Optional[str] = None):
+                 metrics_jsonl: Optional[str] = None,
+                 async_mapping: bool = False):
         if isinstance(settings, str):
             self.cfg = load_settings(settings, sensor)
         else:
@@ -50,6 +51,12 @@ class System:
         self.arena.erase_hooks.append(self.place_rec.on_erase_keyframe)
         self.local_mapper = LocalMapper(self.cfg, self.arena,
                                         place_rec=self.place_rec)
+        # async_mapping=True runs LocalMapper on its own thread (the
+        # reference's LocalMapping thread, src/System.cc:65-70): tracking
+        # and mapping overlap their device round trips via arena.lock /
+        # arena.unlocked. Default False = synchronous staged pipeline
+        # (deterministic; same results every run).
+        self.async_mapping = async_mapping
         self.loop_closer = LoopCloser(self.cfg, self.arena, self.place_rec,
                                       self.local_mapper)
         self.local_mapper.loop_closer = self.loop_closer
@@ -69,6 +76,8 @@ class System:
         # plus a UI thread).
         import threading
         self._lock = threading.RLock()  # reentrant: viewer reads state
+        if self.async_mapping:
+            self.local_mapper.start_async()
                                         # from inside the track section
 
     # ------------------------------------------------------------------
@@ -106,8 +115,7 @@ class System:
             t0 = time.perf_counter()
             Tcw = self.tracker.grab_monocular(img, timestamp)
             t1 = time.perf_counter()
-            self.local_mapper.process_pending()
-            self.loop_closer.poll_gba()
+            self._pump_mapping()
             t2 = time.perf_counter()
             self._timings.append(t2 - t0)
             self._emit_frame_metrics(timestamp, t1 - t0, t2 - t1)
@@ -128,8 +136,7 @@ class System:
             t0 = time.perf_counter()
             Tcw = self.tracker.grab_stereo(img_left, img_right, timestamp)
             t1 = time.perf_counter()
-            self.local_mapper.process_pending()
-            self.loop_closer.poll_gba()
+            self._pump_mapping()
             t2 = time.perf_counter()
             self._timings.append(t2 - t0)
             self._emit_frame_metrics(timestamp, t1 - t0, t2 - t1)
@@ -147,14 +154,21 @@ class System:
             t0 = time.perf_counter()
             Tcw = self.tracker.grab_rgbd(img, depth, timestamp)
             t1 = time.perf_counter()
-            self.local_mapper.process_pending()
-            self.loop_closer.poll_gba()
+            self._pump_mapping()
             t2 = time.perf_counter()
             self._timings.append(t2 - t0)
             self._emit_frame_metrics(timestamp, t1 - t0, t2 - t1)
             if self.viewer is not None:
                 self.viewer.update(img)
             return Tcw
+
+    def _pump_mapping(self):
+        """Synchronous mode: drain the keyframe queue inline. Async mode:
+        the worker thread drains it; here we only apply any finished
+        global-BA result (cheap)."""
+        if not self.async_mapping:
+            self.local_mapper.process_pending()
+        self.loop_closer.poll_gba()
 
     # Aliases matching the reference's exact method names.
     TrackMonocular = track_monocular
@@ -178,6 +192,9 @@ class System:
     def shutdown(self):
         """Reference Shutdown (src/System.cc:280-299): drain mapping and
         wait for an in-flight global BA, applying its result."""
+        if self.async_mapping:
+            self.local_mapper.flush()
+            self.local_mapper.stop_async()
         self.local_mapper.process_pending()
         self.loop_closer.gba.join()
         self.loop_closer.poll_gba()

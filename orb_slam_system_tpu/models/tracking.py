@@ -128,6 +128,14 @@ class Tracker:
         return None if self.current.Tcw is None else self.current.Tcw.copy()
 
     def track(self):
+        # Map mutex (reference Tracking.cc Track() takes mMutexMapUpdate):
+        # the whole per-frame arena-touching section is serialized against
+        # the async local-mapping worker; track_fused RELEASES it around
+        # the fused device fetch so mapping stages overlap the tunnel RTT.
+        with self.arena.lock:
+            self._track_locked()
+
+    def _track_locked(self):
         if self.state == TrackingState.NO_IMAGES_YET:
             self.state = TrackingState.NOT_INITIALIZED
 
@@ -768,10 +776,13 @@ class Tracker:
                      len(sorted_ids) - 1)
         found = (sorted_ids[li] == last.mp_ids) & (last.mp_ids >= 0)
         last2local = np.where(found, order[li], -1).astype(np.int32)
-        (T2, best_j, matched, inlier1, idx2, visible, already, inlier2,
-         n_in1, n_matched, n_valid, n_in2) = self.programs.fused_step(
-            proj, ok, pos, last.packed_dev, cur.packed_dev, Tcw_pred,
-            pos_lm, normal, mind, maxd, desc_lm, valid_lm, last2local)
+        # Inputs are gathered; release the map mutex for the device round
+        # trip so the async mapping worker's host phases overlap it.
+        with self.arena.unlocked():
+            (T2, best_j, matched, inlier1, idx2, visible, already, inlier2,
+             n_in1, n_matched, n_valid, n_in2) = self.programs.fused_step(
+                proj, ok, pos, last.packed_dev, cur.packed_dev, Tcw_pred,
+                pos_lm, normal, mind, maxd, desc_lm, valid_lm, last2local)
         self.last_n_valid = n_valid
         if n_matched < 20 or n_in1 < 10:
             return None
@@ -1034,8 +1045,9 @@ class Tracker:
     # ------------------------------------------------------------------
 
     def reset(self):
-        self.local_mapper.reset()
-        self._reset_map()
+        self.local_mapper.reset()   # flushes the async worker first
+        with self.arena.lock:
+            self._reset_map()
         self.velocity = None
         self.mb_vo = False
         self.ref_kf_id = -1

@@ -1,0 +1,63 @@
+"""Async local-mapping thread (System(async_mapping=True)).
+
+The reference runs LocalMapping on its own thread (src/System.cc:65-70 +
+src/LocalMapping.cc:28-53); async mode reproduces that: keyframes queue to
+a worker, tracking overlaps mapping via arena.lock/arena.unlocked. These
+tests gate that the threaded pipeline tracks a synthetic sequence to the
+same quality bar as the synchronous mode and shuts down cleanly.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from orb_slam_system_tpu.config import (  # noqa: E402
+    CameraConfig, ORBConfig, Sensor, SlamConfig, TrackingState)
+from orb_slam_system_tpu.dataio.synthetic import (  # noqa: E402
+    PlanarSceneRenderer, make_texture, orbit_trajectory)
+from orb_slam_system_tpu.dataio import trajectory as traj_io  # noqa: E402
+from orb_slam_system_tpu.models.system import System  # noqa: E402
+
+
+def _run(async_mapping, n_frames=22):
+    W, H = 640, 480
+    cam = CameraConfig(fx=520.0, fy=520.0, cx=W / 2, cy=H / 2, fps=30.0,
+                       width=W, height=H)
+    cfg = SlamConfig(camera=cam, orb=ORBConfig(n_features=400),
+                     sensor=Sensor.MONOCULAR)
+    r = PlanarSceneRenderer(cam.K, W, H, texture=make_texture(2048, 8, 7),
+                            tex_scale=220.0)
+    poses = orbit_trajectory(n_frames, radius=0.35, depth=-2.0, tilt=0.3)
+    slam = System(None, cfg, Sensor.MONOCULAR, async_mapping=async_mapping)
+    gt = {}
+    for i, Tcw in enumerate(poses):
+        ts = i / 30.0
+        slam.track_monocular(r.render(Tcw), ts)
+        R = Tcw[:3, :3]
+        gt[ts] = (-R.T @ Tcw[:3, 3]).astype(np.float64)
+    slam.shutdown()
+    est = traj_io.frame_poses(slam.arena, slam.tracker.trajectory)
+    rmse = traj_io.ate_rmse(est, gt)
+    return slam, rmse
+
+
+def test_async_mapping_tracks_and_maps():
+    slam, rmse = _run(async_mapping=True)
+    assert slam.get_tracking_state() == TrackingState.OK
+    assert slam.arena.n_keyframes() >= 3
+    assert slam.arena.n_points() > 150
+    assert rmse < 0.03
+    # Worker is stopped and the queue drained after shutdown.
+    assert not slam.local_mapper.queue
+    assert slam.local_mapper._thread is None
+
+
+def test_async_quality_matches_sync():
+    _, rmse_async = _run(async_mapping=True)
+    _, rmse_sync = _run(async_mapping=False)
+    # Interleaving changes keyframe timing, so results aren't bit-equal;
+    # both modes must hit the same centimeter-class bar.
+    assert rmse_sync < 0.03 and rmse_async < 0.03
