@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 
-def bench_system_fps(n_frames: int = 60, warmup: int = 12):
+def bench_system_fps(n_frames: int = 72, warmup: int = 24):
     """End-to-end tracking FPS (BASELINE.md primary metric): a real System
     tracking pre-rendered 640x480 synthetic frames at the reference's 1000
     features/frame. Frames are rendered up front so the loop measures the

@@ -133,13 +133,32 @@ def _top_n_select_rows(key: jnp.ndarray, n_rows: jnp.ndarray, n_out: int):
     u = _sortable_bits(key)
     n_col = n_rows[:, None]
 
-    def body(i, prefix):
-        shift = (jnp.int32(31) - i).astype(jnp.uint32)
-        cand = prefix | jax.lax.shift_left(jnp.uint32(1), shift)
-        c = jnp.sum((u >= cand[:, None]).astype(jnp.int32), axis=1)
-        return jnp.where(c >= n_rows, cand, prefix)
+    # Nibble radix: find each row's n-th largest bit pattern in 8 histogram
+    # passes instead of 32 bit passes (each pass is a sequential [R, M]
+    # reduce on the VPU; 4x fewer passes is a direct latency win). Per
+    # pass, bucket the next 4 bits of every element still matching the
+    # prefix, then pick the largest nibble whose >=-count reaches the
+    # row budget — identical threshold semantics to the bitwise search.
+    nib_ids = jnp.arange(16, dtype=jnp.uint32)
 
-    kth = jax.lax.fori_loop(0, 32, body,
+    def body(i, prefix):
+        shift = (jnp.uint32(28) - jnp.uint32(4) * i.astype(jnp.uint32))
+        t = jax.lax.shift_right_logical(u, shift)            # [R, M]
+        p_hi = jax.lax.shift_right_logical(prefix, shift)    # [R] low nib 0
+        in_pref = (t | jnp.uint32(15)) == (p_hi | jnp.uint32(15))[:, None]
+        above = jnp.sum((t > (p_hi | jnp.uint32(15))[:, None])
+                        .astype(jnp.int32), axis=1)          # [R]
+        nib = t & jnp.uint32(15)
+        onehot = (nib[..., None] == nib_ids) & in_pref[..., None]
+        hist = jnp.sum(onehot.astype(jnp.int32), axis=1)     # [R, 16]
+        cum_ge = jnp.cumsum(hist[:, ::-1], axis=1)[:, ::-1]  # >= nibble j
+        count_ge = above[:, None] + cum_ge
+        # Largest j with count_ge >= budget (monotone non-increasing in j).
+        jstar = jnp.maximum(
+            jnp.sum((count_ge >= n_col).astype(jnp.int32), axis=1) - 1, 0)
+        return prefix | jax.lax.shift_left(jstar.astype(jnp.uint32), shift)
+
+    kth = jax.lax.fori_loop(0, 8, body,
                             jnp.zeros((R,), jnp.uint32))[:, None]
     strict = u > kth
     n_strict = jnp.sum(strict.astype(jnp.int32), axis=1, keepdims=True)
