@@ -55,11 +55,19 @@ def bench_system_fps(n_frames: int = 72, warmup: int = 24):
     for i in range(warmup):
         slam.track_monocular(frames[i], i / 30.0)
     t0 = time.perf_counter()
+    n_ok = 0
     for i in range(warmup, n_frames):
         slam.track_monocular(frames[i], i / 30.0)
+        if slam.tracker.state.name == "OK":
+            n_ok += 1
     dt = time.perf_counter() - t0
     n_timed = n_frames - warmup
-    ok = slam.tracker.state.name == "OK"
+    # Throughput counts only if tracking held for (almost) every timed
+    # frame — a lost tracker "tracks" arbitrarily fast.
+    ok = n_ok >= 0.9 * n_timed and slam.tracker.state.name == "OK"
+    if not ok:
+        print(f"# system bench rejected: ok_frames={n_ok}/{n_timed} "
+              f"final={slam.tracker.state.name}", file=sys.stderr)
     slam.shutdown()
     return (n_timed / dt, n_timed) if ok else None
 
@@ -165,7 +173,13 @@ def main():
     # kernel benchmark) vs the 30 fps real-time dataset rate.
     if os.environ.get("ORB_SLAM_BENCH_NO_SYSTEM") != "1":
         try:
+            # One retry: async-mapping keyframe timing is stochastic and a
+            # marginal run can lose tracking near the end.
             sysres = bench_system_fps()
+            if sysres is None:
+                print("# system bench attempt 1 rejected; retrying",
+                      file=sys.stderr)
+                sysres = bench_system_fps()
             if sysres is not None:
                 fps, n_timed = sysres
                 record["system_fps"] = round(fps, 1)

@@ -23,6 +23,11 @@ FORMAT_VERSION = 2   # v2: + kf_u_right / kf_depth stereo channels
 
 
 def save_map(arena: MapArena, path: str):
+    with arena.lock:   # consistent snapshot vs the async mapping worker
+        return _save_map_locked(arena, path)
+
+
+def _save_map_locked(arena: MapArena, path: str):
     kf_ids = sorted(arena.kfs)
     K = len(kf_ids)
     mp_ids = sorted(arena.mps)

@@ -46,6 +46,11 @@ def export_map_ply(path: str, arena, draw_graph: bool = True):
     """Map points (white), keyframe centers (red) and covisibility edges as
     a PLY file (reference MapDrawer::DrawMapPoints/DrawKeyFrames/graph,
     src/MapDrawer.cc:21-198)."""
+    with arena.lock:   # consistent snapshot vs the async mapping worker
+        return _export_map_ply_locked(path, arena, draw_graph)
+
+
+def _export_map_ply_locked(path: str, arena, draw_graph: bool = True):
     pts = []
     cols = []
     for mp in arena.mps.values():

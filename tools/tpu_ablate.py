@@ -142,6 +142,36 @@ def main():
         gather_pallas._DISABLED = False
         brief_pallas._DISABLED = False
 
+    # --- batch-1 extractor stage ablation (the steady-state tracking path
+    # runs B=1 per frame; at B=8 the extractor costs ~1.2 ms/frame but at
+    # B=1 ~10 ms — these rows attribute the latency-bound stage).
+    img1 = imgs[:1]
+    ex1 = ORBExtractor(cfg, H, W)
+    timeit("extract[B1]", chk(lambda im: ex1._extract(im).desc), img1)
+    from orb_slam_system_tpu.ops import pyramid as pyr_ops
+    lvls = [img1]
+    hh, ww = H, W
+    for _ in range(7):
+        hh, ww = int(hh / 1.2), int(ww / 1.2)
+        lvls.append(pyr_ops.resize_bilinear_mxu(img1, hh, ww))
+    timeit("B1_pyramid", chk(lambda im: [
+        pyr_ops.resize_bilinear_mxu(im, int(H / 1.2 ** l),
+                                    int(W / 1.2 ** l))
+        for l in range(1, 8)]), img1)
+    timeit("B1_fast_scores", chk(lambda ims: [
+        fast_ops.fast_score_map(lv, 19) for lv in ims]), lvls)
+    scores1 = [fast_ops.fast_score_map(lv, 19) for lv in lvls]
+    budgets = ex1.budgets if hasattr(ex1, "budgets") else [265] * 8
+    timeit("B1_select_multi", chk(lambda ss: [
+        x for tup in fast_ops.select_keypoints_multi(ss, budgets, 20.0, 7.0)
+        for x in tup]), scores1)
+    xy1 = xy[:1]
+    timeit("B1_gather_fused", chk(
+        lambda im, p: gather_pallas.gather_blur_moments_pallas(im, p, 21)),
+        img1, xy1)
+    timeit("B1_desc_binned", chk(brief.compute_descriptors),
+           pat_d[:1], ang[:1])
+
     print("DONE", flush=True)
 
 
