@@ -153,12 +153,16 @@ class LoopCloser:
             max2 = 9.21 * (1.0 / self.inv_sigma2)[ckf.feats.octave[rows2]]
             cam = self.cfg.camera
             sets = make_sim3_sample_sets(N, 300, 0)
-            okr, s12, R12, t12, inl, n = sim3_ransac(
-                jnp.asarray(P1), jnp.asarray(P2), jnp.asarray(uv1),
-                jnp.asarray(uv2), jnp.asarray(max1.astype(np.float32)),
-                jnp.asarray(max2.astype(np.float32)), jnp.asarray(ok),
-                jnp.asarray(sets), cam.fx, cam.fy, cam.cx, cam.cy,
-                fix_scale=self.fix_scale)
+            # Inputs are immutable copies: release the map mutex for the
+            # RANSAC device round trip so tracking proceeds (loop closure
+            # runs on the async mapping worker).
+            with self.arena.unlocked():
+                okr, s12, R12, t12, inl, n = sim3_ransac(
+                    jnp.asarray(P1), jnp.asarray(P2), jnp.asarray(uv1),
+                    jnp.asarray(uv2), jnp.asarray(max1.astype(np.float32)),
+                    jnp.asarray(max2.astype(np.float32)), jnp.asarray(ok),
+                    jnp.asarray(sets), cam.fx, cam.fy, cam.cx, cam.cy,
+                    fix_scale=self.fix_scale)
             if self.debug:
                 print(f"[loop]   ransac ok={bool(okr)} inl={int(n)} "
                       f"s={float(s12):.3f}", flush=True)
@@ -187,13 +191,14 @@ class LoopCloser:
             uv1 = kf.feats.xy_und[rows1].astype(np.float32)
             uv2 = ckf.feats.xy_und[rows2].astype(np.float32)
             # Refine with OptimizeSim3 (>=20 inliers, :195-206).
-            n_in, s_f, R_f, t_f, inl_f = optimize_sim3(
-                s12, R12, t12, jnp.asarray(P1), jnp.asarray(P2),
-                jnp.asarray(uv1), jnp.asarray(uv2),
-                jnp.asarray(self.inv_sigma2[kf.feats.octave[rows1]]),
-                jnp.asarray(self.inv_sigma2[ckf.feats.octave[rows2]]),
-                jnp.asarray(ok), cam.fx, cam.fy, cam.cx, cam.cy,
-                fix_scale=self.fix_scale)
+            with self.arena.unlocked():
+                n_in, s_f, R_f, t_f, inl_f = optimize_sim3(
+                    s12, R12, t12, jnp.asarray(P1), jnp.asarray(P2),
+                    jnp.asarray(uv1), jnp.asarray(uv2),
+                    jnp.asarray(self.inv_sigma2[kf.feats.octave[rows1]]),
+                    jnp.asarray(self.inv_sigma2[ckf.feats.octave[rows2]]),
+                    jnp.asarray(ok), cam.fx, cam.fy, cam.cx, cam.cy,
+                    fix_scale=self.fix_scale)
             if self.debug:
                 print(f"[loop]   optimize_sim3 inliers={int(n_in)}", flush=True)
             if int(n_in) < 20:

@@ -127,12 +127,25 @@ def _chunk_layout(bins_flat: jnp.ndarray, n_chunks: int):
     the dummy row id, chunk_bin i32[n_chunks], slot_of i32[M])."""
     M = bins_flat.shape[0]
     # Rank-within-bin via one-hot prefix sum: no argsort needed (lax sort
-    # of M keys was ~1.9 ms on TPU; this is a [M, A] cumsum).
+    # of M keys was ~1.9 ms on TPU). The [M, A] cumsum runs as a two-level
+    # scan (within 512-row groups + group offsets) — one 8192-long scan
+    # was ~1.5 ms of the descriptor path on TPU.
     oh = (bins_flat[:, None]
           == jnp.arange(N_ANGLE_BINS, dtype=jnp.int32)[None, :])
     ohi = oh.astype(jnp.int32)
     counts = jnp.sum(ohi, axis=0)                                # [A]
-    rank_in_bin = jnp.sum(jnp.cumsum(ohi, axis=0) * ohi, axis=1) - 1
+    GRP = 512
+    if M % GRP == 0 and M > GRP:
+        g = ohi.reshape(M // GRP, GRP, N_ANGLE_BINS)
+        inner = jnp.cumsum(g, axis=1)                            # [G,512,A]
+        offs = jnp.cumsum(inner[:, -1, :], axis=0)               # [G,A]
+        offs = jnp.concatenate(
+            [jnp.zeros((1, N_ANGLE_BINS), jnp.int32), offs[:-1]], axis=0)
+        csum = (inner + offs[:, None, :]).reshape(M, N_ANGLE_BINS)
+    else:
+        csum = jnp.cumsum(ohi, axis=0)
+    rank_in_bin = jnp.take_along_axis(
+        csum, bins_flat[:, None], axis=1)[:, 0] - 1
     chunks_per_bin = (counts + CHUNK - 1) // CHUNK
     chunk_start = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(chunks_per_bin)])   # [A+1]

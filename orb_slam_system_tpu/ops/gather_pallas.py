@@ -144,7 +144,10 @@ def _kernel_fused(ys_ref, xs_ref, img_ref, wx_ref, wy_ref,
         rows = jax.lax.switch(
             oy, [(lambda o: (lambda: win[k, o:o + P, :]))(o)
                  for o in range(8)])
-        patch = pltpu.roll(rows, WIN_W - ox, axis=1)[:, :P]
+        # The patch occupies lanes [0, P) after the roll; all further
+        # compute runs on a single 128-lane tile (the kernel is VPU-bound,
+        # and the full 256-lane window doubled every blur op).
+        patch = pltpu.roll(rows, WIN_W - ox, axis=1)[:, :128]
         sub = patch[co:co + PO, co:co + PO]
         # Keep the moment reduction VECTORIZED (sublane sum -> [PO] lane
         # vector); a full scalar reduction per keypoint forces a vector->
