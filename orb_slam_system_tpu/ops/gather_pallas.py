@@ -167,6 +167,63 @@ def _kernel_fused(ys_ref, xs_ref, img_ref, wx_ref, wy_ref,
         blur_ref[0, k] = acc
 
 
+# Largest padded canvas (bytes) kept VMEM-resident per grid step; bigger
+# canvases fall back to per-keypoint HBM window DMAs. ~4.5 MB covers the
+# full 8-level 640x480 pyramid canvas; v5e VMEM is ~16 MB less scratch.
+VMEM_CANVAS_BUDGET = 8 * 1024 * 1024
+
+
+def _kernel_fused_resident(ys_ref, xs_ref, img_ref, wx_ref, wy_ref,
+                           blur_ref, mom_ref, canvas, csem, win, sem,
+                           *, P, PB, PO, taps):
+    """_kernel_fused with the whole (batch-item) canvas VMEM-resident:
+    the canvas is DMA'd HBM->VMEM ONCE per batch index (single-buffered
+    scratch, ~7 MB for the full 8-level 640x480 pyramid canvas), and the
+    per-keypoint window copies become VMEM->VMEM — cutting HBM traffic
+    from ~57 KB/keypoint (aligned window, ~470 MB/batch8) to one canvas
+    read per batch item (~56 MB/batch8)."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+
+    def canvas_dma():
+        return pltpu.make_async_copy(img_ref.at[b], canvas, csem)
+
+    @pl.when(j == 0)
+    def _load_canvas():
+        canvas_dma().start()
+        canvas_dma().wait()
+
+    co = (P - PO) // 2
+    for k in range(KPT):
+        kp = j * KPT + k
+        y0 = ys_ref[b, kp]
+        x0 = xs_ref[b, kp]
+        ya = pl.multiple_of((y0 // 8) * 8, 8)
+        xa = pl.multiple_of((x0 // 128) * 128, 128)
+        oy = y0 - ya
+        ox = x0 - xa
+        # Tile-aligned dynamic vector load straight from the VMEM canvas —
+        # no per-keypoint DMA/semaphore round trip (that fixed overhead,
+        # not bandwidth, dominated the window-DMA formulation).
+        w = canvas[pl.ds(ya, WIN_H), pl.ds(xa, WIN_W)]
+        rows = jax.lax.switch(
+            oy, [(lambda o: (lambda: w[o:o + P, :]))(o)
+                 for o in range(8)])
+        patch = pltpu.roll(rows, WIN_W - ox, axis=1)[:, :128]
+        sub = patch[co:co + PO, co:co + PO]
+        mom_ref[0, k, 0, :] = jnp.sum(sub * wx_ref[...], axis=0)
+        mom_ref[0, k, 1, :] = jnp.sum(sub * wy_ref[...], axis=0)
+        acc_v = None
+        for i in range(7):
+            t = patch[i:i + PB, :] * taps[i]
+            acc_v = t if acc_v is None else acc_v + t
+        acc = None
+        for i in range(7):
+            t = acc_v[:, i:i + PB] * taps[i]
+            acc = t if acc is None else acc + t
+        blur_ref[0, k] = acc
+
+
 @functools.partial(jax.jit, static_argnames=("radius",))
 def gather_blur_moments_pallas(img: jnp.ndarray, xy: jnp.ndarray,
                                radius: int = 21):
@@ -197,6 +254,15 @@ def gather_blur_moments_pallas(img: jnp.ndarray, xy: jnp.ndarray,
         y0 = jnp.pad(y0, ((0, 0), (0, n_pad - N)))
     wx, wy = moment_weights()
     taps = tuple(float(v) for v in gaussian_kernel_1d(7, 2.0))
+    resident = Hp * W * img.dtype.itemsize <= VMEM_CANVAS_BUDGET
+    kern = _kernel_fused_resident if resident else _kernel_fused
+    scratch = [
+        pltpu.VMEM((KPT, WIN_H, WIN_W), img.dtype),
+        pltpu.SemaphoreType.DMA((KPT,)),
+    ]
+    if resident:
+        scratch = [pltpu.VMEM((Hp, W), img.dtype),
+                   pltpu.SemaphoreType.DMA] + scratch
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, n_pad // KPT),
@@ -211,13 +277,10 @@ def gather_blur_moments_pallas(img: jnp.ndarray, xy: jnp.ndarray,
             pl.BlockSpec((1, KPT, 2, PO), lambda b, j, ys, xs: (b, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((KPT, WIN_H, WIN_W), img.dtype),
-            pltpu.SemaphoreType.DMA((KPT,)),
-        ],
+        scratch_shapes=scratch,
     )
     blur, mom = pl.pallas_call(
-        functools.partial(_kernel_fused, P=P, PB=PB, PO=PO, taps=taps),
+        functools.partial(kern, P=P, PB=PB, PO=PO, taps=taps),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, n_pad, PB, PB), img.dtype),
