@@ -152,7 +152,7 @@ def main():
     # throughput.
     iters = 20
     best_dt = float("inf")
-    for _rep in range(3):
+    for _rep in range(5):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = step(imgs, prev_desc, prev_valid)

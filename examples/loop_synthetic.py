@@ -29,7 +29,7 @@ def blur(img, sigma):
     return img
 
 
-def run(n_frames=170, verbose=True):
+def run(n_frames=170, verbose=True, noise=4.5, blur_sigma=1.8):
     from examples.mono_synthetic import make_config
     from orb_slam_system_tpu.config import Sensor
     from orb_slam_system_tpu.dataio.synthetic import (
@@ -50,8 +50,8 @@ def run(n_frames=170, verbose=True):
         ts = i / 30.0
         img = r.render(Tcw)
         if lo <= i <= hi:  # degraded middle segment -> drift accumulates
-            img = blur(img, 1.8).astype(np.float32) + \
-                rng.normal(size=img.shape).astype(np.float32) * 4.5
+            img = blur(img, blur_sigma).astype(np.float32) + \
+                rng.normal(size=img.shape).astype(np.float32) * noise
         slam.track_monocular(img, ts)
         R = Tcw[:3, :3]
         gt[ts] = (-R.T @ Tcw[:3, 3]).astype(np.float64)
@@ -71,4 +71,5 @@ def run(n_frames=170, verbose=True):
 
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 170
-    run(n)
+    noise = float(sys.argv[2]) if len(sys.argv) > 2 else 4.5
+    run(n, noise=noise)

@@ -103,12 +103,21 @@ class KeyFrameRec:
         return -R.T @ t
 
     def n_tracked_points(self, arena: "MapArena", min_obs: int = 1) -> int:
+        # Cached on the arena mutation counter: the keyframe-decision path
+        # calls this EVERY frame for the reference keyframe (a ~1300-slot
+        # Python loop of dict lookups), but the answer only changes when
+        # the map does.
+        key = (arena.version, min_obs)
+        cached = getattr(self, "_ntp_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         n = 0
         for mid in self.mp_ids:
             if mid >= 0:
                 mp = arena.mps.get(int(mid))
                 if mp is not None and not mp.bad and len(mp.obs) >= min_obs:
                     n += 1
+        self._ntp_cache = (key, n)
         return n
 
 
