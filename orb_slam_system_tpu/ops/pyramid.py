@@ -50,13 +50,21 @@ def _resize_matrix(n_out: int, n_in: int) -> np.ndarray:
 
 def resize_bilinear_mxu(img: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """Separable bilinear resize of f32[B, H, W] to [B, h, w] as two MXU
-    matmuls: out = Ry @ img @ Rx^T."""
+    matmuls: out = Ry @ img @ Rx^T.
+
+    HIGHEST precision: at the TPU default (bf16 passes) each level picks
+    up ~0.5-greylevel error that CASCADES down the pyramid (levels resize
+    from the previous level), visibly perturbing FAST scores vs the CPU
+    backend; full-f32 costs ~nothing at pyramid sizes."""
+    import jax
     Ry = jnp.asarray(_resize_matrix(h, img.shape[1]))
     Rx = jnp.asarray(_resize_matrix(w, img.shape[2]))
     t = jnp.einsum("oh,bhw->bow", Ry, img,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum("bow,pw->bop", t, Rx,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def build_pyramid(img: jnp.ndarray, n_levels: int, scale_factor: float):

@@ -31,6 +31,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from orb_slam_system_tpu.utils.precision import f32_solver
+
 from orb_slam_system_tpu.utils import lie
 
 CHI2_MONO = 5.991
@@ -147,6 +149,7 @@ def _inv3x3(M):
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "use_huber"))
+@f32_solver
 def bundle_adjust(prob: BAProblem, fx, fy, cx, cy,
                   n_iters: int = 10, use_huber: bool = True):
     """Runs n_iters LM iterations; returns (Tcw_new, points_new)."""
@@ -234,6 +237,7 @@ def bundle_adjust(prob: BAProblem, fx, fy, cx, cy,
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "use_huber",
                                               "cg_iters", "axis_name"))
+@f32_solver
 def bundle_adjust_cg(prob: BAProblem, fx, fy, cx, cy,
                      n_iters: int = 10, use_huber: bool = True,
                      cg_iters: int = 40, axis_name=None):
@@ -372,6 +376,7 @@ def bundle_adjust_cg(prob: BAProblem, fx, fy, cx, cy,
 
 
 @jax.jit
+@f32_solver
 def classify_outliers(Tcw, points, prob: BAProblem, fx, fy, cx, cy):
     """Per-edge chi2 gate (reference :692-738): returns bool[E] inlier mask
     (chi2 <= 5.991 and positive depth)."""
@@ -387,6 +392,7 @@ def classify_outliers(Tcw, points, prob: BAProblem, fx, fy, cx, cy):
 
 
 @jax.jit
+@f32_solver
 def local_bundle_adjustment(prob: BAProblem, fx, fy, cx, cy):
     """The reference two-stage schedule (:636-738): 5 robust iterations,
     drop outlier edges, 10 more without re-adding them. Returns

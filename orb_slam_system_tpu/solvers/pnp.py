@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from orb_slam_system_tpu.utils.precision import f32_solver
 import numpy as np
 
 CHI2_GATE = 5.991  # per-point gate scaled by octave sigma2 (reference :103-105)
@@ -101,6 +103,7 @@ def _reproj_chi2(R, t, Xw, uv, inv_sigma2, fx, fy, cx, cy):
 
 
 @jax.jit
+@f32_solver
 def epnp_ransac(Xw, uv, inv_sigma2, valid, sample_sets, fx, fy, cx, cy,
                 min_inliers: jnp.ndarray = 10):
     """Batched EPnP-RANSAC.

@@ -21,6 +21,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from orb_slam_system_tpu.utils.precision import f32_solver
+
 from orb_slam_system_tpu.utils import lie
 
 
@@ -37,6 +39,7 @@ def _edge_residual(xi_i, xi_j, S0_i, S0_j, Sji):
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "cg_iters"))
+@f32_solver
 def optimize_essential_graph(
     R0, t0, s0,            # f32[K,3,3], f32[K,3], f32[K] initial Sim3 (world->cam)
     v_fixed, v_valid,      # bool[K]
@@ -157,6 +160,7 @@ def optimize_essential_graph(
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters",))
+@f32_solver
 def optimize_sim3(
     s0, R0, t0,            # initial S12 (maps KF2 camera frame -> KF1)
     P1, P2,                # f32[N,3] camera-frame points in KF1 / KF2

@@ -21,6 +21,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from orb_slam_system_tpu.utils.precision import f32_solver
+
 from orb_slam_system_tpu.utils import lie
 
 CHI2_MONO = 5.991            # reference src/Optimizer.cc:330
@@ -87,6 +89,7 @@ import functools
 
 @functools.partial(jax.jit,
                    static_argnames=("n_rounds", "n_iters", "axis_name"))
+@f32_solver
 def pose_optimization(
     Tcw0, Xw, obs, inv_sigma2, valid, fx, fy, cx, cy,
     obs_ur=None, bf=0.0,

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from orb_slam_system_tpu.utils.precision import f32_solver
 import numpy as np
 
 CHI2_SIM3 = 9.210  # reference Sim3Solver ctor :67-68
@@ -64,6 +66,7 @@ def _project(P, fx, fy, cx, cy):
 
 
 @jax.jit
+@f32_solver
 def sim3_ransac(
     P1, P2, uv1, uv2, max_err1, max_err2, valid, sample_sets,
     fx, fy, cx, cy, fix_scale: jnp.ndarray = False,

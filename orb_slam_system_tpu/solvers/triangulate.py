@@ -15,8 +15,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from orb_slam_system_tpu.utils.precision import f32_solver
+
 
 @jax.jit
+@f32_solver
 def triangulate_dlt(uv1, uv2, P1, P2):
     """uv1, uv2: f32[N,2] pixel coords in images 1/2; P1, P2: f32[3,4]
     projection matrices. Returns X f32[N,3] (homogeneous-normalized) and
