@@ -74,5 +74,6 @@ def bundle_adjust_cg_sharded(
         out_specs=(rep, rep),
         check_vma=False,
     )
-    Tcw, X = jax.jit(smapped)(prob_arrays)
+    from orb_slam_system_tpu.utils.precision import f32_solver
+    Tcw, X = jax.jit(f32_solver(smapped))(prob_arrays)
     return Tcw, X

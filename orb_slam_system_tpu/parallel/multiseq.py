@@ -115,7 +115,8 @@ def make_multiseq_step(mesh: Mesh, height: int, width: int,
         out_specs=(P("data"), P(), P()),
         check_vma=False,
     )
-    step = jax.jit(smapped)
+    from orb_slam_system_tpu.utils.precision import f32_solver
+    step = jax.jit(f32_solver(smapped))
 
     S = mesh.shape["data"] * 2   # 2 sequences per data shard
     rng = np.random.default_rng(0)

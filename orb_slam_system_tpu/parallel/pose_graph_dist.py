@@ -150,7 +150,8 @@ def optimize_essential_graph_sharded(
                   P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(),
         check_vma=False)
-    xi = jax.jit(smapped)(
+    from orb_slam_system_tpu.utils.precision import f32_solver
+    xi = jax.jit(f32_solver(smapped))(
         jnp.asarray(R0, f32), jnp.asarray(t0, f32), jnp.asarray(s0, f32),
         free, e_i, e_j, e_R, e_t, e_s, e_valid)
 
