@@ -56,8 +56,12 @@ def bench_system_fps(n_frames: int = 72, warmup: int = 24):
         slam.track_monocular(frames[i], i / 30.0)
     t0 = time.perf_counter()
     n_ok = 0
-    for i in range(warmup, n_frames):
-        slam.track_monocular(frames[i], i / 30.0)
+    # Streaming mode: frame i+1's extraction is enqueued before frame i's
+    # tracking fetch, overlapping the tunnel round trip (same per-frame
+    # semantics as sequential track_monocular; tests pin equality).
+    stream = slam.track_monocular_stream(
+        (frames[i], i / 30.0) for i in range(warmup, n_frames))
+    for _ in stream:
         if slam.tracker.state.name == "OK":
             n_ok += 1
     dt = time.perf_counter() - t0

@@ -162,6 +162,53 @@ class System:
                 self.viewer.update(img)
             return Tcw
 
+    def track_monocular_stream(self, frames):
+        """Pipelined monocular tracking over an iterable of (img, t):
+        frame i+1's extraction is ENQUEUED before frame i's tracking fetch,
+        so on a high-latency link (the TPU tunnel) the device round trip
+        and the next frame's extract overlap. Identical per-frame semantics
+        to calling track_monocular sequentially (frames are independent
+        until the tracking step). Yields Tcw (or None) per frame.
+
+        This is the TPU-native replacement for the reference's real-time
+        pacing loop (Examples/Monocular/mono_tum.cc:97-105): a streaming
+        driver that keeps one frame in flight."""
+        from orb_slam_system_tpu.config import TrackingState
+        it = iter(frames)
+        pending = None        # (built_frame, timestamp) for the next step
+        while True:
+            if pending is None:
+                nxt = next(it, None)
+                if nxt is None:
+                    return
+                img, ts = nxt
+                if img.ndim == 3:
+                    img = rgb_to_gray(img, self.cfg.camera.rgb)
+                with self._lock:
+                    frame = self.tracker.build_frame(img, ts)
+            else:
+                frame, ts = pending
+                pending = None
+            with self._lock:
+                t0 = time.perf_counter()
+                # Pre-enqueue the NEXT frame's extraction before this
+                # frame's tracking fetch — only in steady state (the
+                # builder choice depends on the tracking state).
+                if self.tracker.state == TrackingState.OK:
+                    nxt = next(it, None)
+                    if nxt is not None:
+                        img2, ts2 = nxt
+                        if img2.ndim == 3:
+                            img2 = rgb_to_gray(img2, self.cfg.camera.rgb)
+                        pending = (self.tracker.build_frame(img2, ts2), ts2)
+                Tcw = self.tracker.grab_prebuilt(frame)
+                t1 = time.perf_counter()
+                self._pump_mapping()
+                t2 = time.perf_counter()
+                self._timings.append(t2 - t0)
+                self._emit_frame_metrics(ts, t1 - t0, t2 - t1)
+                yield Tcw
+
     def _pump_mapping(self):
         """Synchronous mode: drain the keyframe queue inline. Async mode:
         the worker thread drains it; here we only apply any finished

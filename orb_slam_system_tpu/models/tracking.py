@@ -104,13 +104,26 @@ class Tracker:
     def grab_monocular(self, img: np.ndarray, timestamp: float):
         """Reference GrabImageMonocular (src/Tracking.cc:152-169) +
         Track (:171-237). Returns Tcw (4x4) or None."""
+        self.current = self.build_frame(img, timestamp)
+        self.track()
+        return None if self.current.Tcw is None else self.current.Tcw.copy()
+
+    def build_frame(self, img: np.ndarray, timestamp: float):
+        """Frame construction only (enqueues the extraction program; no
+        fetch). Exposed so a streaming caller can pre-build frame i+1
+        before frame i's tracking fetch — the extract enqueue then rides
+        under the fused-step round trip (System.track_monocular_stream)."""
         builder = (
             self.init_builder
             if self.state in (TrackingState.NO_IMAGES_YET,
                               TrackingState.NOT_INITIALIZED)
             else self.builder
         )
-        self.current = builder.build(img, timestamp)
+        return builder.build(img, timestamp)
+
+    def grab_prebuilt(self, frame):
+        """Track a frame produced by build_frame."""
+        self.current = frame
         self.track()
         return None if self.current.Tcw is None else self.current.Tcw.copy()
 

@@ -1,0 +1,52 @@
+"""Pipelined streaming tracking (System.track_monocular_stream).
+
+The stream keeps one frame in flight (frame i+1's extraction enqueued
+before frame i's tracking fetch). Semantics must equal the sequential
+track_monocular loop exactly in deterministic (sync-mapping) mode.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from orb_slam_system_tpu.config import (  # noqa: E402
+    CameraConfig, ORBConfig, Sensor, SlamConfig, TrackingState)
+from orb_slam_system_tpu.dataio.synthetic import (  # noqa: E402
+    PlanarSceneRenderer, make_texture, orbit_trajectory)
+from orb_slam_system_tpu.models.system import System  # noqa: E402
+
+
+def _setup(n_frames=16):
+    W, H = 640, 480
+    cam = CameraConfig(fx=520.0, fy=520.0, cx=W / 2, cy=H / 2, fps=30.0,
+                       width=W, height=H)
+    cfg = SlamConfig(camera=cam, orb=ORBConfig(n_features=400),
+                     sensor=Sensor.MONOCULAR)
+    r = PlanarSceneRenderer(cam.K, W, H, texture=make_texture(2048, 8, 7),
+                            tex_scale=220.0)
+    poses = orbit_trajectory(n_frames, radius=0.35, depth=-2.0, tilt=0.3)
+    frames = [(r.render(T), i / 30.0) for i, T in enumerate(poses)]
+    return cfg, frames
+
+
+def test_stream_matches_sequential():
+    cfg, frames = _setup()
+    seq = System(None, cfg, Sensor.MONOCULAR)
+    seq_out = [seq.track_monocular(img, ts) for img, ts in frames]
+    seq.shutdown()
+
+    st = System(None, cfg, Sensor.MONOCULAR)
+    st_out = list(st.track_monocular_stream(frames))
+    st.shutdown()
+
+    assert len(st_out) == len(seq_out)
+    assert st.get_tracking_state() == TrackingState.OK
+    for a, b in zip(seq_out, st_out):
+        assert (a is None) == (b is None)
+        if a is not None:
+            np.testing.assert_allclose(a, b, atol=1e-5)
+    assert st.arena.n_keyframes() == seq.arena.n_keyframes()
+    assert st.arena.n_points() == seq.arena.n_points()
