@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-KPT = 8          # keypoints per grid step
+KPT = 16         # keypoints per grid step
 WIN_W = 256      # DMA window width: 128-aligned start + patch fits
 WIN_H = 56       # DMA window height: 8-aligned start + patch fits
 
