@@ -32,6 +32,20 @@ def _setup(n_frames=16):
     return cfg, frames
 
 
+def test_stream_with_async_mapping():
+    """The bench's exact combination: streaming + the async mapping worker.
+    Gates tracking health and clean shutdown (results aren't deterministic
+    across interleavings, so only quality is asserted)."""
+    cfg, frames = _setup(n_frames=18)
+    slam = System(None, cfg, Sensor.MONOCULAR, async_mapping=True)
+    out = list(slam.track_monocular_stream(frames))
+    slam.shutdown()
+    assert len(out) == len(frames)
+    assert slam.get_tracking_state() == TrackingState.OK
+    assert slam.arena.n_keyframes() >= 2
+    assert not slam.local_mapper.queue
+
+
 def test_stream_matches_sequential():
     cfg, frames = _setup()
     seq = System(None, cfg, Sensor.MONOCULAR)
