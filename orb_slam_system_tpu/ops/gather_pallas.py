@@ -174,7 +174,7 @@ VMEM_CANVAS_BUDGET = 8 * 1024 * 1024
 
 
 def _kernel_fused_resident(ys_ref, xs_ref, img_ref, wx_ref, wy_ref,
-                           blur_ref, mom_ref, canvas, csem, win, sem,
+                           blur_ref, mom_ref, canvas, csem,
                            *, P, PB, PO, taps):
     """_kernel_fused with the whole (batch-item) canvas VMEM-resident:
     the canvas is DMA'd HBM->VMEM ONCE per batch index (single-buffered
@@ -256,13 +256,16 @@ def gather_blur_moments_pallas(img: jnp.ndarray, xy: jnp.ndarray,
     taps = tuple(float(v) for v in gaussian_kernel_1d(7, 2.0))
     resident = Hp * W * img.dtype.itemsize <= VMEM_CANVAS_BUDGET
     kern = _kernel_fused_resident if resident else _kernel_fused
-    scratch = [
-        pltpu.VMEM((KPT, WIN_H, WIN_W), img.dtype),
-        pltpu.SemaphoreType.DMA((KPT,)),
-    ]
     if resident:
+        # Direct tile-aligned loads from the VMEM canvas: no per-keypoint
+        # window scratch or DMA semaphores.
         scratch = [pltpu.VMEM((Hp, W), img.dtype),
-                   pltpu.SemaphoreType.DMA] + scratch
+                   pltpu.SemaphoreType.DMA]
+    else:
+        scratch = [
+            pltpu.VMEM((KPT, WIN_H, WIN_W), img.dtype),
+            pltpu.SemaphoreType.DMA((KPT,)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, n_pad // KPT),
