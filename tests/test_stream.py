@@ -46,6 +46,43 @@ def test_stream_with_async_mapping():
     assert not slam.local_mapper.queue
 
 
+def test_reset_mid_stream():
+    """System.reset while a stream has a prebuilt frame in flight: the
+    stream continues, re-initializes, and ends healthy."""
+    cfg, frames = _setup(n_frames=24)
+    slam = System(None, cfg, Sensor.MONOCULAR)
+    stream = slam.track_monocular_stream(frames)
+    for i, _ in enumerate(stream):
+        if i == 10:
+            slam.reset()
+    slam.shutdown()
+    # Re-initialized after the reset and tracking again by the end.
+    assert slam.get_tracking_state() == TrackingState.OK
+    assert slam.arena.n_keyframes() >= 2
+
+
+def test_save_load_under_async_mapping(tmp_path):
+    """save_map takes the map mutex: a consistent snapshot while the async
+    worker is live, and the reloaded map localizes."""
+    cfg, frames = _setup(n_frames=16)
+    slam = System(None, cfg, Sensor.MONOCULAR, async_mapping=True)
+    for img, ts in frames[:-2]:
+        slam.track_monocular(img, ts)
+    path = str(tmp_path / "map.npz")
+    slam.save_map(path)          # worker may be mid-drain
+    slam.shutdown()
+    slam2 = System(None, cfg, Sensor.MONOCULAR)
+    slam2.load_map(path, localization_only=True)
+    tracked = 0
+    for img, ts in frames[-6:]:
+        slam2.track_monocular(img, ts)
+        if slam2.get_tracking_state() == TrackingState.OK:
+            tracked += 1
+    slam2.shutdown()
+    assert tracked >= 1
+    assert slam2.arena.n_points() > 50
+
+
 def test_stream_matches_sequential():
     cfg, frames = _setup()
     seq = System(None, cfg, Sensor.MONOCULAR)
