@@ -217,6 +217,11 @@ class MapArena:
     # ----- observation bookkeeping ---------------------------------------
 
     def add_observation(self, mp: MapPointRec, kf: KeyFrameRec, feat_idx: int):
+        # Bump the version: n_tracked_points and the tracker's local-map
+        # block cache key on it, and every mutation of obs/mp_ids must
+        # invalidate them (not just the batched refreshes that happen to
+        # follow at current call sites).
+        self.version += 1
         if kf.id not in mp.obs:
             mp.obs[kf.id] = int(feat_idx)
         kf.mp_ids[feat_idx] = mp.id

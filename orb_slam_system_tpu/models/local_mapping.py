@@ -137,13 +137,23 @@ class LocalMapper:
         self._cv = None
 
     def flush(self, timeout: float = 60.0):
-        """Block until the worker drains the queue (sync mode: no-op)."""
+        """Block until the worker drains the queue (sync mode: no-op).
+
+        Fails loudly on timeout: a silent partial flush would let callers
+        (reset) clear the queue while a keyframe is still mid-stage in the
+        worker. NOTE: callers must NOT hold arena.lock — the worker's
+        stages block on it, so a locked flush can never drain."""
         import time as _time
         if self._thread is None:
             return
         t0 = _time.monotonic()
         while (self.queue or self._busy) and _time.monotonic() - t0 < timeout:
             _time.sleep(0.002)
+        if self.queue or self._busy:
+            raise RuntimeError(
+                "local-mapping flush timed out after %.0fs "
+                "(queue=%d busy=%s) — is arena.lock held by the caller?"
+                % (timeout, len(self.queue), self._busy))
 
     def _worker(self):
         while True:
@@ -546,10 +556,18 @@ class LocalMapper:
         host-merge per job. Jobs sharing the same id-list OBJECT (e.g. the
         current keyframe's points projected into every neighbor) share one
         vectorized projection pass."""
+        # Filter each distinct caller-supplied id list ONCE and reuse the
+        # resulting object, so the id(ids) grouping below actually shares
+        # the projection pass across jobs that passed the same list (the
+        # per-job fresh filtered lists used to defeat the grouping).
         filt: list[tuple[KeyFrameRec, list[int]]] = []
+        filtered_by_src: dict[int, list[int]] = {}
         for dst_id, pids in jobs:
             dkf = self.arena.kfs.get(dst_id)
-            ids = [m for m in pids if m in self.arena.mps]
+            ids = filtered_by_src.get(id(pids))
+            if ids is None:
+                ids = [m for m in pids if m in self.arena.mps]
+                filtered_by_src[id(pids)] = ids
             if dkf is not None and ids:
                 filt.append((dkf, ids))
         if not filt:

@@ -175,7 +175,7 @@ class System:
         driver that keeps one frame in flight."""
         from orb_slam_system_tpu.config import TrackingState
         it = iter(frames)
-        pending = None        # (built_frame, timestamp) for the next step
+        pending = None        # (built_frame, raw_img, timestamp)
         while True:
             if pending is None:
                 nxt = next(it, None)
@@ -187,8 +187,17 @@ class System:
                 with self._lock:
                     frame = self.tracker.build_frame(img, ts)
             else:
-                frame, ts = pending
+                frame, img, ts = pending
                 pending = None
+                # The pending frame was prebuilt by the steady-state
+                # builder; if the previous step's tracking left OK (e.g.
+                # the internal ≤5-KF reset), the sequential path would use
+                # a different builder (init extracts 2x features) — drop
+                # the prebuilt buffer and rebuild to stay bit-identical
+                # to sequential semantics.
+                if self.tracker.state != TrackingState.OK:
+                    with self._lock:
+                        frame = self.tracker.build_frame(img, ts)
             with self._lock:
                 t0 = time.perf_counter()
                 # Pre-enqueue the NEXT frame's extraction before this
@@ -200,7 +209,8 @@ class System:
                         img2, ts2 = nxt
                         if img2.ndim == 3:
                             img2 = rgb_to_gray(img2, self.cfg.camera.rgb)
-                        pending = (self.tracker.build_frame(img2, ts2), ts2)
+                        pending = (self.tracker.build_frame(img2, ts2),
+                                   img2, ts2)
                 Tcw = self.tracker.grab_prebuilt(frame)
                 t1 = time.perf_counter()
                 self._pump_mapping()

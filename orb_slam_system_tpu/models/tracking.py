@@ -1058,7 +1058,14 @@ class Tracker:
     # ------------------------------------------------------------------
 
     def reset(self):
-        self.local_mapper.reset()   # flushes the async worker first
+        # Drain the async worker WITHOUT holding arena.lock: its stages
+        # block on that lock, so flushing from inside the tracker's locked
+        # section (track() -> _track_locked -> reset) would stall for the
+        # full flush timeout and then race a keyframe mid-stage.
+        # arena.unlocked() releases the level held by track() and is a
+        # no-op when the caller doesn't hold the lock (external reset).
+        with self.arena.unlocked():
+            self.local_mapper.reset()
         with self.arena.lock:
             self._reset_map()
         self.velocity = None

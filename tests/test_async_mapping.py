@@ -61,3 +61,30 @@ def test_async_quality_matches_sync():
     # Interleaving changes keyframe timing, so results aren't bit-equal;
     # both modes must hit the same centimeter-class bar.
     assert rmse_sync < 0.03 and rmse_async < 0.03
+
+
+def test_internal_reset_under_lock_does_not_deadlock():
+    """Tracker.reset() fired from inside the locked tracking section
+    (the ≤5-KF lost path, tracking.py _track_locked) must release
+    arena.lock around the worker flush — otherwise the worker's stages
+    block on the lock and flush spins for its whole timeout (advisor r2
+    high finding)."""
+    import time
+
+    slam, _ = _run(async_mapping=True, n_frames=14)
+    slam.local_mapper.start_async()
+    try:
+        kf_id = next(iter(slam.arena.kfs))
+        with slam.arena.lock:
+            # Worker picks the job up but blocks on arena.lock held here.
+            slam.local_mapper.insert_keyframe(kf_id)
+            time.sleep(0.1)
+            t0 = time.monotonic()
+            # Mirrors the internal path: reset while holding the lock.
+            slam.tracker.reset()
+            dt = time.monotonic() - t0
+        assert dt < 20.0, f"reset stalled {dt:.1f}s (flush deadlock)"
+        assert not slam.local_mapper.queue
+        assert slam.arena.n_keyframes() == 0
+    finally:
+        slam.shutdown()
