@@ -933,12 +933,18 @@ class Tracker:
 
     def relocalization(self) -> bool:
         """Reference Relocalization (src/Tracking.cc:796-884): BoW candidate
-        keyframes -> per-candidate BoW matching (>=15) -> batched EPnP-RANSAC
-        -> PoseOptimization -> projection top-up -> accept at >=50 inliers."""
+        keyframes -> per-candidate BoW matching (>=15) -> EPnP-RANSAC ->
+        PoseOptimization -> projection top-up -> accept at >=50 inliers.
+
+        TPU-native shape: the reference loops candidates, each with its own
+        SearchByBoW + PnPsolver::iterate; here ALL candidates (no cap) run
+        through ONE batched BoW match and ONE batched EPnP-RANSAC device
+        call, then a cheap host accept loop — so a correct candidate ranked
+        arbitrarily low still relocalizes at constant device cost."""
         if self.place_rec is None or not self.place_rec.ready:
             return False
         from orb_slam_system_tpu.solvers.pnp import (
-            epnp_ransac, make_pnp_sample_sets)
+            epnp_ransac_batch, make_pnp_sample_sets)
         cur = self.current
         bow, node_ids = self.place_rec.frame_bow(cur.feats.desc,
                                                  cur.feats.valid)
@@ -948,52 +954,77 @@ class Tracker:
         if not candidates:
             return False
         cam = self.cfg.camera
-        for cand_id in candidates[:5]:
-            kf = self.arena.kfs.get(cand_id)
-            if kf is None or kf.bad:
+        cand_kfs = [kf for kf in (self.arena.kfs.get(c) for c in candidates)
+                    if kf is not None and not kf.bad]
+        if not cand_kfs:
+            return False
+        # ---- ONE batched node-constrained BoW match over all candidates.
+        C = len(cand_kfs)
+        C_pad = max(4, 1 << (C - 1).bit_length())
+        n1 = max(kf.feats.n_slots for kf in cand_kfs)
+        desc1 = np.zeros((C_pad, n1, 8), np.uint32)
+        has1 = np.zeros((C_pad, n1), bool)
+        ang1 = np.zeros((C_pad, n1), np.float32)
+        node1 = np.full((C_pad, n1), -1, np.int32)
+        for i, kf in enumerate(cand_kfs):
+            m = kf.feats.n_slots
+            has = (kf.mp_ids >= 0) & kf.feats.valid
+            nk = (kf.node_ids if kf.node_ids is not None
+                  else np.zeros(m, np.int32))
+            desc1[i, :m] = kf.feats.desc
+            has1[i, :m] = has
+            ang1[i, :m] = kf.feats.angle
+            node1[i, :m] = np.where(has, nk, -1)
+        idx2_all = np.asarray(matching.search_by_node_id_batch(
+            jnp.asarray(desc1), jnp.asarray(has1), jnp.asarray(ang1),
+            jnp.asarray(node1),
+            jnp.asarray(cur.feats.desc), jnp.asarray(cur.feats.valid),
+            jnp.asarray(cur.feats.angle),
+            jnp.asarray(node_ids.astype(np.int32)),
+            nn_ratio=0.75))
+        # ---- Host: per-candidate 3D-2D correspondences on frame slots.
+        n = cur.feats.n_slots
+        Xw_all = np.zeros((C_pad, n, 3), np.float32)
+        ok_all = np.zeros((C_pad, n), bool)
+        mp_of_slot = np.full((C_pad, n), -1, np.int64)
+        viable = []
+        for i, kf in enumerate(cand_kfs):
+            idx2 = idx2_all[i]
+            rows = np.nonzero(idx2[:kf.feats.n_slots] >= 0)[0]
+            if len(rows) < 15:            # reference >=15 gate (:830)
                 continue
-            has_mp = (kf.mp_ids >= 0) & kf.feats.valid
-            nk = kf.node_ids if kf.node_ids is not None else np.zeros(
-                kf.feats.n_slots, np.int32)
-            res = matching.search_by_node_id(
-                jnp.asarray(kf.feats.desc), jnp.asarray(has_mp),
-                jnp.asarray(kf.feats.angle),
-                jnp.asarray(np.where(has_mp, nk, -1).astype(np.int32)),
-                jnp.asarray(cur.feats.desc), jnp.asarray(cur.feats.valid),
-                jnp.asarray(cur.feats.angle),
-                jnp.asarray(node_ids.astype(np.int32)),
-                nn_ratio=0.75)
-            idx2 = np.asarray(res.idx2)
-            rows = np.nonzero(idx2 >= 0)[0]
-            if len(rows) < 15:
-                continue
-            # 3D-2D correspondences on the current frame's feature slots.
-            n = cur.feats.n_slots
-            Xw = np.zeros((n, 3), np.float32)
-            ok = np.zeros(n, bool)
-            mp_of_slot = np.full(n, -1, np.int64)
             for r in rows:
                 mid = int(kf.mp_ids[r])
                 mp = self.arena.mps.get(mid)
                 if mp is not None and not mp.bad:
                     j = idx2[r]
-                    Xw[j] = mp.pos
-                    ok[j] = True
-                    mp_of_slot[j] = mid
-            if ok.sum() < 15:
+                    Xw_all[i, j] = mp.pos
+                    ok_all[i, j] = True
+                    mp_of_slot[i, j] = mid
+            if ok_all[i].sum() >= 15:
+                viable.append(i)
+        if not viable:
+            return False
+        # ---- ONE batched EPnP-RANSAC over all viable candidates.
+        sets = make_pnp_sample_sets(n, 300, 0)
+        pnp_ok, T_pnp, pnp_inl, _n_pnp = epnp_ransac_batch(
+            jnp.asarray(Xw_all), jnp.asarray(cur.feats.xy_und),
+            jnp.asarray(self.inv_sigma2[cur.feats.octave].astype(np.float32)),
+            jnp.asarray(ok_all), jnp.asarray(sets),
+            cam.fx, cam.fy, cam.cx, cam.cy)
+        pnp_ok = np.asarray(pnp_ok)
+        T_pnp = np.asarray(T_pnp)
+        pnp_inl = np.asarray(pnp_inl)
+        # ---- Accept loop in candidate order (reference iterates until
+        # bMatch; device work is done, each attempt is 1 pose-opt RTT).
+        for i in viable:
+            if not pnp_ok[i]:
                 continue
-            sets = make_pnp_sample_sets(n, 300, 0)
-            pnp_ok, T_pnp, pnp_inl, n_pnp = epnp_ransac(
-                jnp.asarray(Xw), jnp.asarray(cur.feats.xy_und),
-                jnp.asarray(self.inv_sigma2[cur.feats.octave].astype(np.float32)),
-                jnp.asarray(ok), jnp.asarray(sets),
-                cam.fx, cam.fy, cam.cx, cam.cy)
-            if not bool(pnp_ok):
-                continue
+            kf = cand_kfs[i]
             cur.mp_ids[:] = -1
-            inl = np.asarray(pnp_inl)
-            cur.mp_ids[inl] = mp_of_slot[inl]
-            if not self._optimize_current_pose(np.asarray(T_pnp),
+            inl = pnp_inl[i]
+            cur.mp_ids[inl] = mp_of_slot[i][inl]
+            if not self._optimize_current_pose(T_pnp[i],
                                                min_map_matches=10):
                 continue
             # Projection top-up against the keyframe's full point set

@@ -304,6 +304,25 @@ def search_by_node_id(
     return MatchResult(jnp.where(matched, best_j, -1), best_d)
 
 
+@jax.jit
+def search_by_node_id_batch(
+    desc1, valid1, ang1, node1,
+    desc2, valid2, ang2, node2,
+    nn_ratio: jnp.ndarray = 0.7,
+):
+    """search_by_node_id vmapped over C candidate keyframes in ONE device
+    program (set-1 args carry a leading [C] axis; the current frame's set-2
+    args broadcast). Used by relocalization, where the reference runs
+    SearchByBoW once per BoW candidate (src/Tracking.cc:820-860) — batching
+    removes both the per-candidate round trips and any need to cap the
+    candidate list. Returns idx2 i32[C, N1]."""
+    res = jax.vmap(
+        lambda d1, v1, a1, n1: search_by_node_id(
+            d1, v1, a1, n1, desc2, valid2, ang2, node2, nn_ratio=nn_ratio)
+    )(desc1, valid1, ang1, node1)
+    return res.idx2
+
+
 def _best_in_window(D, proj, rad, lvl, ok, xy, valid, octv):
     """Best column per row under the Sim3 projection window: column j is a
     candidate for row i iff |xy_j - proj_i| <= rad_i (both axes) and

@@ -150,6 +150,22 @@ def epnp_ransac(Xw, uv, inv_sigma2, valid, sample_sets, fx, fy, cx, cy,
     return n_f >= min_inliers, T, inl_f, n_f
 
 
+@jax.jit
+@f32_solver
+def epnp_ransac_batch(Xw, uv, inv_sigma2, valid, sample_sets,
+                      fx, fy, cx, cy, min_inliers: jnp.ndarray = 10):
+    """epnp_ransac vmapped over C candidate hypotheses that share the same
+    current-frame observations: Xw f32[C,N,3] and valid bool[C,N] carry the
+    per-candidate 3D associations; uv/inv_sigma2/sample_sets broadcast.
+    One device call replaces the reference's per-candidate PnPsolver loop
+    (src/Tracking.cc:820-860), so relocalization needs no candidate cap.
+    Returns (ok[C], Tcw[C,4,4], inliers[C,N], n_inliers[C])."""
+    return jax.vmap(
+        lambda X, v: epnp_ransac(X, uv, inv_sigma2, v, sample_sets,
+                                 fx, fy, cx, cy, min_inliers)
+    )(Xw, valid)
+
+
 def make_pnp_sample_sets(n_slots: int, n_sets: int = 300, seed: int = 0):
     """Deterministic minimal sets (reference RANSAC 300 iters max,
     src/Tracking.cc:822 SetRansacParameters(0.99, 10, 300, 4, 0.5, 5.991))."""

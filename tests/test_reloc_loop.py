@@ -112,3 +112,34 @@ def test_relocalization_rejects_unseen_view(tracked_system):
     T[:3, 3] += np.array([5.0, 5.0, 0.0])  # shift camera far off the map
     slam.track_monocular(r.render(T), 100.0)
     assert slam.get_tracking_state() == TrackingState.LOST
+
+
+def test_relocalization_uncapped_candidate_rank(tracked_system, monkeypatch):
+    """The reference tries EVERY BoW candidate's PnP in its loop
+    (src/Tracking.cc:820-860); a capped candidate list would fail when the
+    correct keyframe ranks low. The batched reloc runs ALL candidates in
+    one device call — here the useful candidates are pushed past position
+    5 behind six unusable decoys and relocalization must still succeed."""
+    slam, r, poses = tracked_system
+    db = slam.place_rec.db
+    orig = db.detect_reloc_candidates
+
+    calls = {}
+
+    def reordered(bow, arena):
+        cands = orig(bow, arena)
+        if not cands:
+            return cands
+        out = [99991, 99992, 99993, 99994, 99995, 99996] + cands[::-1]
+        calls["list"] = out
+        return out
+
+    monkeypatch.setattr(db, "detect_reloc_candidates", reordered)
+    slam.tracker.state = TrackingState.LOST
+    slam.tracker.velocity = None
+    Tcw = slam.track_monocular(r.render(poses[10]), 300.0)
+    assert calls, "reloc candidate search never ran"
+    # Every live candidate really sat past the 5-entry prefix.
+    assert all(c >= 99991 for c in calls["list"][:6])
+    assert slam.get_tracking_state() == TrackingState.OK
+    assert Tcw is not None
