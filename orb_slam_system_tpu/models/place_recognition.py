@@ -42,12 +42,19 @@ class PlaceRecognition:
         if arena.n_keyframes() < MIN_KFS_FOR_SELF_TRAIN:
             return
         descs = []
-        for kf in arena.kfs.values():
-            descs.append(kf.feats.desc[kf.feats.valid])
+        docs = []
+        for d, kf in enumerate(arena.kfs.values()):
+            sel = kf.feats.desc[kf.feats.valid]
+            descs.append(sel)
+            docs.append(np.full(len(sel), d, np.int64))
         D = np.concatenate(descs, axis=0)
         if len(D) < 500:
             return
-        self.vocab = Vocabulary.build(D, k=SELF_TRAIN_K, L=SELF_TRAIN_L, seed=0)
+        # Each keyframe is one training document, giving DBoW2-style TF-IDF
+        # weights (rare words discriminate; plane-texture words common to
+        # every view score low).
+        self.vocab = Vocabulary.build(D, k=SELF_TRAIN_K, L=SELF_TRAIN_L,
+                                      seed=0, doc_ids=np.concatenate(docs))
         self.db = KeyFrameDatabase(self.vocab)
         # Backfill existing keyframes.
         for kf in arena.kfs.values():

@@ -113,3 +113,88 @@ def test_scale_bow_scoring_discriminates(big_vocab):
     s_near = Vocabulary.score(b0, voc.bow_vector(near))
     s_far = Vocabulary.score(b0, voc.bow_vector(far))
     assert s_near > s_far
+
+
+# ---------------------------------------------------------------------------
+# ORBvoc-class scale: k=10, L=5 -> 111,111 nodes (one level below the real
+# 1.08M-node asset; same shape regime). VERDICT r2 #3: device descent ==
+# numpy oracle bit-equal + measured transform latency for 1000 descriptors.
+# ---------------------------------------------------------------------------
+
+def write_synthetic_orbvoc_fast(path, rng, k, levels):
+    """Vectorized writer for big trees (the loop writer above is fine at
+    L=4 but dominates at 100k+ nodes)."""
+    n_total = sum(k ** lv for lv in range(1, levels + 1))
+    parents = np.empty(n_total, np.int64)
+    is_leaf = np.zeros(n_total, np.int64)
+    next_id = 1
+    level_start = {}
+    prev_ids = np.array([0])
+    for lv in range(1, levels + 1):
+        cnt = len(prev_ids) * k
+        ids = np.arange(next_id, next_id + cnt)
+        parents[ids - 1] = np.repeat(prev_ids, k)
+        if lv == levels:
+            is_leaf[ids - 1] = 1
+        level_start[lv] = next_id
+        next_id += cnt
+        prev_ids = ids
+    descs = rng.integers(0, 256, size=(n_total, 32), dtype=np.uint8)
+    weights = np.where(is_leaf == 1, rng.uniform(0.1, 2.0, n_total), 0.0)
+    cols = np.concatenate([
+        parents[:, None], is_leaf[:, None], descs.astype(np.int64),
+        np.zeros((n_total, 1), np.int64)], axis=1)
+    body = "\n".join(
+        " ".join(str(v) for v in row[:-1]) + f" {w:.6f}"
+        for row, w in zip(cols, weights))
+    path.write_text(f"{k} {levels} 0 0\n" + body + "\n")
+    return n_total
+
+
+@pytest.fixture(scope="module")
+def huge_vocab(tmp_path_factory):
+    rng = np.random.default_rng(21)
+    p = tmp_path_factory.mktemp("voc5") / "synthvoc5.txt"
+    n_total = write_synthetic_orbvoc_fast(p, rng, 10, 5)
+    import time
+    t0 = time.perf_counter()
+    voc = Vocabulary.load(str(p))
+    load_s = time.perf_counter() - t0
+    return voc, n_total, load_s
+
+
+def test_scale5_load(huge_vocab):
+    voc, n_total, load_s = huge_vocab
+    assert n_total + 1 == 111_111
+    assert voc.node_desc.shape[0] == n_total + 1
+    assert voc.n_words == 10 ** 5
+    internal = ~voc.node_is_leaf
+    assert ((voc.node_children[internal] >= 0).sum(axis=1) == 10).all()
+    # Text-format load of a 111k-node tree must stay in single-digit
+    # seconds (the real 1.08M-node asset is ~10x this).
+    print(f"\n111k-node text load: {load_s:.2f}s")
+    assert load_s < 30.0
+
+
+def test_scale5_transform_latency_and_device_parity(huge_vocab):
+    voc, _, _ = huge_vocab
+    import time
+    rng = np.random.default_rng(33)
+    q = rng.integers(0, 2 ** 32, size=(1000, 8), dtype=np.uint32)
+    valid = np.ones(1000, bool)
+    t0 = time.perf_counter()
+    w1, wt1, n1 = voc.transform(q, valid)
+    host_ms = (time.perf_counter() - t0) * 1e3
+    # Device path: first call compiles; time the second.
+    w2, wt2, n2 = voc.transform_device(q, valid)
+    t0 = time.perf_counter()
+    w2, wt2, n2 = voc.transform_device(q, valid)
+    dev_ms = (time.perf_counter() - t0) * 1e3
+    print(f"\n1000-desc transform over 111k nodes: host {host_ms:.1f} ms, "
+          f"device {dev_ms:.1f} ms")
+    np.testing.assert_array_equal(w1, np.asarray(w2))
+    np.testing.assert_array_equal(n1, np.asarray(n2))
+    np.testing.assert_allclose(wt1, np.asarray(wt2), rtol=1e-6)
+    assert (w1 >= 0).all()
+    # Per-keyframe BoW must stay well under a frame budget on the host path.
+    assert host_ms < 1000.0
