@@ -76,7 +76,63 @@ def bench_system_fps(n_frames: int = 72, warmup: int = 24):
     return (n_timed / dt, n_timed) if ok else None
 
 
+def bench_cv2_baseline(n_frames: int = 8, reps: int = 3):
+    """MEASURE the OpenCV-CPU baseline on this machine instead of assuming
+    the literature constant: cv2.ORB_create(1000) extraction (the exact
+    workload of the reference's front end, src/ORBextractor.cc:442-495,
+    which wraps OpenCV FAST/resize/blur) + BFMatcher(HAMMING) against the
+    previous frame, over the same textured 640x480 synthetic frames the
+    TPU path benches. Returns measured keypoints/sec or None if cv2 is
+    unavailable."""
+    try:
+        import cv2
+    except Exception:  # noqa: BLE001
+        return None
+    from orb_slam_system_tpu.dataio.synthetic import (
+        PlanarSceneRenderer, make_texture, orbit_trajectory)
+
+    W, H = 640, 480
+    K = np.array([[520.0, 0, W / 2], [0, 520.0, H / 2], [0, 0, 1]])
+    r = PlanarSceneRenderer(K, W, H, texture=make_texture(2048, 8, 7),
+                            tex_scale=440.0)
+    poses = orbit_trajectory(n_frames, radius=0.35, depth=-2.0, tilt=0.3)
+    frames = [np.clip(r.render(T), 0, 255).astype(np.uint8) for T in poses]
+    orb = cv2.ORB_create(nfeatures=1000, scaleFactor=1.2, nlevels=8,
+                         fastThreshold=20)
+    bf = cv2.BFMatcher(cv2.NORM_HAMMING)
+    # Warmup pass (cv2 lazy-allocates pyramids etc.).
+    prev = orb.detectAndCompute(frames[0], None)[1]
+    best_dt, n_kp = float("inf"), 0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        n_kp = 0
+        pdesc = prev
+        for img in frames:
+            kp, desc = orb.detectAndCompute(img, None)
+            n_kp += len(kp)
+            if desc is not None and pdesc is not None:
+                bf.match(desc, pdesc)
+            pdesc = desc
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    return n_kp / best_dt
+
+
 def main():
+    # Measure the cv2 baseline FIRST, before any device work: jax's async
+    # dispatch threads contend for this host's single core and halve the
+    # cv2 number if measured mid-bench.
+    baseline = 66700.0
+    measured_baseline = None
+    try:
+        measured_baseline = bench_cv2_baseline()
+        if measured_baseline and measured_baseline > 0:
+            baseline = measured_baseline
+            print(f"# measured cv2 baseline: {measured_baseline:.0f} kp/s "
+                  f"(constant fallback 66700)", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — bench must never fail
+        print(f"# cv2 baseline measurement failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     import jax
     import jax.numpy as jnp
 
@@ -166,12 +222,19 @@ def main():
     frames_per_sec = B * iters / dt
     kps_per_sec = frames_per_sec * n_valid
 
-    baseline = 66700.0  # OpenCV CPU ORB extraction+matching, kp/s (see doc)
+    # Baseline: MEASURED cv2.ORB+BFMatcher throughput on this host,
+    # taken at main() entry (fallback: the ~15 ms/frame literature
+    # constant, 66,700 kp/s).
     record = {
         "metric": "orb_extract_match_throughput",
         "value": round(kps_per_sec, 1),
         "unit": "keypoints/sec",
         "vs_baseline": round(kps_per_sec / baseline, 2),
+        "baseline_kps": round(baseline, 0),
+        # Multiple against the desktop-CPU literature constant too, so the
+        # number stays comparable if this host's single core undersells the
+        # reference's hardware.
+        "vs_baseline_constant_66700": round(kps_per_sec / 66700.0, 2),
     }
     # Second metric: end-to-end tracking FPS (system throughput, not a
     # kernel benchmark) vs the 30 fps real-time dataset rate.
