@@ -111,12 +111,9 @@ class KeyFrameRec:
         cached = getattr(self, "_ntp_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
-        n = 0
-        for mid in self.mp_ids:
-            if mid >= 0:
-                mp = arena.mps.get(int(mid))
-                if mp is not None and not mp.bad and len(mp.obs) >= min_obs:
-                    n += 1
+        rows, found = arena.lookup_points(self.mp_ids)
+        n_obs = arena.point_columns()[5]
+        n = int((found & (n_obs[rows] >= min_obs)).sum()) if len(n_obs) else 0
         self._ntp_cache = (key, n)
         return n
 
@@ -239,6 +236,90 @@ class MapArena:
         # (MapPoint::EraseObservation src/MapPoint.cc).
         if len(mp.obs) <= 2 and not mp.bad:
             self.set_point_bad(mp)
+
+    def set_point_pos(self, mp: MapPointRec, pos: np.ndarray):
+        """Move a point, bumping the version so columnar caches
+        (point_columns, local-map blocks) invalidate. ALL pos mutations
+        must go through here — a silent in-place write would serve stale
+        positions from the caches."""
+        self.version += 1
+        mp.pos = np.asarray(pos, np.float32).copy()
+
+    # ----- columnar snapshots (version-keyed caches) ----------------------
+    #
+    # The reference's pointer-graph map is O(1) per record but O(n) Python
+    # per bulk pass; these caches give the bulk passes (keyframe culling,
+    # Sim3-guided search prep, frame-point gathers) vectorized numpy
+    # columns instead, rebuilt only when the map version changes
+    # (SURVEY.md §7.1 arena row: integer-indexed arrays replace pointers).
+
+    def point_columns(self):
+        """Sorted live map-point columns: (ids i64[P], pos f32[P,3],
+        desc u32[P,8], min_dist f32[P], max_dist f32[P], n_obs i64[P])."""
+        cached = getattr(self, "_pc_cache", None)
+        if cached is not None and cached[0] == self.version:
+            return cached[1]
+        P = len(self.mps)
+        ids = np.fromiter(self.mps.keys(), np.int64, P)
+        order = np.argsort(ids)
+        ids = ids[order]
+        recs = list(self.mps.values())
+        pos = np.empty((P, 3), np.float32)
+        desc = np.empty((P, 8), np.uint32)
+        mind = np.empty(P, np.float32)
+        maxd = np.empty(P, np.float32)
+        nobs = np.empty(P, np.int64)
+        for r, i in enumerate(order):
+            mp = recs[i]
+            pos[r] = mp.pos
+            desc[r] = mp.desc
+            mind[r] = mp.min_dist
+            maxd[r] = mp.max_dist
+            nobs[r] = len(mp.obs)
+        cols = (ids, pos, desc, mind, maxd, nobs)
+        self._pc_cache = (self.version, cols)
+        return cols
+
+    def lookup_points(self, mids: np.ndarray):
+        """Vectorized id -> column-row resolution: returns (rows i64[N],
+        found bool[N]) into point_columns(); rows of missing ids are 0."""
+        ids = self.point_columns()[0]
+        mids = np.asarray(mids, np.int64)
+        pos = np.searchsorted(ids, mids)
+        posc = np.minimum(pos, max(len(ids) - 1, 0))
+        found = ((mids >= 0) & (pos < len(ids))
+                 & (ids[posc] == mids)) if len(ids) else np.zeros(
+                     mids.shape, bool)
+        return posc, found
+
+    def obs_table(self):
+        """Columnar observation table (kf_id i64[M], feat_idx i64[M],
+        mp_id i64[M], octave i64[M]) over all live keyframes' attached
+        slots, filtered to live points. Built from the kf.mp_ids mirrors
+        in one vectorized pass per keyframe."""
+        cached = getattr(self, "_obs_cache", None)
+        if cached is not None and cached[0] == self.version:
+            return cached[1]
+        kf_col, idx_col, mp_col, oct_col = [], [], [], []
+        for kf in self.kfs.values():
+            slots = np.nonzero(kf.mp_ids >= 0)[0]
+            if not len(slots):
+                continue
+            kf_col.append(np.full(len(slots), kf.id, np.int64))
+            idx_col.append(slots.astype(np.int64))
+            mp_col.append(kf.mp_ids[slots].astype(np.int64))
+            oct_col.append(kf.feats.octave[slots].astype(np.int64))
+        if kf_col:
+            tbl = [np.concatenate(kf_col), np.concatenate(idx_col),
+                   np.concatenate(mp_col), np.concatenate(oct_col)]
+            # Drop rows whose point died since the mirror was written.
+            _, found = self.lookup_points(tbl[2])
+            tbl = tuple(c[found] for c in tbl)
+        else:
+            z = np.zeros(0, np.int64)
+            tbl = (z, z, z, z)
+        self._obs_cache = (self.version, tbl)
+        return tbl
 
     def set_point_bad(self, mp: MapPointRec):
         self.version += 1

@@ -788,7 +788,7 @@ class LocalMapper:
         for m, i in pt_index.items():
             mp = self.arena.mps.get(m)
             if mp is not None:
-                mp.pos = X_new[i].copy()
+                self.arena.set_point_pos(mp, X_new[i])
         # Erase outlier observations.
         for k, (m, kf_id) in enumerate(edge_refs):
             if not inlier[k]:
@@ -805,33 +805,55 @@ class LocalMapper:
 
     def cull_keyframes(self, kf: KeyFrameRec):
         """Erase local keyframes whose map points are >=90% redundantly
-        observed by >=3 other keyframes at the same or finer scale."""
+        observed by >=3 other keyframes at the same or finer scale
+        (reference KeyFrameCulling src/LocalMapping.cc:382-410).
+
+        Columnar formulation over arena.obs_table(): the reference's (and
+        the old implementation's) triple nested loop is
+        O(neighbors x points x observations) in Python and dominated
+        keyframe time as the map grew; here each neighbor is a handful of
+        vectorized gathers and one segment count."""
+        obs_sorted = None
         for nb_id in self.arena.covisible_ordered(kf):
             nb = self.arena.kfs.get(nb_id)
             if nb is None or nb.id == self.arena.kf_origin_id:
                 continue
-            n_pts = 0
-            n_redundant = 0
-            for idx, mid in enumerate(nb.mp_ids):
-                if mid < 0:
-                    continue
-                mp = self.arena.mps.get(int(mid))
-                if mp is None or mp.bad:
-                    continue
-                n_pts += 1
-                level = int(nb.feats.octave[idx])
-                n_obs_fine = 0
-                for o_kf_id, o_idx in mp.obs.items():
-                    if o_kf_id == nb.id:
-                        continue
-                    o_kf = self.arena.kfs.get(o_kf_id)
-                    if o_kf is None:
-                        continue
-                    if int(o_kf.feats.octave[o_idx]) <= level + 1:
-                        n_obs_fine += 1
-                        if n_obs_fine >= 3:
-                            break
-                if n_obs_fine >= 3:
-                    n_redundant += 1
-            if n_pts > 0 and n_redundant > 0.9 * n_pts:
+            if obs_sorted is None or obs_sorted[0] != self.arena.version:
+                kf_r, _, mp_r, oct_r = self.arena.obs_table()
+                order = np.argsort(mp_r, kind="stable")
+                mp_s, kf_s, oct_s = mp_r[order], kf_r[order], oct_r[order]
+                uniq, start = np.unique(mp_s, return_index=True)
+                end = np.append(start[1:], len(mp_s))
+                obs_sorted = (self.arena.version, mp_s, kf_s, oct_s,
+                              uniq, start, end)
+            _, mp_s, kf_s, oct_s, uniq, start, end = obs_sorted
+            slots = np.nonzero(nb.mp_ids >= 0)[0]
+            if not len(slots) or not len(uniq):
+                continue
+            mids = nb.mp_ids[slots].astype(np.int64)
+            pos = np.searchsorted(uniq, mids)
+            posc = np.minimum(pos, len(uniq) - 1)
+            found = (pos < len(uniq)) & (uniq[posc] == mids)
+            slots, posc = slots[found], posc[found]
+            n_pts = len(slots)
+            if n_pts == 0:
+                continue
+            levels = nb.feats.octave[slots].astype(np.int64)
+            s, e = start[posc], end[posc]
+            lens = e - s
+            total = int(lens.sum())
+            # Flat row indices of every observation of the neighbor's
+            # points: repeat each range start and add a within-range ramp.
+            ramp = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+            flat = np.repeat(s, lens) + ramp
+            point_row = np.repeat(np.arange(n_pts), lens)
+            fine = ((kf_s[flat] != nb.id)
+                    & (oct_s[flat] <= levels[point_row] + 1))
+            cnt = np.bincount(point_row[fine], minlength=n_pts)
+            n_redundant = int((cnt >= 3).sum())
+            if n_redundant > 0.9 * n_pts:
+                # erase_keyframe bumps the version; the sorted table
+                # rebuilds for the next neighbor so later counts exclude
+                # this keyframe's observations (matching the sequential
+                # reference semantics).
                 self.arena.erase_keyframe(nb)

@@ -270,25 +270,26 @@ class LoopCloser:
 
     def _slot_points(self, kf: KeyFrameRec, exclude=frozenset()):
         """Per-feature-slot map-point arrays (descriptor, world position,
-        scale-invariance band, validity) for Sim3-guided search."""
+        scale-invariance band, validity) for Sim3-guided search —
+        vectorized gathers from the arena's columnar point snapshot
+        (the per-slot dict-lookup loop scaled linearly with slot count in
+        Python)."""
         N = kf.feats.n_slots
         desc = np.zeros((N, 8), np.uint32)
         pos = np.zeros((N, 3), np.float32)
         mind = np.zeros(N, np.float32)
         maxd = np.ones(N, np.float32)
-        ok = np.zeros(N, bool)
-        for i in range(N):
-            mid = int(kf.mp_ids[i])
-            if mid < 0 or i in exclude:
-                continue
-            mp = self.arena.mps.get(mid)
-            if mp is None or mp.bad:
-                continue
-            desc[i] = mp.desc
-            pos[i] = mp.pos
-            mind[i] = 0.8 * mp.min_dist
-            maxd[i] = max(1.2 * mp.max_dist, 1e-6)
-            ok[i] = True
+        rows, ok = self.arena.lookup_points(kf.mp_ids)
+        if exclude:
+            ok = ok.copy()
+            ok[np.fromiter(exclude, np.int64, len(exclude))] = False
+        if ok.any():
+            _, c_pos, c_desc, c_mind, c_maxd, _ = self.arena.point_columns()
+            r = rows[ok]
+            desc[ok] = c_desc[r]
+            pos[ok] = c_pos[r]
+            mind[ok] = 0.8 * c_mind[r]
+            maxd[ok] = np.maximum(1.2 * c_maxd[r], 1e-6)
         return desc, pos, mind, maxd, ok
 
     def _sim3_guided_geometry(self, pos, mind, maxd, ok, sR, t, th):
@@ -456,8 +457,7 @@ class LoopCloser:
                 pc = T_old[:3, :3] @ mp.pos + T_old[:3, 3]
                 sinv = 1.0 / S_n["s"]
                 p_new = sinv * (S_n["R"].T @ (pc - S_n["t"]))
-                mp.pos = p_new.astype(np.float32)
-                self.arena.version += 1  # local-map cache invalidation
+                self.arena.set_point_pos(mp, p_new)
                 moved.add(int(mid))
                 moved_recs.append(mp)
             # Pose: SE3 from corrected Sim3 with t/s (reference :283-288).
@@ -617,7 +617,7 @@ class LoopCloser:
             pc = s_o * (R_o @ mp.pos) + t_o
             # p_new = S_new^-1 (pc) with S_new = (sR, t).
             p_new = (Rn[i].T @ (pc - tn[i])) / max(sn[i], 1e-9)
-            mp.pos = p_new.astype(np.float32)
+            arena.set_point_pos(mp, p_new)
             eg_moved.append(mp)
         arena.update_normals_many(eg_moved, self.scale_factors)
 
@@ -732,7 +732,7 @@ class LoopCloser:
         moved = []
         for m, mp in list(arena.mps.items()):
             if m in p_index:
-                mp.pos = X_n[p_index[m]].copy()
+                arena.set_point_pos(mp, X_n[p_index[m]])
             else:
                 # Born during GBA: re-anchor via the reference keyframe's
                 # old->new pose pair (upstream :402-408).
@@ -742,8 +742,8 @@ class LoopCloser:
                     continue
                 pc = T_old[:3, :3] @ mp.pos + T_old[:3, 3]
                 T_new = new_pose[ref]
-                mp.pos = (T_new[:3, :3].T @ (pc - T_new[:3, 3])).astype(
-                    np.float32)
+                arena.set_point_pos(
+                    mp, T_new[:3, :3].T @ (pc - T_new[:3, 3]))
             moved.append(mp)
         arena.update_normals_many(moved, self.scale_factors)
         return True

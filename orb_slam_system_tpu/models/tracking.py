@@ -96,6 +96,11 @@ class Tracker:
         # src/Tracking.cc:51,530-571): true when the last frame tracked
         # mostly temporary depth points rather than map points.
         self.mb_vo = False
+        # Per-stage timing of the steady-state path (SURVEY.md §5
+        # observability): where a tracked frame's wall time goes —
+        # host gathers vs the fused device round trip vs bookkeeping.
+        from orb_slam_system_tpu.utils.metrics import StageTimer
+        self.stage_ms = StageTimer()
 
     # ------------------------------------------------------------------
     # Entry point
@@ -166,7 +171,8 @@ class Tracker:
         ok = False
         fused_done = False
         if self.state == TrackingState.OK:
-            self._replace_updated_points(self.last_frame)
+            with self.stage_ms.stage("replace_updated"):
+                self._replace_updated_points(self.last_frame)
             if not self.only_tracking or not self.mb_vo:
                 # Normal tracking (localization mode with enough map
                 # matches follows the same path, reference :521-529).
@@ -224,8 +230,12 @@ class Tracker:
             else:
                 self.velocity = None
             self._clean_outlier_associations()
-            if not self.only_tracking and self.need_new_keyframe():
-                self.create_new_keyframe()
+            with self.stage_ms.stage("kf_decision"):
+                need_kf = (not self.only_tracking
+                           and self.need_new_keyframe())
+            if need_kf:
+                with self.stage_ms.stage("kf_create"):
+                    self.create_new_keyframe()
             self.frames_since_reloc += 1
         else:
             # Lost soon after initialization -> full reset
@@ -340,7 +350,7 @@ class Tracker:
         kf1.Tcw = Tcw_opt[0].copy()
         kf2.Tcw = Tcw_opt[1].copy()
         for p_i, mp in enumerate(mp_list):
-            mp.pos = X_opt[p_i].copy()
+            arena.set_point_pos(mp, X_opt[p_i])
         # Median-depth normalization (reference :388-405).
         depths = np.array([
             (kf1.Tcw[:3, :3] @ mp.pos + kf1.Tcw[:3, 3])[2]
@@ -352,7 +362,7 @@ class Tracker:
         inv_md = 1.0 / median_depth
         kf2.Tcw[:3, 3] *= inv_md
         for mp in mp_list:
-            mp.pos = mp.pos * inv_md
+            arena.set_point_pos(mp, mp.pos * inv_md)
             arena.update_normal_and_depth(mp, self.scale_factors)
         # Wire the current frame into the new map.
         cur.Tcw = kf2.Tcw.copy()
@@ -441,16 +451,15 @@ class Tracker:
             frame.mp_ids[k] = cur
 
     def _gather_frame_points(self, frame: Frame):
-        """Padded arrays of the map points attached to a frame's features."""
+        """Padded arrays of the map points attached to a frame's features —
+        vectorized gather from the arena's columnar point snapshot (this
+        runs every frame; the per-slot dict-lookup loop was a fixed ~1000-
+        iteration Python cost per frame)."""
         n = frame.n_slots
         pos = np.zeros((n, 3), np.float32)
-        ok = np.zeros(n, bool)
-        for k, mid in enumerate(frame.mp_ids):
-            if mid >= 0:
-                mp = self.arena.mps.get(int(mid))
-                if mp is not None and not mp.bad:
-                    pos[k] = mp.pos
-                    ok[k] = True
+        rows, ok = self.arena.lookup_points(frame.mp_ids)
+        if ok.any():
+            pos[ok] = self.arena.point_columns()[1][rows[ok]]
         return pos, ok
 
     def _vo_augment_last_frame(self, last, pos, ok):
@@ -765,33 +774,37 @@ class Tracker:
                 or not self.local_kf_ids or self.last_frame is None):
             return None
         cur, last = self.current, self.last_frame
-        ids, pos_lm, normal, mind, maxd, desc_lm, valid_lm = \
-            self._gather_local_points()
+        t = self.stage_ms
+        with t.stage("gather_local"):
+            ids, pos_lm, normal, mind, maxd, desc_lm, valid_lm = \
+                self._gather_local_points()
         if not ids:
             return None
-        pos, ok = self._gather_frame_points(last)
+        with t.stage("gather_frame"):
+            pos, ok = self._gather_frame_points(last)
         if ok.sum() < 10:
             return None
         cam = self.cfg.camera
-        Tcw_pred = (self.velocity @ last.Tcw).astype(np.float32)
-        Xc = pos @ Tcw_pred[:3, :3].T + Tcw_pred[:3, 3]
-        z = Xc[:, 2]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            proj = Xc[:, :2] / np.where(np.abs(z[:, None]) < 1e-9, 1e-9,
-                                        z[:, None])
-        proj = proj * [cam.fx, cam.fy] + [cam.cx, cam.cy]
-        ok = ok & (z > 0)
-        # last slot -> local block slot (identity known pre-call).
-        ids_arr = np.asarray(ids, np.int64)
-        order = np.argsort(ids_arr)
-        sorted_ids = ids_arr[order]
-        li = np.clip(np.searchsorted(sorted_ids, last.mp_ids), 0,
-                     len(sorted_ids) - 1)
-        found = (sorted_ids[li] == last.mp_ids) & (last.mp_ids >= 0)
-        last2local = np.where(found, order[li], -1).astype(np.int32)
+        with t.stage("prep"):
+            Tcw_pred = (self.velocity @ last.Tcw).astype(np.float32)
+            Xc = pos @ Tcw_pred[:3, :3].T + Tcw_pred[:3, 3]
+            z = Xc[:, 2]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                proj = Xc[:, :2] / np.where(np.abs(z[:, None]) < 1e-9, 1e-9,
+                                            z[:, None])
+            proj = proj * [cam.fx, cam.fy] + [cam.cx, cam.cy]
+            ok = ok & (z > 0)
+            # last slot -> local block slot (identity known pre-call).
+            ids_arr = np.asarray(ids, np.int64)
+            order = np.argsort(ids_arr)
+            sorted_ids = ids_arr[order]
+            li = np.clip(np.searchsorted(sorted_ids, last.mp_ids), 0,
+                         len(sorted_ids) - 1)
+            found = (sorted_ids[li] == last.mp_ids) & (last.mp_ids >= 0)
+            last2local = np.where(found, order[li], -1).astype(np.int32)
         # Inputs are gathered; release the map mutex for the device round
         # trip so the async mapping worker's host phases overlap it.
-        with self.arena.unlocked():
+        with t.stage("fused_device"), self.arena.unlocked():
             (T2, best_j, matched, inlier1, idx2, visible, already, inlier2,
              n_in1, n_matched, n_valid, n_in2) = self.programs.fused_step(
                 proj, ok, pos, last.packed_dev, cur.packed_dev, Tcw_pred,
@@ -807,32 +820,34 @@ class Tracker:
             return None
         # Motion-stage bookkeeping: only inlier edges attach (the two-step
         # path attaches then prunes — same end state).
-        cur.mp_ids[:] = -1
-        cur.vo_points = {}
-        good = matched & inlier1
-        cur.mp_ids[best_j[good]] = last.mp_ids[good]
-        # Local-map bookkeeping (mirrors track_local_map).
-        for k in np.nonzero(visible | already)[0]:
-            if k < len(ids):
-                mp = self.arena.mps.get(ids[k])
-                if mp is not None:
-                    mp.n_visible += 1
-        for k in np.nonzero(idx2 >= 0)[0]:
-            cur.mp_ids[idx2[k]] = ids[k]
-        cur.Tcw = T2
-        edge_ok = cur.mp_ids >= 0
-        out = edge_ok & ~inlier2
-        cur.outlier = out
-        cur.mp_ids[out] = -1
-        self.n_inliers = n_in2
-        for k, mid in enumerate(cur.mp_ids):
-            if mid >= 0 and not cur.outlier[k]:
-                mp = self.arena.mps.get(int(mid))
+        with t.stage("bookkeeping"):
+            cur.mp_ids[:] = -1
+            cur.vo_points = {}
+            good = matched & inlier1
+            cur.mp_ids[best_j[good]] = last.mp_ids[good]
+            # Local-map bookkeeping (mirrors track_local_map).
+            for k in np.nonzero(visible | already)[0]:
+                if k < len(ids):
+                    mp = self.arena.mps.get(ids[k])
+                    if mp is not None:
+                        mp.n_visible += 1
+            for k in np.nonzero(idx2 >= 0)[0]:
+                cur.mp_ids[idx2[k]] = ids[k]
+            cur.Tcw = T2
+            edge_ok = cur.mp_ids >= 0
+            out = edge_ok & ~inlier2
+            cur.outlier = out
+            cur.mp_ids[out] = -1
+            self.n_inliers = n_in2
+            mps = self.arena.mps
+            for mid in cur.mp_ids[(cur.mp_ids >= 0) & ~cur.outlier]:
+                mp = mps.get(int(mid))
                 if mp is not None:
                     mp.n_found += 1
         # Refresh local keyframes + reference KF from the FINAL
         # associations (feeds the next frame's fused block).
-        self.update_local_keyframes()
+        with t.stage("update_local_kfs"):
+            self.update_local_keyframes()
         return True
 
     def _clean_outlier_associations(self):

@@ -22,6 +22,9 @@ class StageTimer:
 
     def __init__(self):
         self.ms: dict[str, float] = {}
+        # Per-invocation history (one float per stage call) so growth of a
+        # stage's cost with map size is measurable, not just the total.
+        self.history: dict[str, list[float]] = {}
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -29,11 +32,13 @@ class StageTimer:
         try:
             yield
         finally:
-            self.ms[name] = self.ms.get(name, 0.0) + (
-                time.perf_counter() - t0) * 1000.0
+            dt = (time.perf_counter() - t0) * 1000.0
+            self.ms[name] = self.ms.get(name, 0.0) + dt
+            self.history.setdefault(name, []).append(dt)
 
     def reset(self):
         self.ms = {}
+        self.history = {}
 
 
 class Telemetry:

@@ -1,0 +1,53 @@
+"""KITTI-scale endurance gate (env-gated: ORB_SLAM_RUN_ENDURANCE=1).
+
+VERDICT r2 #2: one 1000+ frame synthetic sequence with multiple loop
+closures, profiling per-stage host time as the map passes 300 keyframes.
+The reference's own evidence of scale is a committed 4541-frame KITTI-
+format trajectory (/root/reference/CameraTrajectory.txt); its scaling
+mechanisms (windowed BA, KF/point culling, capped local map — SURVEY.md
+§5 long-context row) are what this run exercises end to end.
+
+Run manually:  ORB_SLAM_RUN_ENDURANCE=1 python -m pytest tests/test_endurance.py -s
+(~1 h on this host's CPU; minutes on the TPU.)
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("ORB_SLAM_RUN_ENDURANCE") != "1",
+    reason="long endurance run (set ORB_SLAM_RUN_ENDURANCE=1)")
+
+
+def test_endurance_1000_frames():
+    from examples.endurance_synthetic import run
+
+    n = int(os.environ.get("ORB_SLAM_ENDURANCE_FRAMES", "1000"))
+    slam, s = run(n_frames=n, verbose=True)
+
+    # Tracking held through the sequence.
+    assert s["n_tracked"] >= 0.9 * n, s
+    # The map actually reached KITTI-class keyframe counts...
+    assert s["n_keyframes_peak"] >= 300, s
+    # ...and keyframe culling kept it bounded (not every insertion kept).
+    assert s["n_keyframes_final"] <= s["n_keyframes_peak"], s
+    # Multiple loop closures fired and drift was corrected.
+    assert s["loops_closed"] >= 2, s
+    assert s["ate_rmse_m"] < 0.12, s    # ~1% of the ~45 m path
+    # Host per-frame time bounded as the map grows: the last third's
+    # median within 2.5x the first third's (linear growth in keyframes
+    # would be ~10x here).
+    m1, _, m3 = s["host_ms_median_thirds"]
+    assert m3 <= 2.5 * max(m1, 1.0), s
+    # Keyframe-stage times bounded too (first-20 vs last-20 mean), for
+    # the stages that scale with map size.
+    for stage in ("cull_kfs", "process_new_kf"):
+        a = s["stage_ms_first20_mean"].get(stage)
+        b = s["stage_ms_last20_mean"].get(stage)
+        if a is not None and b is not None and a > 1.0:
+            assert b <= 4.0 * a, (stage, a, b, s)
