@@ -255,7 +255,8 @@ class MapArena:
 
     def point_columns(self):
         """Sorted live map-point columns: (ids i64[P], pos f32[P,3],
-        desc u32[P,8], min_dist f32[P], max_dist f32[P], n_obs i64[P])."""
+        desc u32[P,8], min_dist f32[P], max_dist f32[P], n_obs i64[P],
+        normal f32[P,3])."""
         cached = getattr(self, "_pc_cache", None)
         if cached is not None and cached[0] == self.version:
             return cached[1]
@@ -269,6 +270,7 @@ class MapArena:
         mind = np.empty(P, np.float32)
         maxd = np.empty(P, np.float32)
         nobs = np.empty(P, np.int64)
+        normal = np.empty((P, 3), np.float32)
         for r, i in enumerate(order):
             mp = recs[i]
             pos[r] = mp.pos
@@ -276,7 +278,8 @@ class MapArena:
             mind[r] = mp.min_dist
             maxd[r] = mp.max_dist
             nobs[r] = len(mp.obs)
-        cols = (ids, pos, desc, mind, maxd, nobs)
+            normal[r] = mp.normal
+        cols = (ids, pos, desc, mind, maxd, nobs, normal)
         self._pc_cache = (self.version, cols)
         return cols
 

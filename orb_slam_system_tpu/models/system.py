@@ -219,6 +219,124 @@ class System:
                 self._emit_frame_metrics(ts, t1 - t0, t2 - t1)
                 yield Tcw
 
+    def track_monocular_pipelined(self, frames, resync_every: int = 0):
+        """Deep-pipelined monocular tracking (the realtime mode): frame
+        k+1's extraction AND tracking programs are enqueued before frame
+        k's results arrive; results are fetched asynchronously one frame
+        late via the device-state chain step (tracking.chain_*). The
+        tunnel round trip overlaps the next frame's device work, so
+        steady-state throughput is bounded by device time + host
+        bookkeeping, not by the RTT.
+
+        Per-frame semantics match the sequential path except for a
+        documented lag: keyframe decisions and local-map rotation happen
+        one frame late (the reference's own threading makes the same
+        quantities race by a frame), and weak results re-run through the
+        exact classic path. Falls back to classic tracking outside the
+        steady state (init, relocalization, localization mode).
+
+        Yields Tcw (or None) per frame, in order.
+        """
+        from orb_slam_system_tpu.config import TrackingState
+        tr = self.tracker
+        pending = None   # (frame, ids, state_in_host_refs, packed_out)
+        state = None     # (T_prev_dev, T_last_dev, assoc_dev)
+        prev_ids = None
+        prev_packed = None
+
+        def classic(frame):
+            with self._lock:
+                t0 = time.perf_counter()
+                Tcw = tr.grab_prebuilt(frame)
+                t1 = time.perf_counter()
+                self._pump_mapping()
+                self._timings.append(time.perf_counter() - t0)
+                self._emit_frame_metrics(frame.timestamp, t1 - t0,
+                                         time.perf_counter() - t1)
+            return Tcw
+
+        def process_pending():
+            """Returns (Tcw, broke) for the pending frame, running the
+            classic fallback when the chain result was weak. broke=True
+            means frames already enqueued on the stale state must be
+            discarded and re-tracked classically."""
+            nonlocal pending, state
+            frame, ids, packed_out = pending
+            pending = None
+            broke = False
+            with self._lock:
+                t0 = time.perf_counter()
+                ok = tr.chain_process(frame, ids, packed_out)
+                if ok is None:
+                    # Weak chain result: exact classic re-track of this
+                    # frame (its packed buffer is retained); state resync
+                    # happens at the next enqueue via chain_bootstrap.
+                    state = None
+                    broke = True
+                    Tcw = tr.grab_prebuilt(frame)
+                else:
+                    tr.chain_finish(frame, True)
+                    Tcw = None if frame.Tcw is None else frame.Tcw.copy()
+                t1 = time.perf_counter()
+                self._pump_mapping()
+                self._timings.append(time.perf_counter() - t0)
+                self._emit_frame_metrics(frame.timestamp, t1 - t0,
+                                         time.perf_counter() - t1)
+                if tr.state != TrackingState.OK:
+                    state = None
+                    broke = True
+            return Tcw, broke
+
+        for img, ts in frames:
+            if img.ndim == 3:
+                img = rgb_to_gray(img, self.cfg.camera.rgb)
+            if state is None and pending is not None:
+                # The device state was dropped (resync knob) while a frame
+                # is still in flight: drain it so the bootstrap below
+                # refers to the frame whose packed buffer becomes
+                # packed_last.
+                Tcw, _ = process_pending()
+                yield Tcw
+            with self._lock:
+                chain_ok = pending is not None or tr.chain_ready()
+                if not chain_ok:
+                    frame = tr.build_frame(img, ts)
+                else:
+                    frame = tr.builder.build(img, ts)
+            if not chain_ok:
+                state = None
+                yield classic(frame)
+                continue
+            with self._lock:
+                if state is None:
+                    (T_prev, T_last, assoc, prev_ids,
+                     _blk) = tr.chain_bootstrap()
+                    state = (T_prev, T_last, assoc)
+                    prev_packed = tr.last_frame.packed_dev
+                ids, state, packed_out = tr.chain_enqueue(
+                    frame, state, prev_packed, prev_ids)
+                if resync_every and (frame.id % resync_every == 0):
+                    # Periodic state resync: drop the device state after
+                    # this frame; the next iteration drains the pipeline
+                    # and re-bootstraps from the host bookkeeping.
+                    state = None
+            new_pending = (frame, ids, packed_out)
+            prev_ids = ids
+            prev_packed = frame.packed_dev
+            if pending is not None:
+                Tcw, broke = process_pending()
+                yield Tcw
+                if broke:
+                    # This frame's chain step was already enqueued on the
+                    # now-invalid state: discard it and re-enter through
+                    # the classic path.
+                    yield classic(new_pending[0])
+                    new_pending = None
+            pending = new_pending
+        if pending is not None:
+            Tcw, _ = process_pending()
+            yield Tcw
+
     def _pump_mapping(self):
         """Synchronous mode: drain the keyframe queue inline. Async mode:
         the worker thread drains it; here we only apply any finished

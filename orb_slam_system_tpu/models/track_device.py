@@ -32,6 +32,20 @@ from orb_slam_system_tpu.ops.hamming import distance_matrix
 from orb_slam_system_tpu.solvers.pose_opt import pose_optimization
 
 
+def _scatter_last_wins(n_out, idx, valid, n_src):
+    """Deterministic duplicate resolution for scatters: winner[j] = the
+    LARGEST source row i with valid[i] and idx[i] == j, else -1 — exactly
+    the last-writer-wins of a host loop iterating i in ascending order
+    (e.g. `for k in nonzero(idx2>=0): mp_ids[idx2[k]] = ids[k]`).
+    jnp's .at[].set with duplicate indices has an UNSPECIFIED winner,
+    which made the fused/chain association outputs nondeterministic when
+    two points claimed the same feature slot."""
+    import jax.numpy as jnp
+    w = jnp.where(valid, idx, n_out)
+    return jnp.full(n_out, -1, jnp.int32).at[w].max(
+        jnp.arange(n_src, dtype=jnp.int32), mode="drop")
+
+
 class TrackPrograms:
     """Shape-specialized fused tracking programs for one camera config."""
 
@@ -137,11 +151,15 @@ class TrackPrograms:
                 cur_xy, cur_desc, cur_valid, cur_oct, already)
             idx2 = res.idx2
             matched = idx2 >= 0
-            # Attach: scatter local points onto their claimed current slots.
-            safe_idx = jnp.where(matched, idx2, 0)
-            Xw = Xw_pre.at[safe_idx].set(
-                jnp.where(matched[:, None], pos, Xw_pre[safe_idx]))
-            ok = ok_pre.at[safe_idx].set(ok_pre[safe_idx] | matched)
+            # Attach: local points onto their claimed current slots, with
+            # deterministic host-loop (last-writer-wins) duplicate
+            # resolution.
+            n_cur = Xw_pre.shape[0]
+            winner = _scatter_last_wins(n_cur, idx2, matched, pos.shape[0])
+            has = winner >= 0
+            wsafe = jnp.maximum(winner, 0)
+            Xw = jnp.where(has[:, None], pos[wsafe], Xw_pre)
+            ok = ok_pre | has
             T_opt, inlier, n_in = pose_optimization(
                 Tcw, Xw, cur_xy, inv_sigma2[cur_oct], ok,
                 fx, fy, cx, cy,
@@ -227,7 +245,141 @@ class TrackPrograms:
 
         self._fused_step = jax.jit(fused_step)
 
+        def chain_step(T_prev, T_last, assoc_in, lm_remap,
+                       packed_last, packed_cur,
+                       lm_pos, lm_normal, lm_mind, lm_maxd, lm_desc,
+                       lm_valid, th):
+            """Device-state tracking step: the pipelined steady-state mode.
+
+            The fused_step above still needs the PREVIOUS frame's fetched
+            results on the host to build its inputs (projection prior,
+            point gather), so the host blocks one full tunnel RTT per
+            frame. This variant keeps that state ON DEVICE — poses
+            (T_prev, T_last) and the per-slot association into the local
+            block (assoc_in i32[N], -1 = none) — and derives everything
+            in-program:
+
+              velocity = T_last · T_prev⁻¹  (reference Tracking.cc:216-221)
+              Tcw_pred = velocity · T_last
+              pos_last = lm_pos[assoc], proj = π(Tcw_pred · pos_last)
+
+            then runs the same motion + local-map cores and PROPAGATES the
+            association state to the current frame (motion matches, then
+            local-map scatter, then final-inlier pruning — the exact order
+            of the host bookkeeping in Tracker.track_fused). The host can
+            therefore enqueue frame k+1's step before frame k's results
+            arrive, and fetch results asynchronously one frame late: the
+            tunnel round trip overlaps the next frame's device work.
+
+            lm_remap i32[P] maps the PREVIOUS step's local-block slots to
+            the current block (identity when the block is unchanged;
+            -1 drops a point that left the block) so the host can rotate
+            the block between enqueues without syncing the state.
+
+            One deliberate approximation vs fused_step: last-frame points
+            NOT present in the local block cannot seed the motion search
+            (the host path gathers them from the full map). The block is
+            built from the covisible local map, which contains the tracked
+            points by construction; the weak-result gates on the host
+            trigger the exact fallback when it matters.
+
+            Returns (T_last_out, T_cur_out, assoc_out, packed_out).
+            """
+            n = assoc_in.shape[0]
+            P = lm_pos.shape[0]
+            safe_a = jnp.clip(assoc_in, 0, P - 1)
+            assoc = jnp.where(assoc_in >= 0, lm_remap[safe_a], -1)
+            # Full-f32 matmuls for the pose-state chain and projections:
+            # at the TPU's default (bf16-pass) precision the per-frame
+            # pose products COMPOUND through the device-resident state and
+            # the projection error reaches pixels within a few frames.
+            # Scoped locally — a program-wide context would break the bf16
+            # descriptor kernel's Mosaic lowering (utils/precision.py).
+            with jax.default_matmul_precision("highest"):
+                # SE3 inverse (R, t): [R^T, -R^T t].
+                Rp, tp = T_prev[:3, :3], T_prev[:3, 3]
+                Tp_inv = jnp.eye(4, dtype=jnp.float32)
+                Tp_inv = Tp_inv.at[:3, :3].set(Rp.T)
+                Tp_inv = Tp_inv.at[:3, 3].set(-Rp.T @ tp)
+                velocity = T_last @ Tp_inv
+                Tcw_pred = velocity @ T_last
+                safe_a2 = jnp.clip(assoc, 0, P - 1)
+                pos_last = lm_pos[safe_a2]
+                Xc = pos_last @ Tcw_pred[:3, :3].T + Tcw_pred[:3, 3]
+            z = Xc[:, 2]
+            zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+            proj = jnp.stack([fx * Xc[:, 0] / zs + cx,
+                              fy * Xc[:, 1] / zs + cy], axis=1)
+            ok = (assoc >= 0) & (z > 0)
+
+            T1, best_j, matched, inlier1, n_in1, cur_valid = motion_core(
+                proj, ok, pos_last, packed_last, packed_cur, Tcw_pred, th)
+            good = matched & inlier1
+            safe_j = jnp.where(good, best_j, 0)
+            Xw_pre = jnp.zeros((n, 3), jnp.float32)
+            Xw_pre = Xw_pre.at[safe_j].set(
+                jnp.where(good[:, None], pos_last, Xw_pre[safe_j]))
+            ok_pre = jnp.zeros(n, bool)
+            ok_pre = ok_pre.at[safe_j].set(ok_pre[safe_j] | good)
+            ll = jnp.where(good & (assoc >= 0), assoc, P)
+            already_local = jnp.zeros(P, bool).at[ll].set(True, mode="drop")
+            T2, idx2, visible, inlier2, n_in2 = localmap_core(
+                lm_pos, lm_normal, lm_mind, lm_maxd, lm_desc,
+                lm_valid & ~already_local,
+                Xw_pre, ok_pre, packed_cur, ok_pre, T1)
+            # Association propagation (same order AND the same
+            # last-writer-wins duplicate resolution as the host
+            # bookkeeping): motion matches attach, local-map matches
+            # overwrite, final outliers detach.
+            win1 = _scatter_last_wins(n, best_j, good, n)
+            a1 = jnp.where(win1 >= 0, assoc[jnp.maximum(win1, 0)], -1)
+            win2 = _scatter_last_wins(n, idx2, idx2 >= 0, P)
+            assoc_out = jnp.where(win2 >= 0, win2, a1).astype(jnp.int32)
+            assoc_out = jnp.where(inlier2, assoc_out, -1)
+            packed_out = jnp.concatenate([
+                T2.ravel(),
+                assoc_out.astype(jnp.float32),
+                visible.astype(jnp.float32),
+                already_local.astype(jnp.float32),
+                jnp.stack([n_in1.astype(jnp.float32),
+                           jnp.sum(matched.astype(jnp.float32)),
+                           jnp.sum(cur_valid.astype(jnp.float32)),
+                           n_in2.astype(jnp.float32)]),
+            ])
+            return T_last, T2, assoc_out, packed_out
+
+        self._chain_step = jax.jit(chain_step)
+
     # ---- host wrappers: one call, one fetch, numpy outputs ---------------
+
+    def chain_step(self, T_prev_dev, T_last_dev, assoc_dev, lm_remap,
+                   packed_last, packed_cur, lm_block, th=15.0):
+        """Enqueue one pipelined step; NO fetch. All array inputs may be
+        device-resident outputs of previous calls. lm_block is the
+        (pos, normal, mind, maxd, desc, valid) device tuple. Returns
+        (T_last_out, T_cur_out, assoc_out, packed_out) device arrays; call
+        packed_out.copy_to_host_async() and decode later with
+        decode_chain_out."""
+        lm_pos, lm_normal, lm_mind, lm_maxd, lm_desc, lm_valid = lm_block
+        return self._chain_step(
+            T_prev_dev, T_last_dev, assoc_dev, jnp.asarray(lm_remap),
+            packed_last, packed_cur,
+            lm_pos, lm_normal, lm_mind, lm_maxd, lm_desc, lm_valid,
+            jnp.asarray(th, jnp.float32))
+
+    def decode_chain_out(self, packed_out):
+        """numpy-decode a chain packed_out (fetch happens here if the async
+        copy hasn't landed)."""
+        out = np.asarray(packed_out)
+        n, p = self._n, self._p
+        o = 16
+        T2 = out[:16].reshape(4, 4).astype(np.float32)
+        assoc = out[o:o + n].astype(np.int64); o += n
+        visible = out[o:o + p] > 0.5; o += p
+        already = out[o:o + p] > 0.5; o += p
+        n_in1 = int(out[o]); n_matched = int(out[o + 1])
+        n_valid_cur = int(out[o + 2]); n_in2 = int(out[o + 3])
+        return T2, assoc, visible, already, n_in1, n_matched, n_valid_cur, n_in2
 
     def motion_step(self, proj, ok, pos_last, packed_last, packed_cur,
                     Tcw_pred, th=15.0):

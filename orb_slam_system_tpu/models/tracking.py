@@ -101,6 +101,9 @@ class Tracker:
         # host gathers vs the fused device round trip vs bookkeeping.
         from orb_slam_system_tpu.utils.metrics import StageTimer
         self.stage_ms = StageTimer()
+        # Recent final-inlier counts of accepted chain frames (the
+        # pipelined mode's quality-drop detector).
+        self._chain_ninl_hist: list[int] = []
 
     # ------------------------------------------------------------------
     # Entry point
@@ -676,9 +679,12 @@ class Tracker:
             uniq = np.unique(all_ids[all_ids >= 0])
         else:
             uniq = np.empty(0, np.int64)
-        ids = [int(m) for m in uniq
-               if (mp := self.arena.mps.get(int(m))) is not None
-               and not mp.bad][:LOCAL_MAP_SLOTS]
+        # Vectorized gather from the arena's columnar snapshot (this
+        # rebuilds after every map mutation — in pipelined mode that can
+        # be every frame, so the former per-point dict loop mattered).
+        rows, found = self.arena.lookup_points(uniq)
+        sel_rows = rows[found][:LOCAL_MAP_SLOTS]
+        ids = [int(m) for m in uniq[found][:LOCAL_MAP_SLOTS]]
         P = LOCAL_MAP_SLOTS
         pos = np.zeros((P, 3), np.float32)
         normal = np.zeros((P, 3), np.float32)
@@ -686,14 +692,15 @@ class Tracker:
         maxd = np.zeros(P, np.float32)
         desc = np.zeros((P, 8), np.uint32)
         valid = np.zeros(P, bool)
-        for k, mid in enumerate(ids):
-            mp = self.arena.mps[mid]
-            pos[k] = mp.pos
-            normal[k] = mp.normal
-            mind[k] = 0.8 * mp.min_dist     # reference band (src/MapPoint.cc:341-351)
-            maxd[k] = 1.2 * mp.max_dist
-            desc[k] = mp.desc
-            valid[k] = True
+        if len(ids):
+            cols = self.arena.point_columns()
+            k = len(ids)
+            pos[:k] = cols[1][sel_rows]
+            normal[:k] = cols[6][sel_rows]
+            mind[:k] = 0.8 * cols[3][sel_rows]   # reference band
+            maxd[:k] = 1.2 * cols[4][sel_rows]   # (src/MapPoint.cc:341-351)
+            desc[:k] = cols[2][sel_rows]
+            valid[:k] = True
         # Device-put ONCE per cache epoch: re-uploading the block's five
         # arrays every frame cost per-transfer tunnel latency.
         import jax.numpy as jnp
@@ -849,6 +856,160 @@ class Tracker:
         with t.stage("update_local_kfs"):
             self.update_local_keyframes()
         return True
+
+    # ------------------------------------------------------------------
+    # Pipelined (device-state) steady-state tracking. The host enqueues
+    # frame k+1's chain step before frame k's results arrive (they are
+    # fetched asynchronously one frame late), so the tunnel round trip
+    # overlaps the next frame's device work — the serial fetch dependency
+    # that capped the streaming mode at ~1/RTT fps is gone. Bookkeeping
+    # runs one frame late with identical per-frame semantics; weak results
+    # trigger the exact classic fallback plus a state resync.
+    # ------------------------------------------------------------------
+
+    def chain_ready(self) -> bool:
+        return (self.state == TrackingState.OK and not self.only_tracking
+                and self.velocity is not None and bool(self.local_kf_ids)
+                and self.last_frame is not None
+                and self.last_frame.Tcw is not None
+                and self.last_frame.packed_dev is not None)
+
+    def chain_block(self):
+        """(ids, device 6-tuple) local-map block for the chain program."""
+        ids, pos, normal, mind, maxd, desc, valid = \
+            self._gather_local_points()
+        return ids, (pos, normal, mind, maxd, desc, jnp.asarray(valid))
+
+    def chain_bootstrap(self):
+        """Build the device tracking state from the host state (entry into
+        pipelined mode, or resync after a fallback): returns
+        (T_prev_dev, T_last_dev, assoc_dev, ids, block)."""
+        ids, block = self.chain_block()
+        last = self.last_frame
+        T_last = last.Tcw.astype(np.float32)
+        # velocity = T_last @ inv(T_prev)  =>  T_prev = inv(velocity) @ T_last
+        T_prev = (np.linalg.inv(self.velocity) @ T_last).astype(np.float32)
+        ids_arr = np.asarray(ids, np.int64)
+        li = np.clip(np.searchsorted(ids_arr, last.mp_ids), 0,
+                     max(len(ids_arr) - 1, 0))
+        found = np.zeros(last.mp_ids.shape, bool)
+        if len(ids_arr):
+            found = (ids_arr[li] == last.mp_ids) & (last.mp_ids >= 0)
+        assoc = np.where(found, li, -1).astype(np.int32)
+        return (jnp.asarray(T_prev), jnp.asarray(T_last),
+                jnp.asarray(assoc), ids, block)
+
+    def chain_enqueue(self, frame, state, prev_packed, prev_ids):
+        """Enqueue one chain step for `frame` (NO fetch) and issue the
+        async copies of its outputs. state = (T_prev_dev, T_last_dev,
+        assoc_dev). Returns (ids, new_state, packed_out)."""
+        ids, block = self.chain_block()
+        if prev_ids is ids or prev_ids == ids:
+            remap = np.arange(LOCAL_MAP_SLOTS, dtype=np.int32)
+        else:
+            # Map the previous block's slots into the current block.
+            ids_arr = np.asarray(ids, np.int64)
+            prev_arr = np.asarray(prev_ids, np.int64)
+            remap = np.full(LOCAL_MAP_SLOTS, -1, np.int32)
+            if len(ids_arr) and len(prev_arr):
+                pos = np.clip(np.searchsorted(ids_arr, prev_arr), 0,
+                              len(ids_arr) - 1)
+                hit = ids_arr[pos] == prev_arr
+                remap[:len(prev_arr)][hit] = pos[hit].astype(np.int32)
+        T_prev, T_last, assoc = state
+        T_last_o, T_cur_o, assoc_o, packed_out = self.programs.chain_step(
+            T_prev, T_last, assoc, remap, prev_packed, frame.packed_dev,
+            block)
+        try:
+            packed_out.copy_to_host_async()
+            frame.packed_dev.copy_to_host_async()
+        except Exception:  # noqa: BLE001 — async copy is best-effort
+            pass
+        return ids, (T_last_o, T_cur_o, assoc_o), packed_out
+
+    def chain_process(self, frame, ids, packed_out) -> Optional[bool]:
+        """Decode a chain step's (async-fetched) results and run the same
+        bookkeeping as track_fused, one frame late. Returns True on
+        success or None when the result is weak — the caller then re-runs
+        this frame through the exact classic path and resyncs."""
+        t = self.stage_ms
+        # The async copy normally landed a frame ago; if not, the blocking
+        # decode releases the map mutex so the mapper keeps working.
+        with t.stage("chain_decode"), self.arena.unlocked():
+            (T2, assoc, visible, already, n_in1, n_matched, n_valid,
+             n_in2) = self.programs.decode_chain_out(packed_out)
+        self.last_n_valid = n_valid
+        if n_matched < 20 or n_in1 < 10:
+            return None
+        if n_in2 < 30 or (self.frames_since_reloc < self.max_frames
+                          and n_in2 < 50):
+            return None
+        # Quality-drop detector: the chain's local block lags the map by
+        # up to two frames, so during fast motion into new territory the
+        # inlier count decays BEFORE the absolute gate trips — and every
+        # drifted-but-accepted pose poisons the next keyframe. A sharp
+        # relative drop re-anchors through the exact classic path.
+        hist = self._chain_ninl_hist
+        if len(hist) >= 3 and n_in2 < 0.6 * (sum(hist) / len(hist)):
+            hist.clear()
+            return None
+        hist.append(n_in2)
+        if len(hist) > 5:
+            hist.pop(0)
+        cur = frame
+        self.current = frame   # update_local_keyframes/need_new_keyframe
+        with t.stage("chain_bookkeeping"):
+            ids_pad = np.full(LOCAL_MAP_SLOTS, -1, np.int64)
+            ids_pad[:len(ids)] = ids
+            cur.mp_ids[:] = -1
+            cur.vo_points = {}
+            sel = assoc >= 0
+            cur.mp_ids[sel] = ids_pad[assoc[sel]]
+            cur.Tcw = T2
+            cur.outlier = np.zeros(cur.n_slots, bool)  # pruned in-program
+            self.n_inliers = n_in2
+            mps = self.arena.mps
+            for k in np.nonzero(visible | already)[0]:
+                if k < len(ids):
+                    mp = mps.get(ids[k])
+                    if mp is not None:
+                        mp.n_visible += 1
+            for mid in cur.mp_ids[cur.mp_ids >= 0]:
+                mp = mps.get(int(mid))
+                if mp is not None:
+                    mp.n_found += 1
+            # Points replaced/retired by the mapper between enqueue and
+            # processing: follow tombstones / detach (classic path does
+            # this at the next frame's entry).
+            self._replace_updated_points(cur)
+        with t.stage("update_local_kfs"):
+            self.update_local_keyframes()
+        return True
+
+    def chain_finish(self, frame, ok: bool):
+        """Postlude identical to _track_locked's OK/LOST handling for a
+        chain-processed frame."""
+        self.current = frame
+        self.state = TrackingState.OK if ok else TrackingState.LOST
+        if ok:
+            if self.last_frame is not None and self.last_frame.Tcw is not None:
+                self.velocity = frame.Tcw @ np.linalg.inv(
+                    self.last_frame.Tcw)
+            else:
+                self.velocity = None
+            self._clean_outlier_associations()
+            with self.stage_ms.stage("kf_decision"):
+                need_kf = (not self.only_tracking
+                           and self.need_new_keyframe())
+            if need_kf:
+                with self.stage_ms.stage("kf_create"):
+                    self.create_new_keyframe()
+            self.frames_since_reloc += 1
+        else:
+            if self.arena.n_keyframes() <= 5:
+                self.reset()
+        self._store_trajectory()
+        self.last_frame = frame
 
     def _clean_outlier_associations(self):
         cur = self.current

@@ -20,6 +20,7 @@ def main():
     n_frames = 72
     use_stream = "--stream" in sys.argv
     use_async = "--async" in sys.argv
+    use_pipe = "--pipe" in sys.argv
     for a in sys.argv[1:]:
         if a.isdigit():
             n_frames = int(a)
@@ -48,23 +49,32 @@ def main():
     slam.tracker.stage_ms.reset()
     slam.local_mapper.stage_ms.reset()
     frame_ms = []
+    n_ok = 0
     t_all = time.perf_counter()
-    if use_stream:
+    if use_pipe:
+        for _ in slam.track_monocular_pipelined(
+                (frames[i], i / 30.0) for i in range(warmup, n_frames)):
+            if slam.tracker.state.name == "OK":
+                n_ok += 1
+    elif use_stream:
         for _ in slam.track_monocular_stream(
                 (frames[i], i / 30.0) for i in range(warmup, n_frames)):
-            frame_ms.append(0.0)
+            if slam.tracker.state.name == "OK":
+                n_ok += 1
     else:
         for i in range(warmup, n_frames):
             t0 = time.perf_counter()
             slam.track_monocular(frames[i], i / 30.0)
             frame_ms.append((time.perf_counter() - t0) * 1e3)
+            if slam.tracker.state.name == "OK":
+                n_ok += 1
     wall = time.perf_counter() - t_all
     n_timed = n_frames - warmup
     slam.shutdown()
 
     print(f"\n=== {n_timed} frames in {wall:.2f}s -> "
-          f"{n_timed / wall:.1f} fps "
-          f"(stream={use_stream} async={use_async}) ===")
+          f"{n_timed / wall:.1f} fps, ok={n_ok}/{n_timed} "
+          f"(pipe={use_pipe} stream={use_stream} async={use_async}) ===")
     if frame_ms and not use_stream:
         print(f"frame ms: median {np.median(frame_ms):.1f} "
               f"p90 {np.percentile(frame_ms, 90):.1f} "
