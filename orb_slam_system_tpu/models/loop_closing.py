@@ -284,7 +284,8 @@ class LoopCloser:
             ok = ok.copy()
             ok[np.fromiter(exclude, np.int64, len(exclude))] = False
         if ok.any():
-            _, c_pos, c_desc, c_mind, c_maxd, _ = self.arena.point_columns()
+            (_, c_pos, c_desc, c_mind, c_maxd,
+             _n_obs, _normal) = self.arena.point_columns()
             r = rows[ok]
             desc[ok] = c_desc[r]
             pos[ok] = c_pos[r]

@@ -34,7 +34,8 @@ class System:
                  sensor: Sensor = Sensor.MONOCULAR,
                  use_viewer: bool = False,
                  metrics_jsonl: Optional[str] = None,
-                 async_mapping: bool = False):
+                 async_mapping: bool = False,
+                 viewer_port: Optional[int] = None):
         if isinstance(settings, str):
             self.cfg = load_settings(settings, sensor)
         else:
@@ -64,7 +65,13 @@ class System:
                                place_rec=self.place_rec)
         self.use_viewer = use_viewer
         self.viewer = None
-        if use_viewer:
+        if use_viewer and viewer_port is not None:
+            # Live interactive view (the reference's Viewer window +
+            # menu, src/Viewer.cc:34-120) served on localhost HTTP;
+            # port 0 picks an ephemeral port (viewer.port has it).
+            from orb_slam_system_tpu.models.viewer import LiveViewer
+            self.viewer = LiveViewer(self, port=viewer_port)
+        elif use_viewer:
             from orb_slam_system_tpu.models.viewer import StatsViewer
             self.viewer = StatsViewer(self)
         self._timings: list[float] = []
@@ -264,7 +271,7 @@ class System:
             frame, ids, packed_out = pending
             pending = None
             broke = False
-            with self._lock:
+            with self._lock, tr.arena.lock:
                 t0 = time.perf_counter()
                 ok = tr.chain_process(frame, ids, packed_out)
                 if ok is None:
@@ -275,6 +282,8 @@ class System:
                     broke = True
                     Tcw = tr.grab_prebuilt(frame)
                 else:
+                    # Still under arena.lock (map mutations: keyframe
+                    # creation, point stats).
                     tr.chain_finish(frame, True)
                     Tcw = None if frame.Tcw is None else frame.Tcw.copy()
                 t1 = time.perf_counter()
@@ -307,7 +316,7 @@ class System:
                 state = None
                 yield classic(frame)
                 continue
-            with self._lock:
+            with self._lock, tr.arena.lock:
                 if state is None:
                     (T_prev, T_last, assoc, prev_ids,
                      _blk) = tr.chain_bootstrap()
@@ -373,6 +382,8 @@ class System:
         self.local_mapper.process_pending()
         self.loop_closer.gba.join()
         self.loop_closer.poll_gba()
+        if self.viewer is not None and hasattr(self.viewer, "shutdown"):
+            self.viewer.shutdown()
 
     Shutdown = shutdown
     Reset = reset

@@ -682,8 +682,19 @@ class Tracker:
         # Vectorized gather from the arena's columnar snapshot (this
         # rebuilds after every map mutation — in pipelined mode that can
         # be every frame, so the former per-point dict loop mattered).
-        rows, found = self.arena.lookup_points(uniq)
-        sel_rows = rows[found][:LOCAL_MAP_SLOTS]
+        # ONE cols snapshot for both the lookup and the gathers: a second
+        # point_columns() call could see a rebuilt (smaller) table if the
+        # mapper ran in between.
+        cols = self.arena.point_columns()
+        ids_sorted = cols[0]
+        if len(ids_sorted):
+            srch = np.clip(np.searchsorted(ids_sorted, uniq), 0,
+                           len(ids_sorted) - 1)
+            found = ids_sorted[srch] == uniq
+        else:
+            srch = np.zeros(len(uniq), np.int64)
+            found = np.zeros(len(uniq), bool)
+        sel_rows = srch[found][:LOCAL_MAP_SLOTS]
         ids = [int(m) for m in uniq[found][:LOCAL_MAP_SLOTS]]
         P = LOCAL_MAP_SLOTS
         pos = np.zeros((P, 3), np.float32)
@@ -693,7 +704,6 @@ class Tracker:
         desc = np.zeros((P, 8), np.uint32)
         valid = np.zeros(P, bool)
         if len(ids):
-            cols = self.arena.point_columns()
             k = len(ids)
             pos[:k] = cols[1][sel_rows]
             normal[:k] = cols[6][sel_rows]

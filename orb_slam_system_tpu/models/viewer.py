@@ -94,6 +94,234 @@ def write_pgm(path: str, img: np.ndarray):
         f.write(img.tobytes())
 
 
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode a u8 grayscale image as PNG with stdlib zlib only (no image
+    codec dependencies in the serving path)."""
+    import struct
+    import zlib
+
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    H, W = img.shape
+    raw = b"".join(b"\x00" + img[i].tobytes() for i in range(H))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", W, H, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+_LIVE_HTML = """<!doctype html><html><head><title>orb-slam-tpu</title>
+<style>body{background:#111;color:#ddd;font-family:monospace;margin:12px}
+canvas,img{border:1px solid #444;background:#000}
+button{margin:2px;padding:4px 10px;background:#333;color:#ddd;border:1px solid #555;cursor:pointer}
+button.on{background:#265f26}
+#row{display:flex;gap:12px;flex-wrap:wrap}</style></head><body>
+<div id="status">connecting...</div>
+<div id="row">
+ <div><img id="frame" width="640"/></div>
+ <div><canvas id="map" width="480" height="480"></canvas></div>
+</div>
+<div>
+ <button id="follow" class="on" onclick="toggleFollow()">follow camera</button>
+ <button id="loc" onclick="cmd('toggle_localization')">localization mode</button>
+ <button onclick="cmd('reset')">reset</button>
+ <a href="/map.ply" download><button>download map.ply</button></a>
+</div>
+<script>
+let follow = true;
+function toggleFollow(){follow=!follow;
+  document.getElementById('follow').classList.toggle('on',follow);}
+function cmd(a){fetch('/cmd?action='+a,{method:'POST'});}
+async function tick(){
+  try{
+    const s = await (await fetch('/status')).json();
+    document.getElementById('status').textContent = s.line;
+    document.getElementById('loc').classList.toggle('on', s.localization);
+    document.getElementById('frame').src = '/frame.png?'+s.n;
+    const m = await (await fetch('/map.json')).json();
+    draw(m);
+  }catch(e){}
+  setTimeout(tick, 200);
+}
+function draw(m){
+  const cv = document.getElementById('map'), g = cv.getContext('2d');
+  g.fillStyle='#000'; g.fillRect(0,0,cv.width,cv.height);
+  let cx=0, cy=0, scale=60;
+  if(follow && m.cur){cx=m.cur[0]; cy=m.cur[1];}
+  else if(m.pts.length){let sx=0,sy=0;
+    for(const p of m.pts){sx+=p[0];sy+=p[1];}
+    cx=sx/m.pts.length; cy=sy/m.pts.length;}
+  const X=p=>cv.width/2+(p[0]-cx)*scale, Y=p=>cv.height/2+(p[1]-cy)*scale;
+  g.fillStyle='#999';
+  for(const p of m.pts){g.fillRect(X(p)-1,Y(p)-1,2,2);}
+  g.strokeStyle='#264'; g.beginPath();
+  for(const e of m.edges){
+    g.moveTo(X(m.kfs[e[0]]),Y(m.kfs[e[0]]));
+    g.lineTo(X(m.kfs[e[1]]),Y(m.kfs[e[1]]));}
+  g.stroke();
+  g.fillStyle='#e44';
+  for(const k of m.kfs){g.fillRect(X(k)-2,Y(k)-2,4,4);}
+  if(m.cur){g.fillStyle='#4e4';g.fillRect(X(m.cur)-3,Y(m.cur)-3,6,6);}
+}
+tick();
+</script></body></html>"""
+
+
+class LiveViewer:
+    """Interactive live view over localhost HTTP — the reference's
+    Viewer::Run Pangolin window + menu (src/Viewer.cc:34-120) re-imagined
+    for a headless TPU host: the browser shows the annotated current frame
+    (FrameDrawer), a live top-down map canvas with covisibility graph and
+    keyframes (MapDrawer), and the reference's menu toggles (follow
+    camera, localization mode, reset) wired back into the System; the full
+    map is downloadable as PLY at any time.
+
+    Endpoints: `/` UI, `/frame.png`, `/status`, `/map.json`, `/map.ply`,
+    `POST /cmd?action=toggle_localization|reset`.
+    """
+
+    def __init__(self, system, port: int = 8765):
+        import http.server
+        import threading
+
+        self.system = system
+        self.n = 0
+        self._png: Optional[bytes] = None
+        self._line = "starting"
+        self._mlock = threading.Lock()
+        viewer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence request logging
+                pass
+
+            def _send(self, code, ctype, body):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                try:
+                    path = self.path.split("?")[0]
+                    if path == "/":
+                        self._send(200, "text/html",
+                                   _LIVE_HTML.encode())
+                    elif path == "/frame.png":
+                        with viewer._mlock:
+                            png = viewer._png
+                        if png is None:
+                            png = encode_png(np.zeros((8, 8), np.uint8))
+                        self._send(200, "image/png", png)
+                    elif path == "/status":
+                        import json
+                        sys_ = viewer.system
+                        body = json.dumps({
+                            "line": viewer._line,
+                            "n": viewer.n,
+                            "localization":
+                                sys_.tracker.only_tracking,
+                        }).encode()
+                        self._send(200, "application/json", body)
+                    elif path == "/map.json":
+                        self._send(200, "application/json",
+                                   viewer._map_json())
+                    elif path == "/map.ply":
+                        import tempfile
+                        with tempfile.NamedTemporaryFile(
+                                "r", suffix=".ply", delete=False) as tf:
+                            name = tf.name
+                        export_map_ply(name, viewer.system.arena)
+                        with open(name, "rb") as f:
+                            data = f.read()
+                        os.unlink(name)
+                        self._send(200, "application/octet-stream", data)
+                    else:
+                        self._send(404, "text/plain", b"not found")
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+
+            def do_POST(self):
+                try:
+                    from urllib.parse import parse_qs, urlparse
+                    q = parse_qs(urlparse(self.path).query)
+                    action = q.get("action", [""])[0]
+                    sys_ = viewer.system
+                    if action == "toggle_localization":
+                        if sys_.tracker.only_tracking:
+                            sys_.deactivate_localization_mode()
+                        else:
+                            sys_.activate_localization_mode()
+                    elif action == "reset":
+                        sys_.reset()
+                    self._send(200, "text/plain", b"ok")
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+
+        self._server = http.server.ThreadingHTTPServer(
+            ("127.0.0.1", port), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True,
+            name="live_viewer")
+        self._thread.start()
+
+    # Called by System once per tracked frame (the Viewer::Run cadence).
+    def update(self, img: Optional[np.ndarray] = None):
+        sys_ = self.system
+        cur = sys_.tracker.current
+        self._line = status_text(
+            sys_.get_tracking_state(), sys_.arena.n_keyframes(),
+            sys_.arena.n_points(), len(sys_.get_tracked_map_points()))
+        if img is not None and cur is not None:
+            try:
+                tracked = (cur.mp_ids >= 0) & ~cur.outlier
+                ann = annotate_frame(img, cur.feats.xy, tracked)
+                png = encode_png(ann)
+                with self._mlock:
+                    self._png = png
+            except Exception:  # noqa: BLE001 — viewer must never kill SLAM
+                pass
+        self.n += 1
+
+    def _map_json(self) -> bytes:
+        import json
+        arena = self.system.arena
+        with arena.lock:
+            pts = [mp.pos for mp in arena.mps.values()]
+            if len(pts) > 2000:           # bounded payload
+                pts = pts[:: len(pts) // 2000 + 1]
+            kf_ids = sorted(arena.kfs)
+            kfi = {k: i for i, k in enumerate(kf_ids)}
+            kfs = [arena.kfs[k].camera_center() for k in kf_ids]
+            edges = []
+            for k in kf_ids:
+                kf = arena.kfs[k]
+                if kf.parent >= 0 and kf.parent in kfi:
+                    edges.append((kfi[k], kfi[kf.parent]))
+            cur = self.system.tracker.current
+            cur_c = (cur.camera_center().tolist()
+                     if cur is not None and cur.Tcw is not None else None)
+        return json.dumps({
+            "pts": [[round(float(v), 4) for v in p] for p in pts],
+            "kfs": [[round(float(v), 4) for v in p] for p in kfs],
+            "edges": edges,
+            "cur": cur_c,
+        }).encode()
+
+    def snapshot_map(self, path: str):
+        export_map_ply(path, self.system.arena)
+
+    def shutdown(self):
+        self._server.shutdown()
+        self._thread.join(timeout=5)
+
+
 class StatsViewer:
     """Per-frame status reporting + on-demand snapshots (the headless
     Viewer::Run equivalent)."""

@@ -66,3 +66,58 @@ def test_export_map_ply(tmp_path, rng):
     text = p.read_text()
     assert "element vertex 7" in text   # 5 points + 2 KF centers
     assert "element edge" in text
+
+
+def test_live_viewer_serves_and_toggles():
+    """LiveViewer (reference Viewer::Run + menu, src/Viewer.cc:34-120):
+    use_viewer=True + viewer_port serves the UI, frame, status and map
+    during a synthetic run, and the menu toggles (localization mode,
+    reset) reach the System."""
+    import json
+    import urllib.request
+
+    from examples.mono_synthetic import make_config
+    from orb_slam_system_tpu.config import Sensor, TrackingState
+    from orb_slam_system_tpu.dataio.synthetic import (
+        PlanarSceneRenderer, make_texture, orbit_trajectory)
+    from orb_slam_system_tpu.models.system import System
+
+    cfg = make_config(n_features=400)
+    r = PlanarSceneRenderer(cfg.camera.K, cfg.camera.width, cfg.camera.height,
+                            texture=make_texture(2048, 8, 7), tex_scale=220.0)
+    poses = orbit_trajectory(14, radius=0.35, depth=-2.0, tilt=0.3)
+    slam = System(None, cfg, Sensor.MONOCULAR, use_viewer=True,
+                  viewer_port=0)
+    base = f"http://127.0.0.1:{slam.viewer.port}"
+    for i, Tcw in enumerate(poses):
+        slam.track_monocular(r.render(Tcw), i / 30.0)
+    assert slam.get_tracking_state() == TrackingState.OK
+
+    def get(path):
+        with urllib.request.urlopen(base + path, timeout=10) as resp:
+            return resp.read()
+
+    html = get("/")
+    assert b"canvas" in html and b"localization" in html
+    png = get("/frame.png")
+    assert png[:8] == b"\x89PNG\r\n\x1a\n" and len(png) > 1000
+    status = json.loads(get("/status"))
+    assert "OK" in status["line"] and status["localization"] is False
+    m = json.loads(get("/map.json"))
+    assert len(m["pts"]) > 100 and len(m["kfs"]) >= 2 and m["cur"]
+    ply = get("/map.ply")
+    assert ply.startswith(b"ply")
+
+    def post(action):
+        req = urllib.request.Request(base + f"/cmd?action={action}",
+                                     method="POST")
+        urllib.request.urlopen(req, timeout=10).read()
+
+    post("toggle_localization")
+    assert slam.tracker.only_tracking is True
+    assert json.loads(get("/status"))["localization"] is True
+    post("toggle_localization")
+    assert slam.tracker.only_tracking is False
+    post("reset")
+    assert slam.arena.n_keyframes() == 0
+    slam.shutdown()
