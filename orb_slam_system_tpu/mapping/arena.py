@@ -553,7 +553,10 @@ class MapArena:
     def covisible_ordered(self, kf: KeyFrameRec, n: Optional[int] = None) -> List[int]:
         """Best covisible keyframes by weight (GetBestCovisibilityKeyFrames)."""
         items = sorted(kf.covis.items(), key=lambda kv: -kv[1])
-        ids = [k for k, _ in items if not self.kfs[k].bad]
+        # .get: erased keyframes are removed from the registry (upstream
+        # keeps them and callers check isBad — same contract here).
+        ids = [k for k, _ in items
+               if (okf := self.kfs.get(k)) is not None and not okf.bad]
         return ids if n is None else ids[:n]
 
     def erase_keyframe(self, kf: KeyFrameRec):
@@ -572,10 +575,14 @@ class MapArena:
                     elif idx2 is not None:
                         if mp.ref_kf == kf.id and mp.obs:
                             mp.ref_kf = next(iter(mp.obs))
-        for other_id in kf.covis:
-            other = self.kfs.get(other_id)
-            if other is not None:
-                other.covis.pop(kf.id, None)
+        # Remove EVERY reverse covisibility edge, not just kf.covis's:
+        # update_connections REPLACES a keyframe's own covis dict (edges
+        # below the threshold drop) while still writing itself into
+        # neighbors' dicts, so A.covis can hold B without B.covis holding
+        # A — erasing B through its own dict alone left dangling ids
+        # (found by the 1250-frame endurance run at ~230 keyframes).
+        for other in self.kfs.values():
+            other.covis.pop(kf.id, None)
         # Reparent children: greedy over covisibility with candidate parents.
         candidates = {kf.parent} if kf.parent >= 0 else set()
         children = set(kf.children)

@@ -127,6 +127,25 @@ class FrameBuilder:
 
         self._extract_packed = jax.jit(_extract_packed)
 
+        def _extract_packed_batch(imgs):
+            """[S,H,W] -> packed [S,N,16]: ONE device program extracts S
+            sequences' frames (the multi-sequence mode's shared front
+            end — S per-system extract calls collapse into one batched
+            MXU-friendly program)."""
+            imgs = imgs.astype(jnp.float32)
+            fs = self.extractor._extract(imgs)
+            und = cam_ops.undistort_points(
+                fs.xy, k.fx, k.fy, k.cx, k.cy, k.k1, k.k2, k.p1, k.p2, k.k3)
+            return jnp.concatenate([
+                fs.xy, und,
+                fs.response[..., None], fs.angle[..., None],
+                fs.octave.astype(jnp.float32)[..., None],
+                fs.valid.astype(jnp.float32)[..., None],
+                jax.lax.bitcast_convert_type(fs.desc, jnp.float32),
+            ], axis=2)                                     # [S, N, 16]
+
+        self._extract_packed_batch = jax.jit(_extract_packed_batch)
+
         def _extract_packed_stereo(left, right):
             from orb_slam_system_tpu.ops.stereo import stereo_match
 

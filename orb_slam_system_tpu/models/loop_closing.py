@@ -486,9 +486,15 @@ class LoopCloser:
         # 5. New covisibility links created by the fusion -> loop connections.
         #    Essential-graph optimization (:292-296).
         self._optimize_essential_graph(kf, matched_kf, corrected, non_corrected)
-        # 6. Loop edge (upstream; fork omitted it — §0.1 row 7).
+        # 6. Loop edge (upstream; fork omitted it — §0.1 row 7). Upstream
+        # AddLoopEdge also sets mbNotErase PERMANENTLY
+        # (src/KeyFrame.cc:398-409) so keyframe culling can never delete a
+        # loop-constraint endpoint — a later loop's essential graph would
+        # dangle (found by the 1250-frame endurance run).
         kf.loop_edges.add(matched_kf.id)
         matched_kf.loop_edges.add(kf.id)
+        kf.not_erase = True
+        matched_kf.not_erase = True
         self.last_loop_kf_id = kf.id
         # 7. Global BA (upstream RunGlobalBundleAdjustment :340-410):
         # dense Schur for small maps, implicit Schur-CG for large ones;
@@ -565,12 +571,15 @@ class LoopCloser:
             # (reference uses NonCorrectedSim3 for measurement computation).
             def pose_of(x_id):
                 return sim3_of(non_corrected.get(x_id, arena.kfs[x_id].Tcw))
-            if k_kf.parent >= 0:
+            if k_kf.parent >= 0 and k_kf.parent in arena.kfs:
                 add_edge(k_id, k_kf.parent, pose_of(k_id), pose_of(k_kf.parent))
             for le in k_kf.loop_edges:
-                add_edge(k_id, le, pose_of(k_id), pose_of(le))
+                # Defensive: maps loaded from pre-fix checkpoints may hold
+                # loop edges to culled keyframes.
+                if le in arena.kfs:
+                    add_edge(k_id, le, pose_of(k_id), pose_of(le))
             for nb, w in k_kf.covis.items():
-                if w >= 100 and nb < k_id:
+                if w >= 100 and nb < k_id and nb in arena.kfs:
                     add_edge(k_id, nb, pose_of(k_id), pose_of(nb))
         # The new loop constraint: current KF at its CORRECTED Sim3 (the
         # measured drift scale 1/s rides this edge) <-> matched KF.

@@ -169,6 +169,21 @@ class System:
                 self.viewer.update(img)
             return Tcw
 
+    def track_monocular_prebuilt(self, frame):
+        """Track a frame prebuilt by a (possibly shared, batched)
+        FrameBuilder — the multi-sequence mode builds S systems' frames
+        with ONE batched extraction program and feeds each system its
+        slice here."""
+        with self._lock:
+            t0 = time.perf_counter()
+            Tcw = self.tracker.grab_prebuilt(frame)
+            t1 = time.perf_counter()
+            self._pump_mapping()
+            t2 = time.perf_counter()
+            self._timings.append(t2 - t0)
+            self._emit_frame_metrics(frame.timestamp, t1 - t0, t2 - t1)
+            return Tcw
+
     def track_monocular_stream(self, frames):
         """Pipelined monocular tracking over an iterable of (img, t):
         frame i+1's extraction is ENQUEUED before frame i's tracking fetch,
@@ -271,20 +286,23 @@ class System:
             frame, ids, packed_out = pending
             pending = None
             broke = False
-            with self._lock, tr.arena.lock:
+            with self._lock:
                 t0 = time.perf_counter()
-                ok = tr.chain_process(frame, ids, packed_out)
+                with tr.arena.lock:
+                    ok = tr.chain_process(frame, ids, packed_out)
                 if ok is None:
                     # Weak chain result: exact classic re-track of this
                     # frame (its packed buffer is retained); state resync
                     # happens at the next enqueue via chain_bootstrap.
+                    # NOT under arena.lock: the classic path manages the
+                    # lock itself (an internal reset must be able to
+                    # release it fully around the worker flush).
                     state = None
                     broke = True
                     Tcw = tr.grab_prebuilt(frame)
                 else:
-                    # Still under arena.lock (map mutations: keyframe
-                    # creation, point stats).
-                    tr.chain_finish(frame, True)
+                    with tr.arena.lock:
+                        tr.chain_finish(frame, True)
                     Tcw = None if frame.Tcw is None else frame.Tcw.copy()
                 t1 = time.perf_counter()
                 self._pump_mapping()

@@ -174,14 +174,24 @@ VMEM_CANVAS_BUDGET = 8 * 1024 * 1024
 
 
 def _kernel_fused_resident(ys_ref, xs_ref, img_ref, wx_ref, wy_ref,
-                           blur_ref, mom_ref, canvas, csem,
+                           arow_ref, bcol_ref, blur_ref, mom_ref,
+                           canvas, csem, patches,
                            *, P, PB, PO, taps):
     """_kernel_fused with the whole (batch-item) canvas VMEM-resident:
     the canvas is DMA'd HBM->VMEM ONCE per batch index (single-buffered
     scratch, ~7 MB for the full 8-level 640x480 pyramid canvas), and the
     per-keypoint window copies become VMEM->VMEM — cutting HBM traffic
     from ~57 KB/keypoint (aligned window, ~470 MB/batch8) to one canvas
-    read per batch item (~56 MB/batch8)."""
+    read per batch item (~56 MB/batch8).
+
+    Round-3 restructuring (the r2 ablation showed this kernel
+    per-keypoint-SEQUENCING bound, not bandwidth bound): the loop now only
+    aligns each patch into a stacked [KPT, P, 128] scratch; the 7x7 blur
+    runs ONCE for all KPT patches as two MXU matmuls (row pass = batched
+    [PB, P] x [P, 128] dot, column pass = one banded [128, 128] matrix on
+    the lane axis), and the IC-angle moment reductions vectorize across
+    the keypoint axis — ~14 VPU ops/keypoint become 2 matmuls + 2
+    reductions per 16 keypoints."""
     b = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -209,19 +219,26 @@ def _kernel_fused_resident(ys_ref, xs_ref, img_ref, wx_ref, wy_ref,
         rows = jax.lax.switch(
             oy, [(lambda o: (lambda: w[o:o + P, :]))(o)
                  for o in range(8)])
-        patch = pltpu.roll(rows, WIN_W - ox, axis=1)[:, :128]
-        sub = patch[co:co + PO, co:co + PO]
-        mom_ref[0, k, 0, :] = jnp.sum(sub * wx_ref[...], axis=0)
-        mom_ref[0, k, 1, :] = jnp.sum(sub * wy_ref[...], axis=0)
-        acc_v = None
-        for i in range(7):
-            t = patch[i:i + PB, :] * taps[i]
-            acc_v = t if acc_v is None else acc_v + t
-        acc = None
-        for i in range(7):
-            t = acc_v[:, i:i + PB] * taps[i]
-            acc = t if acc is None else acc + t
-        blur_ref[0, k] = acc
+        patches[k] = pltpu.roll(rows, WIN_W - ox, axis=1)[:, :128]
+    pk = patches[...]                                   # [KPT, P, 128]
+    sub = pk[:, co:co + PO, co:co + PO]                 # [KPT, PO, PO]
+    mom_ref[0, :, 0, :] = jnp.sum(sub * wx_ref[...][None], axis=1)
+    mom_ref[0, :, 1, :] = jnp.sum(sub * wy_ref[...][None], axis=1)
+    # Row blur for ALL keypoints: [PB, P] x [KPT, P, 128] -> [KPT, PB, 128]
+    # HIGHEST precision: the blurred values feed BINARY rBRIEF
+    # comparisons; bf16 matmul passes would flip marginal bits vs the
+    # exact shifted-add (XLA oracle) formulation.
+    acc_v = jax.lax.dot_general(
+        arow_ref[...], pk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)            # [PB, KPT, 128]
+    # Column blur on the lane axis: one banded [128, 128] matrix.
+    acc = jax.lax.dot_general(
+        acc_v, bcol_ref[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)            # [PB, KPT, 128]
+    for k in range(KPT):
+        blur_ref[0, k] = acc[:, k, :PB]
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))
@@ -254,26 +271,48 @@ def gather_blur_moments_pallas(img: jnp.ndarray, xy: jnp.ndarray,
         y0 = jnp.pad(y0, ((0, 0), (0, n_pad - N)))
     wx, wy = moment_weights()
     taps = tuple(float(v) for v in gaussian_kernel_1d(7, 2.0))
+    import numpy as _np
+    # Blur-as-matmul operands: row pass arow[r, r+i] = taps[i] (valid-mode
+    # [PB, P] band), column pass bcol[c+i, c] = taps[i] ([128, 128] band —
+    # only output lanes < PB are consumed).
+    arow = _np.zeros((PB, P), _np.float32)
+    bcol = _np.zeros((128, 128), _np.float32)
+    for i, t in enumerate(taps):
+        arow[_np.arange(PB), _np.arange(PB) + i] = t
+        cc = _np.arange(0, 128 - i)
+        bcol[cc + i, cc] = t
     resident = Hp * W * img.dtype.itemsize <= VMEM_CANVAS_BUDGET
     kern = _kernel_fused_resident if resident else _kernel_fused
     if resident:
         # Direct tile-aligned loads from the VMEM canvas: no per-keypoint
-        # window scratch or DMA semaphores.
+        # window scratch or DMA semaphores; stacked patch scratch feeds
+        # the vectorized (matmul) blur.
         scratch = [pltpu.VMEM((Hp, W), img.dtype),
-                   pltpu.SemaphoreType.DMA]
+                   pltpu.SemaphoreType.DMA,
+                   pltpu.VMEM((KPT, P, 128), img.dtype)]
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((PO, PO), lambda b, j, ys, xs: (0, 0)),
+            pl.BlockSpec((PO, PO), lambda b, j, ys, xs: (0, 0)),
+            pl.BlockSpec((PB, P), lambda b, j, ys, xs: (0, 0)),
+            pl.BlockSpec((128, 128), lambda b, j, ys, xs: (0, 0)),
+        ]
+        extra_in = (jnp.asarray(arow), jnp.asarray(bcol))
     else:
         scratch = [
             pltpu.VMEM((KPT, WIN_H, WIN_W), img.dtype),
             pltpu.SemaphoreType.DMA((KPT,)),
         ]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, n_pad // KPT),
-        in_specs=[
+        in_specs = [
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((PO, PO), lambda b, j, ys, xs: (0, 0)),
             pl.BlockSpec((PO, PO), lambda b, j, ys, xs: (0, 0)),
-        ],
+        ]
+        extra_in = ()
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, n_pad // KPT),
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, KPT, PB, PB), lambda b, j, ys, xs: (b, j, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -289,7 +328,7 @@ def gather_blur_moments_pallas(img: jnp.ndarray, xy: jnp.ndarray,
             jax.ShapeDtypeStruct((B, n_pad, PB, PB), img.dtype),
             jax.ShapeDtypeStruct((B, n_pad, 2, PO), jnp.float32),
         ],
-    )(y0, x0, x, jnp.asarray(wx), jnp.asarray(wy))
+    )(y0, x0, x, jnp.asarray(wx), jnp.asarray(wy), *extra_in)
     return blur[:, :N], jnp.sum(mom[:, :N], axis=-1)
 
 
