@@ -250,12 +250,22 @@ class System:
         steady-state throughput is bounded by device time + host
         bookkeeping, not by the RTT.
 
-        Per-frame semantics match the sequential path except for a
-        documented lag: keyframe decisions and local-map rotation happen
-        one frame late (the reference's own threading makes the same
-        quantities race by a frame), and weak results re-run through the
-        exact classic path. Falls back to classic tracking outside the
-        steady state (init, relocalization, localization mode).
+        Semantics and safeguards (each measured, see docs/ROADMAP.md):
+          * Frames that will CREATE A KEYFRAME are re-tracked through the
+            exact classic path — map content (observations, BA anchors)
+            is always classic-grade; the chain only carries per-frame
+            pose tracking between keyframes.
+          * The chain engages only on a mature map (CHAIN_MIN_KEYFRAMES)
+            and only while the inlier margin is healthy
+            (CHAIN_MIN_MARGIN + a relative-drop detector); anything else
+            re-anchors classically, and weak results additionally resync
+            the device state.
+          * Within those guards, per-frame match selection can still
+            differ from the sequential path within matching tolerance
+            (device-f32 vs host-f64 projection rounding flips borderline
+            window candidates), so trajectories are quality-equivalent,
+            not bit-equal; the classic stream mode remains the
+            sequential-identical option.
 
         Yields Tcw (or None) per frame, in order.
         """
@@ -290,15 +300,20 @@ class System:
                 t0 = time.perf_counter()
                 with tr.arena.lock:
                     ok = tr.chain_process(frame, ids, packed_out)
-                if ok is None:
-                    # Weak chain result: exact classic re-track of this
-                    # frame (its packed buffer is retained); state resync
-                    # happens at the next enqueue via chain_bootstrap.
+                if ok is None or ok == "kf":
+                    # Classic re-track of this frame (its packed buffer is
+                    # retained). ok is None = weak result: also drop the
+                    # device state (resynced at the next enqueue) and
+                    # discard the in-flight next frame. ok == "kf" = the
+                    # frame will create a keyframe, which must carry
+                    # classic-grade (freshest-state) content into the
+                    # map; the pipeline itself stays valid.
                     # NOT under arena.lock: the classic path manages the
                     # lock itself (an internal reset must be able to
                     # release it fully around the worker flush).
-                    state = None
-                    broke = True
+                    if ok is None:
+                        state = None
+                        broke = True
                     Tcw = tr.grab_prebuilt(frame)
                 else:
                     with tr.arena.lock:

@@ -39,6 +39,12 @@ from orb_slam_system_tpu.utils import lie
 
 LOCAL_MAP_SLOTS = 4096     # padded local-map point budget for device calls
 MAX_LOCAL_KEYFRAMES = 80   # reference src/Tracking.cc:759-761
+# Pipelined mode only: accept a chain result outright only above this
+# inlier count; thinner-margin frames re-anchor via the classic path
+# (the reference's own accept floor stays 30/50 — this is the extra
+# safety margin the chain's approximations require).
+CHAIN_MIN_MARGIN = 90
+CHAIN_MIN_KEYFRAMES = 8    # chain engages on a mature map only
 
 
 @dataclasses.dataclass
@@ -878,11 +884,17 @@ class Tracker:
     # ------------------------------------------------------------------
 
     def chain_ready(self) -> bool:
+        # Maturity gate (n_keyframes): the monocular map's global scale
+        # settles over the first keyframes after initialization; in that
+        # window even sub-millimeter tracking perturbations swing the
+        # whole reconstruction, so the settling frames run the exact
+        # classic path and the chain engages on a mature map only.
         return (self.state == TrackingState.OK and not self.only_tracking
                 and self.velocity is not None and bool(self.local_kf_ids)
                 and self.last_frame is not None
                 and self.last_frame.Tcw is not None
-                and self.last_frame.packed_dev is not None)
+                and self.last_frame.packed_dev is not None
+                and self.arena.n_keyframes() >= CHAIN_MIN_KEYFRAMES)
 
     def chain_block(self):
         """(ids, device 6-tuple) local-map block for the chain program."""
@@ -954,12 +966,17 @@ class Tracker:
         if n_in2 < 30 or (self.frames_since_reloc < self.max_frames
                           and n_in2 < 50):
             return None
-        # Quality-drop detector: the chain's local block lags the map by
-        # up to two frames, so during fast motion into new territory the
-        # inlier count decays BEFORE the absolute gate trips — and every
-        # drifted-but-accepted pose poisons the next keyframe. A sharp
-        # relative drop re-anchors through the exact classic path.
+        # Margin gates beyond the reference's accept thresholds: the
+        # chain's approximations (motion candidates restricted to the
+        # local block, one-frame-stale block and keyframe cadence) cost a
+        # little robustness margin per frame, which only matters when the
+        # margin is already thin — there, re-anchor through the exact
+        # classic path instead of accepting. (a) absolute: inliers below
+        # CHAIN_MIN_MARGIN; (b) relative: a sharp drop vs the recent mean.
         hist = self._chain_ninl_hist
+        if n_in2 < CHAIN_MIN_MARGIN:
+            hist.clear()
+            return None
         if len(hist) >= 3 and n_in2 < 0.6 * (sum(hist) / len(hist)):
             hist.clear()
             return None
@@ -968,6 +985,16 @@ class Tracker:
             hist.pop(0)
         cur = frame
         self.current = frame   # update_local_keyframes/need_new_keyframe
+        # Keyframe frames go through the exact classic path: the chain's
+        # one-frame-lagged block/state is fine for per-frame pose tracking
+        # but must not be BAKED INTO THE MAP — keyframes created from
+        # chain results measurably degraded map geometry (BA anchors to
+        # them), while classic-re-tracking just the KF frames recovers
+        # classic-grade ATE at a cost of ~2 extra RTTs per keyframe.
+        self.n_inliers = n_in2
+        if not self.only_tracking and self.need_new_keyframe():
+            self._chain_ninl_hist.clear()
+            return "kf"   # classic re-track; pipeline state stays valid
         with t.stage("chain_bookkeeping"):
             ids_pad = np.full(LOCAL_MAP_SLOTS, -1, np.int64)
             ids_pad[:len(ids)] = ids
