@@ -199,4 +199,31 @@ def dryrun(n_devices: int, height: int = 96, width: int = 128):
     Tn, Xn = bundle_adjust_cg_sharded(gmesh, prob, fx, fy, 64.0, 64.0,
                                       n_iters=2, cg_iters=8)
     assert np.isfinite(np.asarray(Xn)).all()
+    # Full-system batched multi-sequence mode (BASELINE config 5): two
+    # COMPLETE SLAM systems sharing one batched extraction program run a
+    # short synthetic sequence each — validates that the batched front end
+    # and the full pipeline compose on this device topology.
+    from orb_slam_system_tpu.config import (
+        CameraConfig, ORBConfig, Sensor, SlamConfig, TrackingState)
+    from orb_slam_system_tpu.dataio.synthetic import (
+        PlanarSceneRenderer, make_texture, orbit_trajectory)
+    from orb_slam_system_tpu.parallel.multi_system import MultiSystem
+
+    W2, H2 = 320, 240
+    cam = CameraConfig(fx=260.0, fy=260.0, cx=W2 / 2, cy=H2 / 2, fps=30.0,
+                       width=W2, height=H2)
+    cfg2 = SlamConfig(camera=cam, orb=ORBConfig(n_features=400),
+                      sensor=Sensor.MONOCULAR)
+    rends = [PlanarSceneRenderer(cam.K, W2, H2,
+                                 texture=make_texture(1024, 8, seed=7 + s),
+                                 tex_scale=220.0) for s in range(2)]
+    trajs = [orbit_trajectory(10, radius=0.3 + 0.02 * s, depth=-2.0,
+                              tilt=0.3) for s in range(2)]
+    msys = MultiSystem(cfg2, 2)
+    for i in range(10):
+        imgs = np.stack([rends[s].render(trajs[s][i]) for s in range(2)])
+        msys.track_batch(imgs, i / 30.0)
+    states = [s.get_tracking_state() for s in msys.systems]
+    msys.shutdown()
+    assert all(st == TrackingState.OK for st in states), states
     return int(n_in), int(n_match)

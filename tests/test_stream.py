@@ -101,3 +101,43 @@ def test_stream_matches_sequential():
             np.testing.assert_allclose(a, b, atol=1e-5)
     assert st.arena.n_keyframes() == seq.arena.n_keyframes()
     assert st.arena.n_points() == seq.arena.n_points()
+
+
+def test_pipelined_mode_quality():
+    """Deep-pipelined (device-state) tracking mode: quality-equivalent to
+    the sequential path on the synthetic orbit. The safeguards (classic
+    keyframes, maturity + margin gates) keep map content classic-grade;
+    the per-frame chain only carries pose tracking between keyframes."""
+    import numpy as np
+
+    from examples.mono_synthetic import make_config
+    from orb_slam_system_tpu.config import Sensor, TrackingState
+    from orb_slam_system_tpu.dataio.synthetic import (
+        PlanarSceneRenderer, make_texture, orbit_trajectory)
+    from orb_slam_system_tpu.dataio import trajectory as traj_io
+    from orb_slam_system_tpu.models.system import System
+
+    cfg = make_config(n_features=400)
+    r = PlanarSceneRenderer(cfg.camera.K, cfg.camera.width, cfg.camera.height,
+                            texture=make_texture(2048, 8, 7), tex_scale=220.0)
+    poses = orbit_trajectory(40, radius=0.35, depth=-2.0, tilt=0.3)
+    slam = System(None, cfg, Sensor.MONOCULAR)
+    gt = {}
+
+    def gen():
+        for i, T in enumerate(poses):
+            gt[i / 30.0] = (-T[:3, :3].T @ T[:3, 3]).astype(np.float64)
+            yield r.render(T), i / 30.0
+
+    n_ok = 0
+    n_yield = 0
+    for _ in slam.track_monocular_pipelined(gen()):
+        n_yield += 1
+        if slam.get_tracking_state() == TrackingState.OK:
+            n_ok += 1
+    slam.shutdown()
+    assert n_yield == 40          # one yield per frame, in order
+    assert n_ok >= 36
+    est = traj_io.frame_poses(slam.arena, slam.tracker.trajectory)
+    rmse = traj_io.ate_rmse(est, gt)
+    assert rmse < 0.03, rmse
