@@ -214,12 +214,15 @@ class TrackPrograms:
             T1, best_j, matched, inlier1, n_in1, cur_valid = motion_core(
                 proj, ok, pos_last, packed_last, packed_cur, Tcw_pred, th)
             good = matched & inlier1
-            safe_j = jnp.where(good, best_j, 0)
-            Xw_pre = jnp.zeros((n, 3), jnp.float32)
-            Xw_pre = Xw_pre.at[safe_j].set(
-                jnp.where(good[:, None], pos_last, Xw_pre[safe_j]))
-            ok_pre = jnp.zeros(n, bool)
-            ok_pre = ok_pre.at[safe_j].set(ok_pre[safe_j] | good)
+            # good best_j values are unique (_dedupe_keep_best), so the
+            # only duplicate hazard is the not-good rows: route them to an
+            # out-of-range index dropped by the scatter. (A shared slot-0
+            # write had an UNSPECIFIED winner and could nondeterministically
+            # drop a motion match on current slot 0.)
+            safe_j = jnp.where(good, best_j, n)
+            Xw_pre = jnp.zeros((n, 3), jnp.float32).at[safe_j].set(
+                pos_last, mode="drop")
+            ok_pre = jnp.zeros(n, bool).at[safe_j].set(True, mode="drop")
             # Local-block points already claimed by the motion stage.
             ll = jnp.where(good & (last2local >= 0), last2local, P)
             already_local = jnp.zeros(P, bool).at[ll].set(True, mode="drop")
@@ -315,12 +318,12 @@ class TrackPrograms:
             T1, best_j, matched, inlier1, n_in1, cur_valid = motion_core(
                 proj, ok, pos_last, packed_last, packed_cur, Tcw_pred, th)
             good = matched & inlier1
-            safe_j = jnp.where(good, best_j, 0)
-            Xw_pre = jnp.zeros((n, 3), jnp.float32)
-            Xw_pre = Xw_pre.at[safe_j].set(
-                jnp.where(good[:, None], pos_last, Xw_pre[safe_j]))
-            ok_pre = jnp.zeros(n, bool)
-            ok_pre = ok_pre.at[safe_j].set(ok_pre[safe_j] | good)
+            # Same out-of-range-drop pattern as fused_step: not-good rows
+            # must not share a written slot (unspecified winner).
+            safe_j = jnp.where(good, best_j, n)
+            Xw_pre = jnp.zeros((n, 3), jnp.float32).at[safe_j].set(
+                pos_last, mode="drop")
+            ok_pre = jnp.zeros(n, bool).at[safe_j].set(True, mode="drop")
             ll = jnp.where(good & (assoc >= 0), assoc, P)
             already_local = jnp.zeros(P, bool).at[ll].set(True, mode="drop")
             T2, idx2, visible, inlier2, n_in2 = localmap_core(
