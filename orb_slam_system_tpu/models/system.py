@@ -255,9 +255,12 @@ class System:
             exact classic path — map content (observations, BA anchors)
             is always classic-grade; the chain only carries per-frame
             pose tracking between keyframes.
-          * The chain engages only on a mature map (CHAIN_MIN_KEYFRAMES)
-            and only while the inlier margin is healthy
-            (CHAIN_MIN_MARGIN + a relative-drop detector); anything else
+          * The chain engages only on a mature map (CHAIN_MIN_KEYFRAMES
+            created since the map epoch), outside the post-keyframe
+            settling window (CHAIN_SETTLE_FRAMES), and only while the
+            inlier margin is healthy relative to the scene's recent
+            classic level (CHAIN_MARGIN_RATIO of the OK-frame EMA, floor
+            CHAIN_MIN_FLOOR, + a relative-drop detector); anything else
             re-anchors classically, and weak results additionally resync
             the device state.
           * Within those guards, per-frame match selection can still
@@ -332,15 +335,21 @@ class System:
         for img, ts in frames:
             if img.ndim == 3:
                 img = rgb_to_gray(img, self.cfg.camera.rgb)
-            if state is None and pending is not None:
-                # The device state was dropped (resync knob) while a frame
-                # is still in flight: drain it so the bootstrap below
+            with self._lock:
+                chain_ok = tr.chain_ready()
+            if pending is not None and (state is None or not chain_ok):
+                # The device state was dropped (resync knob) or a gate
+                # disengaged the chain (e.g. the post-keyframe settling
+                # window) while a frame is still in flight: drain it so
+                # the bookkeeping stays ordered and the bootstrap below
                 # refers to the frame whose packed buffer becomes
-                # packed_last.
+                # packed_last. Re-evaluate the gate afterwards — draining
+                # can create a keyframe or change the tracking state.
                 Tcw, _ = process_pending()
                 yield Tcw
+                with self._lock:
+                    chain_ok = chain_ok and tr.chain_ready()
             with self._lock:
-                chain_ok = pending is not None or tr.chain_ready()
                 if not chain_ok:
                     frame = tr.build_frame(img, ts)
                 else:

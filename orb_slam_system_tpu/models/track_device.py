@@ -30,6 +30,7 @@ from orb_slam_system_tpu.ops import frustum as frustum_ops
 from orb_slam_system_tpu.ops import matching
 from orb_slam_system_tpu.ops.hamming import distance_matrix
 from orb_slam_system_tpu.solvers.pose_opt import pose_optimization
+from orb_slam_system_tpu.utils import lie
 
 
 def _scatter_last_wins(n_out, idx, valid, n_src):
@@ -299,6 +300,17 @@ class TrackPrograms:
             # Scoped locally — a program-wide context would break the bf16
             # descriptor kernel's Mosaic lowering (utils/precision.py).
             with jax.default_matmul_precision("highest"):
+                # The pose state loops device->device across frames: each
+                # step's outputs (pose_optimization retractions applied to
+                # these inputs) become the next step's T_prev/T_last. f32
+                # rounding makes the rotation blocks slightly
+                # non-orthonormal, and the transpose-trick inverse below
+                # then AMPLIFIES the defect (det error cubes per step —
+                # measured collapse to det 0.59 within ~12 frames, >100 px
+                # projection error). Projecting the state back onto SE(3)
+                # every step bounds the drift at one step's rounding.
+                T_prev = lie.se3_project(T_prev)
+                T_last = lie.se3_project(T_last)
                 # SE3 inverse (R, t): [R^T, -R^T t].
                 Rp, tp = T_prev[:3, :3], T_prev[:3, 3]
                 Tp_inv = jnp.eye(4, dtype=jnp.float32)

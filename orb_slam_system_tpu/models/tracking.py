@@ -43,8 +43,10 @@ MAX_LOCAL_KEYFRAMES = 80   # reference src/Tracking.cc:759-761
 # inlier count; thinner-margin frames re-anchor via the classic path
 # (the reference's own accept floor stays 30/50 — this is the extra
 # safety margin the chain's approximations require).
-CHAIN_MIN_MARGIN = 90
-CHAIN_MIN_KEYFRAMES = 8    # chain engages on a mature map only
+CHAIN_MIN_FLOOR = 40       # hard inlier floor for accepting a chain frame
+CHAIN_MARGIN_RATIO = 0.8   # ...and >= this fraction of the recent classic level
+CHAIN_MIN_KEYFRAMES = 3    # map epoch maturity: init pair + >=1 tracked KF
+CHAIN_SETTLE_FRAMES = 4    # classic frames after EVERY keyframe creation
 
 
 @dataclasses.dataclass
@@ -110,6 +112,15 @@ class Tracker:
         # Recent final-inlier counts of accepted chain frames (the
         # pipelined mode's quality-drop detector).
         self._chain_ninl_hist: list[int] = []
+        # EMA of final inlier counts over OK frames (classic and chain):
+        # the scene-relative reference level the chain margin gate
+        # compares against (an absolute margin disabled the chain
+        # entirely on scenes whose classic level sits below it).
+        self._inl_ema: float = 0.0
+        # Pipelined-mode outcome counters (telemetry + tests): how often
+        # the chain accepted / re-anchored classically / deferred to a
+        # classic keyframe re-track.
+        self.chain_stats = {"accept": 0, "reject": 0, "kf": 0}
 
     # ------------------------------------------------------------------
     # Entry point
@@ -232,6 +243,7 @@ class Tracker:
         self.state = TrackingState.OK if ok else TrackingState.LOST
 
         if ok:
+            self._note_inliers(self.n_inliers)
             # Update motion model (reference :216-221).
             if self.last_frame is not None and self.last_frame.Tcw is not None:
                 self.velocity = self.current.Tcw @ np.linalg.inv(
@@ -884,17 +896,28 @@ class Tracker:
     # ------------------------------------------------------------------
 
     def chain_ready(self) -> bool:
-        # Maturity gate (n_keyframes): the monocular map's global scale
-        # settles over the first keyframes after initialization; in that
-        # window even sub-millimeter tracking perturbations swing the
-        # whole reconstruction, so the settling frames run the exact
-        # classic path and the chain engages on a mature map only.
+        # Maturity gates: scale-fragile epochs run the exact classic path.
+        # (a) Map epoch maturity — keyframes CREATED since the current map
+        # epoch (monotonic next_kf_id - kf_origin_id, NOT the culled live
+        # population, which stays small forever on compact scenes):
+        # >= 3 means the init pair plus a tracked keyframe exist and local
+        # BA has refined the map at least once. (b) Keyframe settling —
+        # every keyframe creation triangulates FRESH points whose depths
+        # are still fragile (the measured low-parallax failure mode: chain
+        # frames slipping in right after a keyframe can swing the
+        # reconstruction); require the last keyframe to be at least
+        # CHAIN_SETTLE_FRAMES frames old so its points were BA'd/culled.
+        a = self.arena
+        created = a.next_kf_id - a.kf_origin_id if a.kf_origin_id >= 0 else 0
+        settled = (self.last_frame is not None
+                   and self.last_frame.id - self.last_kf_frame_id
+                   >= CHAIN_SETTLE_FRAMES)
         return (self.state == TrackingState.OK and not self.only_tracking
                 and self.velocity is not None and bool(self.local_kf_ids)
                 and self.last_frame is not None
                 and self.last_frame.Tcw is not None
                 and self.last_frame.packed_dev is not None
-                and self.arena.n_keyframes() >= CHAIN_MIN_KEYFRAMES)
+                and created >= CHAIN_MIN_KEYFRAMES and settled)
 
     def chain_block(self):
         """(ids, device 6-tuple) local-map block for the chain program."""
@@ -908,9 +931,14 @@ class Tracker:
         (T_prev_dev, T_last_dev, assoc_dev, ids, block)."""
         ids, block = self.chain_block()
         last = self.last_frame
-        T_last = last.Tcw.astype(np.float32)
+        # Exact (SVD) SE(3) projection: chain-accepted poses stored in the
+        # host bookkeeping carry one step of f32 rounding off SO(3); the
+        # device state must start clean or the chain's transpose-trick
+        # inverse amplifies the defect (see lie.se3_project).
+        T_last = lie.se3_project_np(last.Tcw).astype(np.float32)
         # velocity = T_last @ inv(T_prev)  =>  T_prev = inv(velocity) @ T_last
-        T_prev = (np.linalg.inv(self.velocity) @ T_last).astype(np.float32)
+        T_prev = lie.se3_project_np(
+            np.linalg.inv(self.velocity) @ T_last).astype(np.float32)
         ids_arr = np.asarray(ids, np.int64)
         li = np.clip(np.searchsorted(ids_arr, last.mp_ids), 0,
                      max(len(ids_arr) - 1, 0))
@@ -962,23 +990,32 @@ class Tracker:
              n_in2) = self.programs.decode_chain_out(packed_out)
         self.last_n_valid = n_valid
         if n_matched < 20 or n_in1 < 10:
+            self.chain_stats["reject"] += 1
             return None
         if n_in2 < 30 or (self.frames_since_reloc < self.max_frames
                           and n_in2 < 50):
+            self.chain_stats["reject"] += 1
             return None
         # Margin gates beyond the reference's accept thresholds: the
         # chain's approximations (motion candidates restricted to the
         # local block, one-frame-stale block and keyframe cadence) cost a
         # little robustness margin per frame, which only matters when the
         # margin is already thin — there, re-anchor through the exact
-        # classic path instead of accepting. (a) absolute: inliers below
-        # CHAIN_MIN_MARGIN; (b) relative: a sharp drop vs the recent mean.
+        # classic path instead of accepting. (a) scene-relative: the chain
+        # frame must hold CHAIN_MARGIN_RATIO of the recent OK-frame inlier
+        # level (_inl_ema; an earlier ABSOLUTE margin of 90 disabled the
+        # chain on any scene whose classic level sits below it), with a
+        # CHAIN_MIN_FLOOR hard floor; (b) a sharp drop vs the recent
+        # chain-accept mean.
         hist = self._chain_ninl_hist
-        if n_in2 < CHAIN_MIN_MARGIN:
+        margin = max(CHAIN_MIN_FLOOR, CHAIN_MARGIN_RATIO * self._inl_ema)
+        if n_in2 < margin:
             hist.clear()
+            self.chain_stats["reject"] += 1
             return None
         if len(hist) >= 3 and n_in2 < 0.6 * (sum(hist) / len(hist)):
             hist.clear()
+            self.chain_stats["reject"] += 1
             return None
         hist.append(n_in2)
         if len(hist) > 5:
@@ -994,6 +1031,7 @@ class Tracker:
         self.n_inliers = n_in2
         if not self.only_tracking and self.need_new_keyframe():
             self._chain_ninl_hist.clear()
+            self.chain_stats["kf"] += 1
             return "kf"   # classic re-track; pipeline state stays valid
         with t.stage("chain_bookkeeping"):
             ids_pad = np.full(LOCAL_MAP_SLOTS, -1, np.int64)
@@ -1021,7 +1059,14 @@ class Tracker:
             self._replace_updated_points(cur)
         with t.stage("update_local_kfs"):
             self.update_local_keyframes()
+        self.chain_stats["accept"] += 1
         return True
+
+    def _note_inliers(self, n: int):
+        """Fold an OK frame's final inlier count into the scene-relative
+        reference level the chain margin gate uses."""
+        self._inl_ema = (float(n) if self._inl_ema == 0.0
+                         else 0.7 * self._inl_ema + 0.3 * float(n))
 
     def chain_finish(self, frame, ok: bool):
         """Postlude identical to _track_locked's OK/LOST handling for a
@@ -1029,6 +1074,7 @@ class Tracker:
         self.current = frame
         self.state = TrackingState.OK if ok else TrackingState.LOST
         if ok:
+            self._note_inliers(self.n_inliers)
             if self.last_frame is not None and self.last_frame.Tcw is not None:
                 self.velocity = frame.Tcw @ np.linalg.inv(
                     self.last_frame.Tcw)
@@ -1318,6 +1364,8 @@ class Tracker:
         self.last_kf_frame_id = -1
         self.last_kf_id = -1
         self.local_kf_ids = []
+        self._chain_ninl_hist.clear()
+        self._inl_ema = 0.0
         self.state = TrackingState.NOT_INITIALIZED
 
     # ------------------------------------------------------------------

@@ -115,6 +115,53 @@ def se3_inv(T: jnp.ndarray) -> jnp.ndarray:
     return Ti
 
 
+def so3_project(R: jnp.ndarray, iters: int = 5) -> jnp.ndarray:
+    """Project a near-rotation 3x3 matrix onto SO(3) (closest rotation in
+    Frobenius norm = the polar factor), via the Newton–Schulz iteration
+    X <- X(3I - X^T X)/2 — compiler-friendly (no SVD, just 3x3 matmuls).
+
+    Pre-scaling to Frobenius norm sqrt(3) puts every singular value in
+    (0, sqrt(3)], the iteration's convergence region, so the projection
+    also self-heals badly degraded inputs (det well below 1), not just
+    rounding-level drift. Requires det(R) > 0 (true for any pose that
+    started as a rotation and decayed by accumulation)."""
+    X = R * jax.lax.rsqrt(jnp.maximum(jnp.sum(R * R) / 3.0, 1e-12))
+    I = jnp.eye(3, dtype=R.dtype)
+    for _ in range(iters):
+        X = 0.5 * (X @ (3.0 * I - X.T @ X))
+    return X
+
+
+def se3_project(T: jnp.ndarray, iters: int = 5) -> jnp.ndarray:
+    """Re-orthonormalize the rotation block of a 4x4 pose, keeping t.
+
+    Used by the pipelined (device-state) tracking chain: each chain step
+    feeds poses produced by the previous step back through f32 matmul
+    products, and any orthogonality error compounds geometrically through
+    `velocity = T_last @ inv(T_prev)` when inv() is the transpose trick —
+    measured decay reached det(R) = 0.59 after ~12 chained frames, moving
+    projections by >100 px and collapsing the match count. Projecting the
+    state each step bounds the drift at one step's rounding (~1e-7)."""
+    out = jnp.eye(4, dtype=T.dtype)
+    out = out.at[:3, :3].set(so3_project(T[:3, :3], iters))
+    out = out.at[:3, 3].set(T[:3, 3])
+    return out
+
+
+def se3_project_np(T):
+    """Host (numpy, f64) exact SE(3) projection via SVD — bootstrap-time
+    defense for poses already stored in host bookkeeping."""
+    import numpy as np
+    U, _, Vt = np.linalg.svd(np.asarray(T[:3, :3], np.float64))
+    R = U @ Vt
+    if np.linalg.det(R) < 0:
+        R = U @ np.diag([1.0, 1.0, -1.0]) @ Vt
+    out = np.eye(4, dtype=np.float64)
+    out[:3, :3] = R
+    out[:3, 3] = T[:3, 3]
+    return out
+
+
 def se3_mul(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     return A @ B
 

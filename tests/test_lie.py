@@ -93,3 +93,40 @@ def test_sim3_scale_action():
     S = lie.sim3_make(jnp.eye(3), jnp.zeros(3), 2.0)
     X = jnp.ones((1, 3))
     np.testing.assert_allclose(np.asarray(lie.sim3_apply(S, X)), 2 * np.ones((1, 3)), atol=1e-6)
+
+
+def test_so3_project_near_rotation(rng):
+    """Rounding-level drift: projection returns the nearby rotation."""
+    R = np.asarray(lie.so3_exp(jnp.asarray(
+        rng.normal(size=3).astype(np.float32))))
+    Rp = R + rng.normal(size=(3, 3)).astype(np.float32) * 1e-4
+    out = np.asarray(lie.so3_project(jnp.asarray(Rp)))
+    np.testing.assert_allclose(out @ out.T, np.eye(3), atol=1e-5)
+    assert np.linalg.det(out) > 0.99
+    np.testing.assert_allclose(out, R, atol=1e-3)
+
+
+def test_so3_project_self_heals_degraded(rng):
+    """The pipelined chain's measured failure mode: a pose whose rotation
+    block decayed to det ~0.6 must still project to a proper rotation
+    near the polar factor (numpy SVD oracle)."""
+    R = np.asarray(lie.so3_exp(jnp.asarray(
+        rng.normal(size=3).astype(np.float32))), dtype=np.float64)
+    # Apply an anisotropic squash like the measured decay (det 0.59).
+    U, _, Vt = np.linalg.svd(R)
+    Rd = (U @ np.diag([1.05, 0.9, 0.62]) @ Vt).astype(np.float32)
+    out = np.asarray(lie.so3_project(jnp.asarray(Rd)))
+    np.testing.assert_allclose(out @ out.T, np.eye(3), atol=1e-4)
+    # Polar factor of U diag(s) Vt with positive s is U Vt.
+    np.testing.assert_allclose(out, U @ Vt, atol=1e-3)
+
+
+def test_se3_project_matches_np(rng):
+    T = np.asarray(lie.se3_exp(jnp.asarray(
+        rng.normal(size=6).astype(np.float32) * 0.5)), dtype=np.float64)
+    T[:3, :3] += rng.normal(size=(3, 3)) * 0.01
+    dev = np.asarray(lie.se3_project(jnp.asarray(T.astype(np.float32))))
+    host = lie.se3_project_np(T)
+    np.testing.assert_allclose(dev, host, atol=1e-4)
+    np.testing.assert_allclose(dev[:3, 3], T[:3, 3], atol=1e-6)
+    np.testing.assert_allclose(dev[3], [0, 0, 0, 1], atol=0)

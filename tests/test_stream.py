@@ -141,3 +141,52 @@ def test_pipelined_mode_quality():
     est = traj_io.frame_poses(slam.arena, slam.tracker.trajectory)
     rmse = traj_io.ate_rmse(est, gt)
     assert rmse < 0.03, rmse
+
+
+def test_pipelined_chain_stays_on_manifold():
+    """Regression for the chain pose-state SO(3) decay: chained device
+    steps feed pose products back through the next step's transpose-trick
+    inverse, and without the per-step SE(3) projection the orthogonality
+    error compounded geometrically (det(R) reached 0.59 within ~12 chained
+    frames, >100 px projection error, match collapse, and degraded poses
+    leaking into host bookkeeping — every later re-entry then failed
+    immediately).  A long orbit must keep the chain accepting all the way
+    to the end, with every stored pose a proper rotation."""
+    cfg, _ = _setup()
+    r = PlanarSceneRenderer(cfg.camera.K, cfg.camera.width,
+                            cfg.camera.height,
+                            texture=make_texture(2048, 8, 7),
+                            tex_scale=220.0)
+    poses = orbit_trajectory(72, radius=0.35, depth=-2.0, tilt=0.3)
+    slam = System(None, cfg, Sensor.MONOCULAR)
+    tr = slam.tracker
+    late_results = []           # chain outcomes over the last third
+    orig = tr.chain_process
+
+    def spy(frame, ids, packed_out):
+        res = orig(frame, ids, packed_out)
+        if frame.id >= 48:
+            late_results.append(res)
+        return res
+
+    tr.chain_process = spy
+    n_ok = 0
+    for _ in slam.track_monocular_pipelined(
+            (r.render(T), i / 30.0) for i, T in enumerate(poses)):
+        if slam.get_tracking_state() == TrackingState.OK:
+            n_ok += 1
+    slam.shutdown()
+    st = tr.chain_stats
+    assert st["accept"] >= 10, st
+    # The decay bug made every late attempt a reject; with the projection
+    # the late window keeps accepting.
+    assert late_results and any(x is True for x in late_results), (
+        st, late_results)
+    assert sum(1 for x in late_results if x is None) <= len(late_results) // 2
+    assert n_ok >= 66
+    # Every pose the chain wrote into host bookkeeping is a rotation
+    # (Tcr = Tcw @ inv(ref Tcw): orthonormal iff the stored Tcw is).
+    for e in tr.trajectory:
+        R = np.asarray(e.Tcr, np.float64)[:3, :3]
+        assert abs(np.linalg.det(R) - 1.0) < 1e-3, (
+            e.timestamp, np.linalg.det(R))
