@@ -251,13 +251,16 @@ class System:
         bookkeeping, not by the RTT.
 
         Semantics and safeguards (each measured, see docs/ROADMAP.md):
-          * Frames that will CREATE A KEYFRAME are re-tracked through the
-            exact classic path — map content (observations, BA anchors)
-            is always classic-grade; the chain only carries per-frame
-            pose tracking between keyframes.
+          * Keyframes are created directly from chain results (measured
+            ATE-equivalent to classic re-tracking across scene classes
+            once the device pose state is projected onto SE(3) each
+            step); set tracker.chain_classic_kf = True to re-track
+            keyframe frames through the exact classic path instead
+            (2 extra RTTs per keyframe decision).
           * The chain engages only on a mature map (CHAIN_MIN_KEYFRAMES
             created since the map epoch), outside the post-keyframe
-            settling window (CHAIN_SETTLE_FRAMES), and only while the
+            settling window (CHAIN_SETTLE_FRAMES, default 0 — measured
+            no-op since the SE(3) projection fix), and only while the
             inlier margin is healthy relative to the scene's recent
             classic level (CHAIN_MARGIN_RATIO of the OK-frame EMA, floor
             CHAIN_MIN_FLOOR, + a relative-drop detector); anything else

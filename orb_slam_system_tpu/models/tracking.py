@@ -46,7 +46,12 @@ MAX_LOCAL_KEYFRAMES = 80   # reference src/Tracking.cc:759-761
 CHAIN_MIN_FLOOR = 40       # hard inlier floor for accepting a chain frame
 CHAIN_MARGIN_RATIO = 0.8   # ...and >= this fraction of the recent classic level
 CHAIN_MIN_KEYFRAMES = 3    # map epoch maturity: init pair + >=1 tracked KF
-CHAIN_SETTLE_FRAMES = 4    # classic frames after EVERY keyframe creation
+# Classic frames required after every keyframe creation before the chain
+# re-engages. Default 0: a measured A/B/C across three scenes (orbit,
+# low-texture, low-parallax) showed the settle window contributed nothing
+# once the SE(3) state-decay bug was fixed — identical OK counts and ATE
+# with settle 0 vs 4. Kept as a knob for conservative deployments.
+CHAIN_SETTLE_FRAMES = 0
 
 
 @dataclasses.dataclass
@@ -121,6 +126,16 @@ class Tracker:
         # the chain accepted / re-anchored classically / deferred to a
         # classic keyframe re-track.
         self.chain_stats = {"accept": 0, "reject": 0, "kf": 0}
+        # Opt-in conservative mode: frames that will create a keyframe are
+        # re-tracked through the exact classic path before insertion.
+        # Default off — with the chain state held on SE(3) (lie.se3_project)
+        # a three-scene A/B/C showed chain-created keyframes are
+        # ATE-equivalent to classic re-tracked ones (the earlier measured
+        # degradation was the state-decay bug), and the reroute cost two
+        # extra RTTs per keyframe decision while its inlier trigger
+        # over-fired (the chain's one-frame-stale local block undercounts
+        # inliers ~10-15% vs classic, sitting under the 0.9 ratio).
+        self.chain_classic_kf = False
 
     # ------------------------------------------------------------------
     # Entry point
@@ -1022,14 +1037,19 @@ class Tracker:
             hist.pop(0)
         cur = frame
         self.current = frame   # update_local_keyframes/need_new_keyframe
-        # Keyframe frames go through the exact classic path: the chain's
-        # one-frame-lagged block/state is fine for per-frame pose tracking
-        # but must not be BAKED INTO THE MAP — keyframes created from
-        # chain results measurably degraded map geometry (BA anchors to
-        # them), while classic-re-tracking just the KF frames recovers
-        # classic-grade ATE at a cost of ~2 extra RTTs per keyframe.
         self.n_inliers = n_in2
-        if not self.only_tracking and self.need_new_keyframe():
+        # Conservative knob only: re-track keyframe frames through the
+        # exact classic path before insertion. By default keyframes are
+        # created directly from chain results in chain_finish — measured
+        # ATE-equivalent on three scene classes once the chain state is
+        # projected onto SE(3) each step (the historical degradation was
+        # the state-decay bug), whereas this reroute costs two extra RTTs
+        # per trigger and over-fires (the chain's one-frame-stale block
+        # undercounts inliers ~10-15%, so n_in2 < 0.9*n_ref fires almost
+        # every frame; keyframe culling absorbs the churn either way,
+        # matching the reference's own mapper-throttled behavior).
+        if (self.chain_classic_kf and not self.only_tracking
+                and self.need_new_keyframe()):
             self._chain_ninl_hist.clear()
             self.chain_stats["kf"] += 1
             return "kf"   # classic re-track; pipeline state stays valid
@@ -1087,6 +1107,8 @@ class Tracker:
             if need_kf:
                 with self.stage_ms.stage("kf_create"):
                     self.create_new_keyframe()
+                self.chain_stats["kf_direct"] = (
+                    self.chain_stats.get("kf_direct", 0) + 1)
             self.frames_since_reloc += 1
         else:
             if self.arena.n_keyframes() <= 5:

@@ -143,6 +143,51 @@ def test_pipelined_mode_quality():
     assert rmse < 0.03, rmse
 
 
+def test_pipelined_aggressive_motion():
+    """Fast-motion stress (VERDICT r2 'weak' row 6): the pipelined mode's
+    one-frame-stale local block and chain approximations must not cost
+    tracking robustness when per-frame motion is ~3x the nominal orbit
+    step — either the chain holds quality or the margin gates re-anchor
+    classically. Compare against the exact sequential path on the SAME
+    fast sequence."""
+    import numpy as np
+
+    from examples.mono_synthetic import make_config
+    from orb_slam_system_tpu.dataio import trajectory as traj_io
+
+    cfg = make_config(n_features=400)
+    r = PlanarSceneRenderer(cfg.camera.K, cfg.camera.width,
+                            cfg.camera.height,
+                            texture=make_texture(2048, 8, 7),
+                            tex_scale=220.0)
+    # 24 frames over the same arc the nominal tests cover in 72: ~3x the
+    # per-frame baseline and yaw rate.
+    poses = orbit_trajectory(24, radius=0.35, depth=-2.0, tilt=0.3,
+                             yaw_amp=0.06)
+    frames = [(np.clip(r.render(T), 0, 255).astype(np.uint8), i / 30.0)
+              for i, T in enumerate(poses)]
+    gt = {i / 30.0: (-T[:3, :3].T @ T[:3, 3]).astype(np.float64)
+          for i, T in enumerate(poses)}
+
+    def run(pipelined):
+        slam = System(None, cfg, Sensor.MONOCULAR)
+        n_ok = 0
+        it = (slam.track_monocular_pipelined(iter(frames)) if pipelined
+              else (slam.track_monocular(img, ts) for img, ts in frames))
+        for _ in it:
+            if slam.get_tracking_state() == TrackingState.OK:
+                n_ok += 1
+        est = traj_io.frame_poses(slam.arena, slam.tracker.trajectory)
+        rmse = traj_io.ate_rmse(est, gt)
+        slam.shutdown()
+        return n_ok, rmse
+
+    ok_seq, ate_seq = run(False)
+    ok_pipe, ate_pipe = run(True)
+    assert ok_pipe >= ok_seq - 1, (ok_pipe, ok_seq)
+    assert ate_pipe < max(2.0 * ate_seq, 0.02), (ate_pipe, ate_seq)
+
+
 def test_pipelined_chain_stays_on_manifold():
     """Regression for the chain pose-state SO(3) decay: chained device
     steps feed pose products back through the next step's transpose-trick
