@@ -112,3 +112,54 @@ def test_mono_tum_driver_end_to_end(tmp_path):
     rows = traj.read_text().strip().splitlines()
     assert len(rows) >= 3
     assert all(len(r.split()) == 8 for r in rows)
+
+
+def test_live_camera_driver_fake_capture():
+    """The myslam equivalent (examples/live_camera.py, reference
+    laptop_camera.cpp:6-20): drive System from a capture object. Uses a
+    fake cv2-style capture feeding synthetic BGR frames (no camera device
+    in this environment); covers the BGR->gray conversion, wall-clock
+    timestamps, pipelined tracking, and bounded run length."""
+    from examples import live_camera
+    from orb_slam_system_tpu.config import (
+        CameraConfig, ORBConfig, Sensor, SlamConfig, TrackingState)
+    from orb_slam_system_tpu.dataio.synthetic import (
+        PlanarSceneRenderer, make_texture, orbit_trajectory)
+    from orb_slam_system_tpu.models.system import System
+
+    W, H = 320, 240
+    cam = CameraConfig(fx=260.0, fy=260.0, cx=W / 2, cy=H / 2, fps=30.0,
+                       width=W, height=H)
+    cfg = SlamConfig(camera=cam, orb=ORBConfig(n_features=400),
+                     sensor=Sensor.MONOCULAR)
+    r = PlanarSceneRenderer(cam.K, W, H, texture=make_texture(2048, 8, 7),
+                            tex_scale=220.0)
+    poses = orbit_trajectory(16, radius=0.35, depth=-2.0, tilt=0.3)
+
+    class FakeCapture:
+        def __init__(self):
+            self.i = 0
+            self.released = False
+
+        def read(self):
+            if self.i >= len(poses):
+                return False, None
+            g = np.clip(r.render(poses[self.i]), 0, 255).astype(np.uint8)
+            self.i += 1
+            return True, np.stack([g, g, g], axis=-1)   # BGR
+
+        def release(self):
+            self.released = True
+
+    cap = FakeCapture()
+    slam = System(None, cfg, Sensor.MONOCULAR)
+    n = live_camera.run(slam, cap, max_frames=14, report_every=0)
+    state = slam.get_tracking_state()
+    kfs = slam.arena.n_keyframes()
+    slam.shutdown()
+    cap.release()
+    assert n == 14                       # bounded by max_frames
+    assert cap.i == 14
+    assert state == TrackingState.OK
+    assert kfs >= 2
+    assert cap.released
