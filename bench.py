@@ -58,13 +58,22 @@ def bench_system_fps(n_frames: int = 72, warmup: int = 24,
     # async_mapping = the reference's own thread model (tracking + local
     # mapping on separate threads); device round trips overlap.
     slam = System(None, cfg, Sensor.MONOCULAR, async_mapping=True)
-    for i in range(warmup):
+    depth = int(os.environ.get("ORB_SLAM_BENCH_DEPTH", "2"))
+    n_chain_warm = 8 if mode == "pipelined" else 0
+    for i in range(warmup - n_chain_warm):
         slam.track_monocular(frames[i], i / 30.0)
+    if n_chain_warm:
+        # Warm the chain-step program too (first pipelined frame pays its
+        # ~1.5 s jit compile otherwise — measured inside the timed window).
+        warm = ((frames[i], i / 30.0)
+                for i in range(warmup - n_chain_warm, warmup))
+        for _ in slam.track_monocular_pipelined(warm, depth=depth):
+            pass
     t0 = time.perf_counter()
     n_ok = 0
     src = ((frames[i], i / 30.0) for i in range(warmup, n_frames))
-    it = (slam.track_monocular_pipelined(src) if mode == "pipelined"
-          else slam.track_monocular_stream(src))
+    it = (slam.track_monocular_pipelined(src, depth=depth)
+          if mode == "pipelined" else slam.track_monocular_stream(src))
     for _ in it:
         if slam.tracker.state.name == "OK":
             n_ok += 1
@@ -73,6 +82,15 @@ def bench_system_fps(n_frames: int = 72, warmup: int = 24,
     # Throughput counts only if tracking held for (almost) every timed
     # frame — a lost tracker "tracks" arbitrarily fast.
     ok = n_ok >= 0.9 * n_timed and slam.tracker.state.name == "OK"
+    # Diagnostics: chain outcome mix + slowest tracking stages (stderr
+    # only; the JSON line stays single).
+    st = dict(slam.tracker.chain_stats)
+    hist = slam.tracker.stage_ms.history
+    stages = sorted(((k, sum(v) / len(v)) for k, v in hist.items() if v),
+                    key=lambda kv: -kv[1])[:5]
+    print(f"# chain_stats={st} kfs={slam.arena.n_keyframes()} "
+          f"top_stages_ms={[(k, round(v, 1)) for k, v in stages]}",
+          file=sys.stderr)
     if not ok:
         print(f"# system bench rejected: ok_frames={n_ok}/{n_timed} "
               f"final={slam.tracker.state.name}", file=sys.stderr)

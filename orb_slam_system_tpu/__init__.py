@@ -24,6 +24,27 @@ __version__ = "0.1.0"
 import os as _os
 
 
+def _honor_cpu_request():
+    """Make `JAX_PLATFORM_NAME=cpu` reliable even when a PJRT plugin's
+    site hook re-exports JAX_PLATFORMS after the environment was set (on
+    this dev image the axon TPU-tunnel plugin does exactly that, so env
+    vars alone can leave example drivers running eagerly over the remote
+    tunnel). jax.config wins over both."""
+    want = (_os.environ.get("JAX_PLATFORM_NAME")
+            or _os.environ.get("ORB_SLAM_TPU_PLATFORM"))
+    if not want:
+        return
+    try:
+        import jax
+        if jax.config.jax_platforms != want:
+            jax.config.update("jax_platforms", want)
+    except Exception:  # noqa: BLE001 — platform forcing is best-effort
+        pass
+
+
+_honor_cpu_request()
+
+
 def _enable_compilation_cache():
     """Persist XLA compilations across processes (the SLAM pipeline traces
     ~100 programs; cold starts drop from minutes to seconds on reruns).

@@ -241,14 +241,25 @@ class System:
                 self._emit_frame_metrics(ts, t1 - t0, t2 - t1)
                 yield Tcw
 
-    def track_monocular_pipelined(self, frames, resync_every: int = 0):
+    def track_monocular_pipelined(self, frames, resync_every: int = 0,
+                                  depth: int = 2):
         """Deep-pipelined monocular tracking (the realtime mode): frame
         k+1's extraction AND tracking programs are enqueued before frame
-        k's results arrive; results are fetched asynchronously one frame
-        late via the device-state chain step (tracking.chain_*). The
-        tunnel round trip overlaps the next frame's device work, so
-        steady-state throughput is bounded by device time + host
-        bookkeeping, not by the RTT.
+        k's results arrive; results are fetched by a pool of background
+        threads and consumed `depth` frames late via the device-state
+        chain step (tracking.chain_*). The tunnel round trip overlaps the
+        next frames' device work, so steady-state throughput is bounded
+        by device time + host bookkeeping, not by the RTT.
+
+        depth = frames in flight. Each blocking fetch costs one full
+        round trip on this link no matter when it is issued (measured:
+        ~30 ms; concurrent fetches DO overlap — 2 threads sustain ~60
+        enqueue-fetch cycles/s, 4 threads ~115), so the fetch of frame k
+        must be given `depth` frame-times to land: depth 1 caps the loop
+        at ~1/RTT fps, depth 2 at ~2/RTT, until device time or host
+        bookkeeping binds. Bookkeeping (keyframe decisions, local-map
+        block refresh) lags `depth` frames; the chain margin gates below
+        re-anchor classically whenever that staleness costs inliers.
 
         Semantics and safeguards (each measured, see docs/ROADMAP.md):
           * Keyframes are created directly from chain results (measured
@@ -275,12 +286,67 @@ class System:
 
         Yields Tcw (or None) per frame, in order.
         """
+        from collections import deque
+
         from orb_slam_system_tpu.config import TrackingState
         tr = self.tracker
-        pending = None   # (frame, ids, state_in_host_refs, packed_out)
+        depth = max(1, int(depth))
+        pendq: deque = deque()   # (frame, ids) in flight, oldest first
         state = None     # (T_prev_dev, T_last_dev, assoc_dev)
         prev_ids = None
         prev_packed = None
+
+        # Background fetch pool: each worker blocks on one chain step's
+        # packed output (np.asarray = one full round trip on this link —
+        # copy_to_host_async is NOT used: issuing a D2H copy stalls the
+        # next jitted dispatch ~22 ms on the tunnel client) and posts the
+        # numpy buffer. Concurrent fetches overlap on the wire, so
+        # `depth` workers keep `depth` round trips in flight.
+        import queue as _queue
+        import threading as _threading
+        fetch_q: "_queue.Queue" = _queue.Queue()
+        fetched: dict = {}
+        fetched_cv = _threading.Condition()
+
+        def _fetch_loop():
+            while True:
+                item = fetch_q.get()
+                if item is None:
+                    return
+                tok, arr = item
+                try:
+                    buf = np.asarray(arr)
+                except Exception as e:  # noqa: BLE001 — surfaced at get
+                    buf = e
+                with fetched_cv:
+                    fetched[tok] = buf
+                    # Results discarded by the break path can race this
+                    # store; at most `depth` tokens are ever legitimately
+                    # outstanding, so cap the dict to bound the leak.
+                    while len(fetched) > 8 + depth:
+                        fetched.pop(min(fetched))
+                    fetched_cv.notify_all()
+
+        n_fetchers = max(2, depth)
+        fetchers = [_threading.Thread(target=_fetch_loop, daemon=True,
+                                      name=f"chain-fetch-{i}")
+                    for i in range(n_fetchers)]
+        for f in fetchers:
+            f.start()
+
+        def _fetch_get(tok, timeout=300.0):
+            deadline = time.monotonic() + timeout
+            with fetched_cv:
+                while tok not in fetched:
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        raise TimeoutError(
+                            f"chain fetch {tok} not delivered")
+                    fetched_cv.wait(left)
+                buf = fetched.pop(tok)
+            if isinstance(buf, Exception):
+                raise buf
+            return buf
 
         def classic(frame):
             with self._lock:
@@ -293,19 +359,20 @@ class System:
                                          time.perf_counter() - t1)
             return Tcw
 
-        def process_pending():
-            """Returns (Tcw, broke) for the pending frame, running the
-            classic fallback when the chain result was weak. broke=True
-            means frames already enqueued on the stale state must be
-            discarded and re-tracked classically."""
-            nonlocal pending, state
-            frame, ids, packed_out = pending
-            pending = None
+        def process_oldest():
+            """Returns (Tcw, broke) for the oldest in-flight frame,
+            running the classic fallback when the chain result was weak.
+            broke=True means frames already enqueued on the stale state
+            must be discarded and re-tracked classically."""
+            nonlocal state
+            frame, ids = pendq.popleft()
             broke = False
+            with tr.stage_ms.stage("chain_fetch_wait"):
+                host_buf = _fetch_get(frame.id)
             with self._lock:
                 t0 = time.perf_counter()
                 with tr.arena.lock:
-                    ok = tr.chain_process(frame, ids, packed_out)
+                    ok = tr.chain_process(frame, ids, host_buf)
                 if ok is None or ok == "kf":
                     # Classic re-track of this frame (its packed buffer is
                     # retained). ok is None = weak result: also drop the
@@ -335,61 +402,92 @@ class System:
                     broke = True
             return Tcw, broke
 
-        for img, ts in frames:
-            if img.ndim == 3:
-                img = rgb_to_gray(img, self.cfg.camera.rgb)
-            with self._lock:
-                chain_ok = tr.chain_ready()
-            if pending is not None and (state is None or not chain_ok):
-                # The device state was dropped (resync knob) or a gate
-                # disengaged the chain (e.g. the post-keyframe settling
-                # window) while a frame is still in flight: drain it so
-                # the bookkeeping stays ordered and the bootstrap below
-                # refers to the frame whose packed buffer becomes
-                # packed_last. Re-evaluate the gate afterwards — draining
-                # can create a keyframe or change the tracking state.
-                Tcw, _ = process_pending()
-                yield Tcw
-                with self._lock:
-                    chain_ok = chain_ok and tr.chain_ready()
-            with self._lock:
-                if not chain_ok:
-                    frame = tr.build_frame(img, ts)
-                else:
-                    frame = tr.builder.build(img, ts)
-            if not chain_ok:
-                state = None
-                yield classic(frame)
-                continue
-            with self._lock, tr.arena.lock:
-                if state is None:
-                    (T_prev, T_last, assoc, prev_ids,
-                     _blk) = tr.chain_bootstrap()
-                    state = (T_prev, T_last, assoc)
-                    prev_packed = tr.last_frame.packed_dev
-                ids, state, packed_out = tr.chain_enqueue(
-                    frame, state, prev_packed, prev_ids)
-                if resync_every and (frame.id % resync_every == 0):
-                    # Periodic state resync: drop the device state after
-                    # this frame; the next iteration drains the pipeline
-                    # and re-bootstraps from the host bookkeeping.
-                    state = None
-            new_pending = (frame, ids, packed_out)
-            prev_ids = ids
-            prev_packed = frame.packed_dev
-            if pending is not None:
-                Tcw, broke = process_pending()
-                yield Tcw
+        def drain_classic():
+            """Discard every in-flight frame's chain result and re-track
+            it classically, in order (their chain steps ran on a state
+            that has been invalidated). Returns the list of poses."""
+            outs = []
+            while pendq:
+                frame, _ids = pendq.popleft()
+                with fetched_cv:
+                    fetched.pop(frame.id, None)
+                outs.append(classic(frame))
+            return outs
+
+        def drain_all():
+            """Process every in-flight frame in order (chain results are
+            valid until one breaks; the rest then re-track classically).
+            Returns the list of poses."""
+            outs = []
+            while pendq:
+                Tcw, broke = process_oldest()
+                outs.append(Tcw)
                 if broke:
-                    # This frame's chain step was already enqueued on the
-                    # now-invalid state: discard it and re-enter through
-                    # the classic path.
-                    yield classic(new_pending[0])
-                    new_pending = None
-            pending = new_pending
-        if pending is not None:
-            Tcw, _ = process_pending()
-            yield Tcw
+                    outs.extend(drain_classic())
+            return outs
+
+        try:
+            for img, ts in frames:
+                if img.ndim == 3:
+                    img = rgb_to_gray(img, self.cfg.camera.rgb)
+                with self._lock:
+                    chain_ok = tr.chain_ready()
+                if pendq and (state is None or not chain_ok):
+                    # The device state was dropped (resync knob) or a gate
+                    # disengaged the chain (e.g. the post-keyframe settling
+                    # window) while frames are still in flight: drain them
+                    # so the bookkeeping stays ordered and the bootstrap
+                    # below refers to the frame whose packed buffer becomes
+                    # packed_last. Re-evaluate the gate afterwards —
+                    # draining can create a keyframe or change the tracking
+                    # state.
+                    for Tcw in drain_all():
+                        yield Tcw
+                    with self._lock:
+                        chain_ok = chain_ok and tr.chain_ready()
+                with self._lock:
+                    if not chain_ok:
+                        frame = tr.build_frame(img, ts)
+                    else:
+                        frame = tr.builder.build(img, ts)
+                if not chain_ok:
+                    state = None
+                    yield classic(frame)
+                    continue
+                with self._lock, tr.arena.lock:
+                    if state is None:
+                        (T_prev, T_last, assoc, prev_ids,
+                         _blk) = tr.chain_bootstrap()
+                        state = (T_prev, T_last, assoc)
+                        prev_packed = tr.last_frame.packed_dev
+                    ids, state, packed_out = tr.chain_enqueue(
+                        frame, state, prev_packed, prev_ids)
+                    if resync_every and (frame.id % resync_every == 0):
+                        # Periodic state resync: drop the device state
+                        # after this frame; the next iteration drains the
+                        # pipeline and re-bootstraps from the host
+                        # bookkeeping.
+                        state = None
+                fetch_q.put((frame.id, packed_out))
+                pendq.append((frame, ids))
+                prev_ids = ids
+                prev_packed = frame.packed_dev
+                if len(pendq) > depth:
+                    Tcw, broke = process_oldest()
+                    yield Tcw
+                    if broke:
+                        # The newer in-flight frames' chain steps ran on
+                        # the now-invalid state: discard them and re-enter
+                        # through the classic path.
+                        for Tcw in drain_classic():
+                            yield Tcw
+            for Tcw in drain_all():
+                yield Tcw
+        finally:
+            for _ in fetchers:
+                fetch_q.put(None)
+            for f in fetchers:
+                f.join(timeout=10.0)
 
     def _pump_mapping(self):
         """Synchronous mode: drain the keyframe queue inline. Async mode:

@@ -985,11 +985,13 @@ class Tracker:
         T_last_o, T_cur_o, assoc_o, packed_out = self.programs.chain_step(
             T_prev, T_last, assoc, remap, prev_packed, frame.packed_dev,
             block)
-        try:
-            packed_out.copy_to_host_async()
-            frame.packed_dev.copy_to_host_async()
-        except Exception:  # noqa: BLE001 — async copy is best-effort
-            pass
+        # Deliberately NO copy_to_host_async here: on the tunnel backend a
+        # D2H copy issue stalls the NEXT jitted dispatch by ~22 ms (the
+        # client's command stream blocks on the copy's flow control) —
+        # measured 25.8 ms/frame enqueue loop with copies vs 3.5 ms
+        # without. The caller fetches packed_out on a background thread
+        # instead (System.track_monocular_pipelined), which overlaps the
+        # blocking round trip with the main thread's enqueues.
         return ids, (T_last_o, T_cur_o, assoc_o), packed_out
 
     def chain_process(self, frame, ids, packed_out) -> Optional[bool]:
