@@ -30,31 +30,48 @@ def make_config(width=320, height=240, n_features=500):
                       sensor=Sensor.STEREO, th_depth=35.0)
 
 
-def run(n_frames=50, out_dir=".", verbose=True, n_features=500):
+def run(n_frames=50, out_dir=".", verbose=True, n_features=500,
+        pipelined=False, async_mapping=False):
+    """pipelined=True drives System.track_stereo_pipelined (the realtime
+    deep-pipelined mode; device-state chain, results fetched by background
+    threads `depth` frames late) instead of the sequential per-frame API."""
     cfg = make_config(n_features=n_features)
     tex = make_texture(size=2048, block=8, seed=7)
     r = PlanarSceneRenderer(cfg.camera.K, cfg.camera.width, cfg.camera.height,
                             texture=tex, tex_scale=220.0)
     poses = orbit_trajectory(n_frames, radius=0.35, depth=-2.0, tilt=0.3)
-    slam = System(None, cfg, Sensor.STEREO)
+    slam = System(None, cfg, Sensor.STEREO, async_mapping=async_mapping)
     gt = {}
     for i, Tcw in enumerate(poses):
-        ts = i / 30.0
-        left, right = r.render_stereo(Tcw, BASELINE)
-        slam.track_stereo(left, right, ts)
         R = Tcw[:3, :3]
-        gt[ts] = (-R.T @ Tcw[:3, 3]).astype(np.float64)
-        if verbose:
-            print(f"frame {i:3d} state={slam.get_tracking_state().name:16s} "
-                  f"tracked={len(slam.get_tracked_map_points()):4d} "
-                  f"kfs={slam.arena.n_keyframes()} mps={slam.arena.n_points()}",
-                  flush=True)
+        gt[i / 30.0] = (-R.T @ Tcw[:3, 3]).astype(np.float64)
+    if pipelined:
+        def gen():
+            for i, Tcw in enumerate(poses):
+                left, right = r.render_stereo(Tcw, BASELINE)
+                yield left, right, i / 30.0
+        for i, _ in enumerate(slam.track_stereo_pipelined(gen())):
+            if verbose:
+                print(f"frame {i:3d} "
+                      f"state={slam.get_tracking_state().name:16s} "
+                      f"kfs={slam.arena.n_keyframes()}", flush=True)
+    else:
+        for i, Tcw in enumerate(poses):
+            ts = i / 30.0
+            left, right = r.render_stereo(Tcw, BASELINE)
+            slam.track_stereo(left, right, ts)
+            if verbose:
+                print(f"frame {i:3d} "
+                      f"state={slam.get_tracking_state().name:16s} "
+                      f"tracked={len(slam.get_tracked_map_points()):4d} "
+                      f"kfs={slam.arena.n_keyframes()} "
+                      f"mps={slam.arena.n_points()}", flush=True)
     slam.shutdown()
     slam.save_trajectory_kitti(os.path.join(out_dir, "CameraTrajectory.txt"))
     slam.save_keyframe_trajectory_tum(
         os.path.join(out_dir, "KeyFrameTrajectory.txt"))
     est = traj_io.frame_poses(slam.arena, slam.tracker.trajectory)
-    rmse = traj_io.ate_rmse(est, gt, align=True)
+    rmse = traj_io.ate_rmse(est, gt, with_scale=False)  # SE3-only: metric
     # Metric scale check: compare estimated vs true inter-frame distance.
     est_pos = [(-T[:3, :3].T @ T[:3, 3]) for _, T, l in est if not l]
     scale_est = (np.linalg.norm(est_pos[-1] - est_pos[0])
@@ -68,6 +85,8 @@ def run(n_frames=50, out_dir=".", verbose=True, n_features=500):
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    out = sys.argv[2] if len(sys.argv) > 2 else "."
-    run(n, out)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 50
+    out = args[1] if len(args) > 1 else "."
+    run(n, out, pipelined="--pipelined" in sys.argv,
+        async_mapping="--async" in sys.argv)

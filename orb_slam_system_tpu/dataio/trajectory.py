@@ -100,10 +100,15 @@ def save_trajectory_kitti(path: str, arena: MapArena, trajectory):
             f.write(" ".join(f"{v:.9e}" for v in vals) + "\n")
 
 
-def ate_rmse(est: list, gt: dict, align: bool = True) -> float:
-    """Absolute trajectory error RMSE after SE3 (+scale for mono) Umeyama
-    alignment — the standard offline evaluation the reference defers to
-    external tooling (SURVEY.md §4)."""
+def ate_rmse(est: list, gt: dict, align: bool = True,
+             with_scale: bool = True) -> float:
+    """Absolute trajectory error RMSE after Umeyama alignment — the
+    standard offline evaluation the reference defers to external tooling
+    (SURVEY.md §4). with_scale=True fits a similarity (monocular
+    trajectories are defined up to scale); with_scale=False fits SE3 only,
+    which removes the arbitrary world-frame offset (a SLAM estimate's
+    world frame is its first camera) while keeping metric-scale errors
+    visible — the right gate for stereo/RGB-D."""
     pairs = []
     for ts, Tcw, lost in est:
         if lost:
@@ -120,13 +125,14 @@ def ate_rmse(est: list, gt: dict, align: bool = True) -> float:
     P = np.stack([p[0] for p in pairs])   # estimated positions
     Q = np.stack([p[1] for p in pairs])   # ground-truth positions
     if align:
-        P = umeyama_align(P, Q)
+        P = umeyama_align(P, Q, with_scale=with_scale)
     return float(np.sqrt(np.mean(np.sum((P - Q) ** 2, axis=1))))
 
 
-def umeyama_align(P: np.ndarray, Q: np.ndarray) -> np.ndarray:
-    """Similarity alignment P -> Q (Umeyama 1991, with scale — monocular
-    trajectories are defined up to scale)."""
+def umeyama_align(P: np.ndarray, Q: np.ndarray,
+                  with_scale: bool = True) -> np.ndarray:
+    """Similarity alignment P -> Q (Umeyama 1991; with_scale=False fits
+    rigid SE3 only, for metric stereo/RGB-D trajectories)."""
     mu_p = P.mean(0)
     mu_q = Q.mean(0)
     Pc = P - mu_p
@@ -137,6 +143,9 @@ def umeyama_align(P: np.ndarray, Q: np.ndarray) -> np.ndarray:
     if np.linalg.det(U) * np.linalg.det(Vt) < 0:
         S[2, 2] = -1
     R = U @ S @ Vt
-    var_p = (Pc ** 2).sum() / len(P)
-    scale = np.trace(np.diag(D) @ S) / var_p if var_p > 0 else 1.0
+    if with_scale:
+        var_p = (Pc ** 2).sum() / len(P)
+        scale = np.trace(np.diag(D) @ S) / var_p if var_p > 0 else 1.0
+    else:
+        scale = 1.0
     return (scale * (R @ Pc.T)).T + mu_q

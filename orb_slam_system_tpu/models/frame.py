@@ -50,6 +50,11 @@ class Frame:
     # UpdateLastFrame: depth-backprojected points NOT in the map):
     # {feature slot -> world position f32[3]}.
     vo_points: Optional[dict] = None
+    # (n_tracked_close, n_nontracked_close) computed on device by the
+    # pipelined chain step (stereo/RGB-D keyframe decision, reference
+    # Tracking.cc:590-600) — lets need_new_keyframe avoid fetching the
+    # packed frame just for its depth column.
+    chain_close_counts: Optional[tuple] = None
 
     def __post_init__(self):
         n = self.n_slots

@@ -286,6 +286,67 @@ class System:
 
         Yields Tcw (or None) per frame, in order.
         """
+        if self.sensor != Sensor.MONOCULAR:
+            raise RuntimeError(
+                "track_monocular_pipelined called on non-monocular system")
+
+        def build_steady(item):
+            img, ts = item
+            if img.ndim == 3:
+                img = rgb_to_gray(img, self.cfg.camera.rgb)
+            return self.tracker.builder.build(img, ts)
+
+        def build_classic(item):
+            img, ts = item
+            if img.ndim == 3:
+                img = rgb_to_gray(img, self.cfg.camera.rgb)
+            return self.tracker.build_frame(img, ts)
+
+        return self._track_pipelined(frames, build_steady, build_classic,
+                                     resync_every, depth)
+
+    def track_stereo_pipelined(self, frames, resync_every: int = 0,
+                               depth: int = 2):
+        """Deep-pipelined stereo tracking over an iterable of
+        (img_left, img_right, timestamp) — same architecture and
+        safeguards as track_monocular_pipelined (the chain step consumes
+        the 18-wide stereo packed buffer: stereo observations enter the
+        in-program pose LM via u_right, and the stereo keyframe decision's
+        close-point counts are computed on device). The reference paces
+        stereo KITTI at 10 fps (Examples/Stereo/stereo_kitti.cc)."""
+        if self.sensor != Sensor.STEREO:
+            raise RuntimeError(
+                "track_stereo_pipelined called on non-stereo system")
+
+        def build(item):
+            left, right, ts = item
+            if left.ndim == 3:
+                left = rgb_to_gray(left, self.cfg.camera.rgb)
+                right = rgb_to_gray(right, self.cfg.camera.rgb)
+            return self.tracker.builder.build_stereo(left, right, ts)
+
+        return self._track_pipelined(frames, build, build,
+                                     resync_every, depth)
+
+    def track_rgbd_pipelined(self, frames, resync_every: int = 0,
+                             depth: int = 2):
+        """Deep-pipelined RGB-D tracking over an iterable of
+        (img, depth_map, timestamp); see track_stereo_pipelined."""
+        if self.sensor != Sensor.RGBD:
+            raise RuntimeError(
+                "track_rgbd_pipelined called on non-RGBD system")
+
+        def build(item):
+            img, depth_map, ts = item
+            if img.ndim == 3:
+                img = rgb_to_gray(img, self.cfg.camera.rgb)
+            return self.tracker.builder.build_rgbd(img, depth_map, ts)
+
+        return self._track_pipelined(frames, build, build,
+                                     resync_every, depth)
+
+    def _track_pipelined(self, items, build_steady, build_classic,
+                         resync_every: int, depth: int):
         from collections import deque
 
         from orb_slam_system_tpu.config import TrackingState
@@ -427,9 +488,7 @@ class System:
             return outs
 
         try:
-            for img, ts in frames:
-                if img.ndim == 3:
-                    img = rgb_to_gray(img, self.cfg.camera.rgb)
+            for item in items:
                 with self._lock:
                     chain_ok = tr.chain_ready()
                 if pendq and (state is None or not chain_ok):
@@ -446,10 +505,8 @@ class System:
                     with self._lock:
                         chain_ok = chain_ok and tr.chain_ready()
                 with self._lock:
-                    if not chain_ok:
-                        frame = tr.build_frame(img, ts)
-                    else:
-                        frame = tr.builder.build(img, ts)
+                    frame = (build_steady(item) if chain_ok
+                             else build_classic(item))
                 if not chain_ok:
                     state = None
                     yield classic(frame)

@@ -58,6 +58,7 @@ class TrackPrograms:
         log_sf = float(np.log(cfg.orb.scale_factor))
         n_levels = cfg.orb.n_levels
         fx, fy, cx, cy, bf = cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
+        th_depth = float(cfg.th_depth)
 
         def unpack(packed):
             """Slice a device-resident packed frame buffer (see
@@ -351,6 +352,22 @@ class TrackPrograms:
             win2 = _scatter_last_wins(n, idx2, idx2 >= 0, P)
             assoc_out = jnp.where(win2 >= 0, win2, a1).astype(jnp.int32)
             assoc_out = jnp.where(inlier2, assoc_out, -1)
+            # Stereo/RGB-D close-point counts for the keyframe decision
+            # (reference Tracking.cc:590-600): computed in-program so the
+            # host never fetches the packed frame just to read its depth
+            # column (one full RTT per frame on the tunnel otherwise).
+            if packed_cur.shape[1] >= 18:
+                depth_col = packed_cur[:, 17]
+                close = (cur_valid & (depth_col > 0.0)
+                         & (depth_col < th_depth))
+                tracked_cur = assoc_out >= 0
+                n_tracked_close = jnp.sum(
+                    (close & tracked_cur).astype(jnp.float32))
+                n_nontracked_close = jnp.sum(
+                    (close & ~tracked_cur).astype(jnp.float32))
+            else:
+                n_tracked_close = jnp.float32(0.0)
+                n_nontracked_close = jnp.float32(0.0)
             packed_out = jnp.concatenate([
                 T2.ravel(),
                 assoc_out.astype(jnp.float32),
@@ -359,7 +376,8 @@ class TrackPrograms:
                 jnp.stack([n_in1.astype(jnp.float32),
                            jnp.sum(matched.astype(jnp.float32)),
                            jnp.sum(cur_valid.astype(jnp.float32)),
-                           n_in2.astype(jnp.float32)]),
+                           n_in2.astype(jnp.float32),
+                           n_tracked_close, n_nontracked_close]),
             ])
             return T_last, T2, assoc_out, packed_out
 
@@ -383,8 +401,9 @@ class TrackPrograms:
             jnp.asarray(th, jnp.float32))
 
     def decode_chain_out(self, packed_out):
-        """numpy-decode a chain packed_out (fetch happens here if the async
-        copy hasn't landed)."""
+        """numpy-decode a chain packed_out (accepts the device array — a
+        blocking fetch — or a numpy buffer pre-fetched by the caller's
+        background fetcher)."""
         out = np.asarray(packed_out)
         n, p = self._n, self._p
         o = 16
@@ -394,7 +413,9 @@ class TrackPrograms:
         already = out[o:o + p] > 0.5; o += p
         n_in1 = int(out[o]); n_matched = int(out[o + 1])
         n_valid_cur = int(out[o + 2]); n_in2 = int(out[o + 3])
-        return T2, assoc, visible, already, n_in1, n_matched, n_valid_cur, n_in2
+        close_counts = (int(out[o + 4]), int(out[o + 5]))
+        return (T2, assoc, visible, already, n_in1, n_matched, n_valid_cur,
+                n_in2, close_counts)
 
     def motion_step(self, proj, ok, pos_last, packed_last, packed_cur,
                     Tcw_pred, th=15.0):

@@ -927,12 +927,21 @@ class Tracker:
         settled = (self.last_frame is not None
                    and self.last_frame.id - self.last_kf_frame_id
                    >= CHAIN_SETTLE_FRAMES)
+        # The keyframe-count maturity floor guards MONOCULAR scale
+        # fragility (triangulated depths settle only after the init pair
+        # plus a tracked keyframe were BA'd). Stereo/RGB-D maps are metric
+        # from the depth-seeded init keyframe (upstream
+        # StereoInitialization), so the init keyframe alone suffices — a
+        # gentle stereo sequence can legitimately never need a second
+        # keyframe, which must not keep the chain disarmed forever.
+        min_created = (CHAIN_MIN_KEYFRAMES
+                       if self.cfg.sensor == Sensor.MONOCULAR else 1)
         return (self.state == TrackingState.OK and not self.only_tracking
                 and self.velocity is not None and bool(self.local_kf_ids)
                 and self.last_frame is not None
                 and self.last_frame.Tcw is not None
                 and self.last_frame.packed_dev is not None
-                and created >= CHAIN_MIN_KEYFRAMES and settled)
+                and created >= min_created and settled)
 
     def chain_block(self):
         """(ids, device 6-tuple) local-map block for the chain program."""
@@ -1004,8 +1013,13 @@ class Tracker:
         # decode releases the map mutex so the mapper keeps working.
         with t.stage("chain_decode"), self.arena.unlocked():
             (T2, assoc, visible, already, n_in1, n_matched, n_valid,
-             n_in2) = self.programs.decode_chain_out(packed_out)
+             n_in2, close_counts) = self.programs.decode_chain_out(
+                 packed_out)
         self.last_n_valid = n_valid
+        # Stereo/RGB-D keyframe decisions read the close-point counts the
+        # chain program computed on device (the depth column never comes
+        # to the host for non-keyframe frames).
+        frame.chain_close_counts = close_counts
         if n_matched < 20 or n_in1 < 10:
             self.chain_stats["reject"] += 1
             return None
@@ -1160,8 +1174,13 @@ class Tracker:
         return False
 
     def _close_point_counts(self):
-        """Tracked / non-tracked close-depth features (reference :590-600)."""
+        """Tracked / non-tracked close-depth features (reference :590-600).
+        Chain-processed frames carry the counts computed in-program
+        (chain_step) — reading cur.depth would force a full packed-frame
+        fetch per frame on the tunnel."""
         cur = self.current
+        if cur.chain_close_counts is not None:
+            return cur.chain_close_counts
         if cur.depth is None:
             return 0, 0
         close = (cur.depth > 0) & (cur.depth < self.cfg.th_depth)

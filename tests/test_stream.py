@@ -235,3 +235,90 @@ def test_pipelined_chain_stays_on_manifold():
         R = np.asarray(e.Tcr, np.float64)[:3, :3]
         assert abs(np.linalg.det(R) - 1.0) < 1e-3, (
             e.timestamp, np.linalg.det(R))
+
+
+def test_pipelined_stereo_quality():
+    """Stereo deep-pipelined mode (System.track_stereo_pipelined): same
+    chain architecture over the 18-wide stereo packed buffer — stereo
+    observations enter the in-program pose LM (u_right), and the stereo
+    keyframe decision's close-point counts come from the chain program
+    (reference Tracking.cc:590-600) instead of a per-frame depth fetch.
+    Quality-equivalent to the sequential stereo path, metric scale held."""
+    from examples.stereo_synthetic import BASELINE, make_config
+    from orb_slam_system_tpu.dataio import trajectory as traj_io
+
+    cfg = make_config(n_features=400)
+    r = PlanarSceneRenderer(cfg.camera.K, cfg.camera.width,
+                            cfg.camera.height,
+                            texture=make_texture(2048, 8, 7),
+                            tex_scale=220.0)
+    poses = orbit_trajectory(30, radius=0.35, depth=-2.0, tilt=0.3)
+    frames = []
+    gt = {}
+    for i, T in enumerate(poses):
+        left, right = r.render_stereo(T, BASELINE)
+        frames.append((left, right, i / 30.0))
+        gt[i / 30.0] = (-T[:3, :3].T @ T[:3, 3]).astype(np.float64)
+
+    def run(pipelined):
+        slam = System(None, cfg, Sensor.STEREO)
+        n_ok = 0
+        it = (slam.track_stereo_pipelined(iter(frames)) if pipelined
+              else (slam.track_stereo(le, ri, ts) for le, ri, ts in frames))
+        chain_accepts = 0
+        for _ in it:
+            if slam.get_tracking_state() == TrackingState.OK:
+                n_ok += 1
+        if pipelined:
+            chain_accepts = slam.tracker.chain_stats["accept"]
+        est = traj_io.frame_poses(slam.arena, slam.tracker.trajectory)
+        # SE3-only alignment: removes the arbitrary world frame (the
+        # estimate's origin is the first camera) but NOT scale — a scale
+        # drift through the chain would show up here.
+        rmse = traj_io.ate_rmse(est, gt, with_scale=False)
+        slam.shutdown()
+        return n_ok, rmse, chain_accepts
+
+    ok_seq, ate_seq, _ = run(False)
+    ok_pipe, ate_pipe, accepts = run(True)
+    assert ok_pipe >= ok_seq - 1, (ok_pipe, ok_seq)
+    # Metric (unaligned) ATE: scale must hold through the chain.
+    assert ate_pipe < max(2.0 * ate_seq, 0.06), (ate_pipe, ate_seq)
+    # The chain actually engaged (not everything re-anchored classically).
+    assert accepts >= 8, accepts
+
+
+def test_pipelined_rgbd_quality():
+    """RGB-D deep-pipelined mode over synthetic frames with analytic
+    depth; chain engages and metric ATE stays bounded."""
+    from orb_slam_system_tpu.dataio import trajectory as traj_io
+
+    W, H = 320, 240
+    cam = CameraConfig(fx=260.0, fy=260.0, cx=W / 2, cy=H / 2, fps=30.0,
+                       width=W, height=H, bf=260.0 * 0.08)
+    cfg = SlamConfig(camera=cam, orb=ORBConfig(n_features=400),
+                     sensor=Sensor.RGBD, th_depth=40.0,
+                     depth_map_factor=5000.0)
+    r = PlanarSceneRenderer(cam.K, W, H, texture=make_texture(2048, 8, 7),
+                            tex_scale=220.0)
+    poses = orbit_trajectory(26, radius=0.35, depth=-2.0, tilt=0.3)
+    frames = []
+    gt = {}
+    for i, T in enumerate(poses):
+        img = r.render(T)
+        depth_raw = r.render_depth(T) * 5000.0
+        frames.append((img, depth_raw, i / 30.0))
+        gt[i / 30.0] = (-T[:3, :3].T @ T[:3, 3]).astype(np.float64)
+
+    slam = System(None, cfg, Sensor.RGBD)
+    n_ok = 0
+    for _ in slam.track_rgbd_pipelined(iter(frames)):
+        if slam.get_tracking_state() == TrackingState.OK:
+            n_ok += 1
+    accepts = slam.tracker.chain_stats["accept"]
+    est = traj_io.frame_poses(slam.arena, slam.tracker.trajectory)
+    rmse = traj_io.ate_rmse(est, gt, with_scale=False)  # SE3-only: metric
+    slam.shutdown()
+    assert n_ok >= 23, n_ok
+    assert rmse < 0.08, rmse
+    assert accepts >= 6, accepts
