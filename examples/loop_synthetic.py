@@ -29,7 +29,8 @@ def blur(img, sigma):
     return img
 
 
-def run(n_frames=170, verbose=True, noise=4.5, blur_sigma=1.8):
+def run(n_frames=170, verbose=True, noise=4.5, blur_sigma=1.8,
+        pipelined=False):
     from examples.mono_synthetic import make_config
     from orb_slam_system_tpu.config import Sensor
     from orb_slam_system_tpu.dataio.synthetic import (
@@ -46,19 +47,37 @@ def run(n_frames=170, verbose=True, noise=4.5, blur_sigma=1.8):
     rng = np.random.default_rng(1)
     gt = {}
     lo, hi = int(0.18 * n_frames), int(0.53 * n_frames)
-    for i, Tcw in enumerate(poses):
+    def make_frame(i, Tcw):
         ts = i / 30.0
         img = r.render(Tcw)
         if lo <= i <= hi:  # degraded middle segment -> drift accumulates
             img = blur(img, blur_sigma).astype(np.float32) + \
                 rng.normal(size=img.shape).astype(np.float32) * noise
-        slam.track_monocular(img, ts)
         R = Tcw[:3, :3]
         gt[ts] = (-R.T @ Tcw[:3, 3]).astype(np.float64)
+        return img, ts
+
+    def progress(i):
         if verbose and i % 10 == 0:
             print(f"frame {i:3d} {slam.get_tracking_state().name:16s} "
                   f"kfs={slam.arena.n_keyframes()} "
                   f"loops={slam.loop_closer.n_loops_closed}", flush=True)
+
+    if pipelined:
+        # Deep-pipelined (device-state) tracking through a full loop
+        # closure: CorrectLoop rewrites keyframe/point poses while chain
+        # steps are in flight on the pre-correction state; the margin
+        # gate must catch the mismatch and re-anchor classically.
+        def gen():
+            for i, Tcw in enumerate(poses):
+                yield make_frame(i, Tcw)
+        for i, _ in enumerate(slam.track_monocular_pipelined(gen())):
+            progress(i)
+    else:
+        for i, Tcw in enumerate(poses):
+            img, ts = make_frame(i, Tcw)
+            slam.track_monocular(img, ts)
+            progress(i)
     slam.shutdown()
     est = traj_io.frame_poses(slam.arena, slam.tracker.trajectory)
     rmse = traj_io.ate_rmse(est, gt)

@@ -27,6 +27,22 @@ def test_loop_closes_in_the_wild_short():
 
 
 @pytest.mark.slow
+def test_pipelined_loop_closure():
+    """The deep-pipelined (device-state) mode through a full loop
+    closure: CorrectLoop rewrites keyframe and point poses while chain
+    steps are still in flight on the pre-correction device state, so the
+    chain's margin gate must detect the mismatch, re-anchor classically,
+    and resync — and the corrected map must end at the same ATE class as
+    the sequential run (reference: src/LoopClosing.cc CorrectLoop
+    concurrent with Tracking on its own thread)."""
+    from examples.loop_synthetic import run
+    slam, rmse, n_tracked = run(n_frames=90, verbose=False, pipelined=True)
+    assert slam.loop_closer.n_loops_closed >= 1
+    assert n_tracked >= 80
+    assert rmse < 0.10
+
+
+@pytest.mark.slow
 @pytest.mark.skipif(not os.environ.get("ORB_SLAM_RUN_LONG_E2E"),
                     reason="long e2e; set ORB_SLAM_RUN_LONG_E2E=1")
 def test_loop_closes_in_the_wild():
