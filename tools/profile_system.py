@@ -5,6 +5,13 @@ keyframe work / mapper stages)? Run on the TPU (no env overrides) to see
 tunnel-RTT costs, or on CPU for host hotspots.
 
 Usage: python tools/profile_system.py [n_frames] [--stream] [--async]
+       [--pipe] [--depth=N] [--cprofile]
+
+--pipe uses the deep-pipelined chain mode (warming the chain program
+first so its ~1.5 s jit compile stays out of the timed window, like
+bench.py); --depth=N sets frames in flight; --cprofile wraps the timed
+loop in cProfile and prints the top cumulative entries (host hotspots;
+device waits show up as numpy.asarray per CLAUDE.md).
 """
 
 import os
@@ -21,9 +28,13 @@ def main():
     use_stream = "--stream" in sys.argv
     use_async = "--async" in sys.argv
     use_pipe = "--pipe" in sys.argv
+    use_cprofile = "--cprofile" in sys.argv
+    depth = 2
     for a in sys.argv[1:]:
         if a.isdigit():
             n_frames = int(a)
+        elif a.startswith("--depth="):
+            depth = int(a.split("=", 1)[1])
 
     from orb_slam_system_tpu.config import (
         CameraConfig, ORBConfig, Sensor, SlamConfig)
@@ -43,17 +54,29 @@ def main():
     slam = System(None, cfg, Sensor.MONOCULAR, async_mapping=use_async)
 
     warmup = min(24, n_frames // 3)
-    for i in range(warmup):
+    n_chain_warm = 8 if use_pipe else 0
+    for i in range(warmup - n_chain_warm):
         slam.track_monocular(frames[i], i / 30.0)
+    if n_chain_warm:
+        warm = ((frames[i], i / 30.0)
+                for i in range(warmup - n_chain_warm, warmup))
+        for _ in slam.track_monocular_pipelined(warm, depth=depth):
+            pass
     # Reset counters after warmup.
     slam.tracker.stage_ms.reset()
     slam.local_mapper.stage_ms.reset()
     frame_ms = []
     n_ok = 0
+    prof = None
+    if use_cprofile:
+        import cProfile
+        prof = cProfile.Profile()
+        prof.enable()
     t_all = time.perf_counter()
     if use_pipe:
         for _ in slam.track_monocular_pipelined(
-                (frames[i], i / 30.0) for i in range(warmup, n_frames)):
+                ((frames[i], i / 30.0) for i in range(warmup, n_frames)),
+                depth=depth):
             if slam.tracker.state.name == "OK":
                 n_ok += 1
     elif use_stream:
@@ -69,12 +92,20 @@ def main():
             if slam.tracker.state.name == "OK":
                 n_ok += 1
     wall = time.perf_counter() - t_all
+    if prof is not None:
+        prof.disable()
     n_timed = n_frames - warmup
     slam.shutdown()
 
     print(f"\n=== {n_timed} frames in {wall:.2f}s -> "
           f"{n_timed / wall:.1f} fps, ok={n_ok}/{n_timed} "
-          f"(pipe={use_pipe} stream={use_stream} async={use_async}) ===")
+          f"(pipe={use_pipe} depth={depth} stream={use_stream} "
+          f"async={use_async}) ===")
+    if prof is not None:
+        import pstats
+        stats = pstats.Stats(prof)
+        stats.sort_stats("cumulative")
+        stats.print_stats(30)
     if frame_ms and not use_stream:
         print(f"frame ms: median {np.median(frame_ms):.1f} "
               f"p90 {np.percentile(frame_ms, 90):.1f} "
