@@ -56,15 +56,13 @@ def clover_trajectory(n_frames: int, radius: float = 1.8,
 
 
 def _blur(img, sigma):
-    k = np.exp(-np.arange(-4, 5) ** 2 / (2 * sigma ** 2))
-    k /= k.sum()
-    img = np.apply_along_axis(lambda r: np.convolve(r, k, mode="same"), 1, img)
-    img = np.apply_along_axis(lambda c: np.convolve(c, k, mode="same"), 0, img)
-    return img
+    from examples.loop_synthetic import blur
+    return blur(img, sigma)
 
 
 def run(n_frames=1000, out_json=None, verbose=True, n_features=400,
-        noise=3.5, blur_sigma=1.5, async_mapping=False, leaves=4):
+        noise=3.5, blur_sigma=1.5, async_mapping=False, leaves=4,
+        pipelined=False):
     from examples.mono_synthetic import make_config
     from orb_slam_system_tpu.config import Sensor
     from orb_slam_system_tpu.dataio.synthetic import (
@@ -89,18 +87,20 @@ def run(n_frames=1000, out_json=None, verbose=True, n_features=400,
     kf_counts = []
     loop_counts = []
     t_start = time.perf_counter()
-    for i, Tcw in enumerate(poses):
+
+    def make_frame(i, Tcw):
         ts = i / 30.0
         img = r.render(Tcw)
         frac = (i % per) / per
         if 0.25 <= frac <= 0.6:   # degraded mid-circle segment
             img = _blur(img, blur_sigma).astype(np.float32) + \
                 rng.normal(size=img.shape).astype(np.float32) * noise
-        t0 = time.perf_counter()
-        slam.track_monocular(img, ts)
-        host_ms.append((time.perf_counter() - t0) * 1e3)
         R3 = Tcw[:3, :3]
         gt[ts] = (-R3.T @ Tcw[:3, 3]).astype(np.float64)
+        return img, ts
+
+    def note(i, t0):
+        host_ms.append((time.perf_counter() - t0) * 1e3)
         kf_counts.append(slam.arena.n_keyframes())
         loop_counts.append(slam.loop_closer.n_loops_closed)
         if verbose and i % 25 == 0:
@@ -108,6 +108,26 @@ def run(n_frames=1000, out_json=None, verbose=True, n_features=400,
                   f"kfs={kf_counts[-1]:4d} mps={slam.arena.n_points():5d} "
                   f"loops={loop_counts[-1]} host={host_ms[-1]:.0f}ms",
                   flush=True)
+
+    if pipelined:
+        # Deep-pipelined device-state mode over the full clover — the
+        # realtime path exercised at map scale (keyframe culling, loop
+        # closures, relocalizations all happen mid-pipeline). Host time
+        # per frame here includes the render (the generator runs inside
+        # the pipeline's pull loop).
+        def gen():
+            for i, Tcw in enumerate(poses):
+                yield make_frame(i, Tcw)
+        t0 = time.perf_counter()
+        for i, _ in enumerate(slam.track_monocular_pipelined(gen())):
+            note(i, t0)
+            t0 = time.perf_counter()
+    else:
+        for i, Tcw in enumerate(poses):
+            img, ts = make_frame(i, Tcw)
+            t0 = time.perf_counter()
+            slam.track_monocular(img, ts)
+            note(i, t0)
     slam.shutdown()
     wall_s = time.perf_counter() - t_start
     est = traj_io.frame_poses(slam.arena, slam.tracker.trajectory)
@@ -127,10 +147,10 @@ def run(n_frames=1000, out_json=None, verbose=True, n_features=400,
             float(np.percentile(host_ms[third:2 * third], 90)),
             float(np.percentile(host_ms[2 * third:], 90))],
         "stage_ms_first20_mean": {
-            k: float(np.mean(v[:20]))
+            k: float(np.mean(list(v)[:20]))
             for k, v in slam.local_mapper.stage_ms.history.items()},
         "stage_ms_last20_mean": {
-            k: float(np.mean(v[-20:]))
+            k: float(np.mean(list(v)[-20:]))
             for k, v in slam.local_mapper.stage_ms.history.items()},
     }
     summary = {
@@ -152,7 +172,10 @@ def run(n_frames=1000, out_json=None, verbose=True, n_features=400,
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
-    out = sys.argv[2] if len(sys.argv) > 2 else None
-    leaves = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-    run(n, out, leaves=leaves)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if len(args) > 0 else 1000
+    out = args[1] if len(args) > 1 else None
+    leaves = int(args[2]) if len(args) > 2 else 4
+    run(n, out, leaves=leaves,
+        pipelined="--pipe" in sys.argv,
+        async_mapping="--async" in sys.argv)

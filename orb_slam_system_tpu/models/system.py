@@ -352,7 +352,7 @@ class System:
         from orb_slam_system_tpu.config import TrackingState
         tr = self.tracker
         depth = max(1, int(depth))
-        pendq: deque = deque()   # (frame, ids) in flight, oldest first
+        pendq: deque = deque()   # (frame, ids, item) in flight, oldest first
         state = None     # (T_prev_dev, T_last_dev, assoc_dev)
         prev_ids = None
         prev_packed = None
@@ -426,7 +426,7 @@ class System:
             broke=True means frames already enqueued on the stale state
             must be discarded and re-tracked classically."""
             nonlocal state
-            frame, ids = pendq.popleft()
+            frame, ids, _item = pendq.popleft()
             broke = False
             with tr.stage_ms.stage("chain_fetch_wait"):
                 host_buf = _fetch_get(frame.id)
@@ -466,12 +466,22 @@ class System:
         def drain_classic():
             """Discard every in-flight frame's chain result and re-track
             it classically, in order (their chain steps ran on a state
-            that has been invalidated). Returns the list of poses."""
+            that has been invalidated). Returns the list of poses.
+
+            If the tracking state left OK meanwhile (internal reset /
+            LOST), the pending frames were built by the steady builder
+            but the sequential path would pick a different one (mono
+            re-initialization extracts 2x features) — rebuild each from
+            its retained source item, exactly like the streaming mode
+            does for its prebuilt frame (see track_monocular_stream)."""
             outs = []
             while pendq:
-                frame, _ids = pendq.popleft()
+                frame, _ids, item = pendq.popleft()
                 with fetched_cv:
                     fetched.pop(frame.id, None)
+                with self._lock:
+                    if tr.state != TrackingState.OK:
+                        frame = build_classic(item)
                 outs.append(classic(frame))
             return outs
 
@@ -526,7 +536,7 @@ class System:
                         # bookkeeping.
                         state = None
                 fetch_q.put((frame.id, packed_out))
-                pendq.append((frame, ids))
+                pendq.append((frame, ids, item))
                 prev_ids = ids
                 prev_packed = frame.packed_dev
                 if len(pendq) > depth:

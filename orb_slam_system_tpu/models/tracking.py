@@ -1016,10 +1016,6 @@ class Tracker:
              n_in2, close_counts) = self.programs.decode_chain_out(
                  packed_out)
         self.last_n_valid = n_valid
-        # Stereo/RGB-D keyframe decisions read the close-point counts the
-        # chain program computed on device (the depth column never comes
-        # to the host for non-keyframe frames).
-        frame.chain_close_counts = close_counts
         if n_matched < 20 or n_in1 < 10:
             self.chain_stats["reject"] += 1
             return None
@@ -1054,6 +1050,14 @@ class Tracker:
         cur = frame
         self.current = frame   # update_local_keyframes/need_new_keyframe
         self.n_inliers = n_in2
+        # Stereo/RGB-D keyframe decisions read the close-point counts the
+        # chain program computed on device (the depth column never comes
+        # to the host for non-keyframe frames). Set ONLY once the result
+        # passed the accept gates: a rejected chain result's counts come
+        # from a collapsed association, and the classic fallback's
+        # keyframe decision must recompute from the frame's (then
+        # materialized) depth column instead of short-circuiting on them.
+        frame.chain_close_counts = close_counts
         # Conservative knob only: re-track keyframe frames through the
         # exact classic path before insertion. By default keyframes are
         # created directly from chain results in chain_finish — measured
@@ -1068,6 +1072,10 @@ class Tracker:
                 and self.need_new_keyframe()):
             self._chain_ninl_hist.clear()
             self.chain_stats["kf"] += 1
+            # The classic re-track recomputes the association; let its
+            # keyframe decision use the fresh depth column, not the
+            # chain association's counts.
+            frame.chain_close_counts = None
             return "kf"   # classic re-track; pipeline state stays valid
         with t.stage("chain_bookkeeping"):
             ids_pad = np.full(LOCAL_MAP_SLOTS, -1, np.int64)

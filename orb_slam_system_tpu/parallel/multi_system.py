@@ -67,12 +67,18 @@ class MultiSystem:
         poses: list[Optional[np.ndarray]] = [None] * S
         if steady:
             import jax.numpy as jnp
+            # Always extract the FULL [S,H,W] batch: slicing to the
+            # steady subset would jit-compile _extract_packed_batch once
+            # per distinct subset size (the heaviest device program,
+            # ~seconds per compile, re-triggered whenever any sequence
+            # resets to init). The wasted rows for non-steady sequences
+            # cost far less than one recompile.
             packed = self.shared_builder._extract_packed_batch(
-                jnp.asarray(imgs[np.asarray(steady)]))
-            for k, s in enumerate(steady):
+                jnp.asarray(imgs))
+            for s in steady:
                 tr = self.systems[s].tracker
                 f = Frame(id=tr.builder._next_id, timestamp=timestamp,
-                          packed_dev=packed[k])
+                          packed_dev=packed[s])
                 tr.builder._next_id += 1
                 poses[s] = self.systems[s].track_monocular_prebuilt(f)
         for s in range(S):

@@ -18,13 +18,24 @@ from typing import Optional, TextIO
 
 
 class StageTimer:
-    """Accumulates wall-clock per named stage within a frame."""
+    """Accumulates wall-clock per named stage within a frame.
+
+    History is bounded (deque per stage): an open-ended run (live camera,
+    serving) must not grow memory per frame. 4096 entries cover the
+    longest in-repo analysis window (the 1250-frame endurance gate reads
+    first/last-third means per stage) while capping an hours-long live
+    run at a few MB total.
+    """
+
+    HISTORY_CAP = 4096
 
     def __init__(self):
         self.ms: dict[str, float] = {}
         # Per-invocation history (one float per stage call) so growth of a
         # stage's cost with map size is measurable, not just the total.
-        self.history: dict[str, list[float]] = {}
+        from collections import deque
+        self._deque = deque
+        self.history: dict[str, "deque[float]"] = {}
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -34,7 +45,11 @@ class StageTimer:
         finally:
             dt = (time.perf_counter() - t0) * 1000.0
             self.ms[name] = self.ms.get(name, 0.0) + dt
-            self.history.setdefault(name, []).append(dt)
+            h = self.history.get(name)
+            if h is None:
+                h = self.history[name] = self._deque(
+                    maxlen=self.HISTORY_CAP)
+            h.append(dt)
 
     def reset(self):
         self.ms = {}

@@ -58,3 +58,23 @@ def test_endurance_1000_frames():
         b = s["stage_ms_last20_mean"].get(stage)
         if a is not None and b is not None and a > 1.0:
             assert b <= max(4.0 * a, 150.0), (stage, a, b, s)
+
+
+def test_endurance_pipelined():
+    """The realtime (deep-pipelined device-state) mode at map scale:
+    the same multi-loop clover, tracked through track_monocular_pipelined
+    with the async mapper — keyframe culling, loop closures and chain
+    re-anchors all happen while frames are in flight. Gates are the
+    sequential run's, with the same quality bars (the pipelined mode is
+    quality-equivalent, not bit-equal)."""
+    from examples.endurance_synthetic import run
+
+    n = int(os.environ.get("ORB_SLAM_ENDURANCE_FRAMES", "1250"))
+    slam, s = run(n_frames=n, verbose=True, leaves=max(n // 250, 1),
+                  pipelined=True, async_mapping=True)
+    assert s["n_tracked"] >= 0.9 * n, s
+    assert s["n_keyframes_peak"] >= 150, s
+    assert s["loops_closed"] >= 2, s
+    assert s["ate_rmse_m"] < 0.12, s
+    m1, _, m3 = s["host_ms_median_thirds"]
+    assert m3 <= 2.5 * max(m1, 1.0), s

@@ -322,3 +322,29 @@ def test_pipelined_rgbd_quality():
     assert n_ok >= 23, n_ok
     assert rmse < 0.08, rmse
     assert accepts >= 6, accepts
+
+
+def test_weak_chain_result_does_not_poison_close_counts():
+    """A REJECTED chain result's close-point counts must not stick to
+    the frame: they come from a collapsed association, and the classic
+    fallback's keyframe decision (need_new_keyframe -> _close_point_counts)
+    would short-circuit on them instead of recomputing from the frame's
+    depth column (reference Tracking.cc:590-600 computes the counts from
+    the CURRENT association)."""
+    from orb_slam_system_tpu.models.frame import Frame
+
+    cfg, _ = _setup(n_frames=2)
+    slam = System(None, cfg, Sensor.MONOCULAR)
+    tr = slam.tracker
+    frame = Frame(id=123, timestamp=0.0,
+                  packed_dev=np.zeros((8, 16), np.float32))
+    n = frame.n_slots
+    # Weak decode: 0 matches -> the first reject gate fires.
+    tr.programs.decode_chain_out = lambda packed: (
+        np.eye(4, dtype=np.float32), np.full(n, -1, np.int64),
+        np.zeros(n, bool), np.zeros(n, bool),
+        0, 0, 0, 0, (0, 999))
+    res = tr.chain_process(frame, [], object())
+    slam.shutdown()
+    assert res is None
+    assert frame.chain_close_counts is None

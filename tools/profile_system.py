@@ -54,7 +54,7 @@ def main():
     slam = System(None, cfg, Sensor.MONOCULAR, async_mapping=use_async)
 
     warmup = min(24, n_frames // 3)
-    n_chain_warm = 8 if use_pipe else 0
+    n_chain_warm = min(8, warmup) if use_pipe else 0
     for i in range(warmup - n_chain_warm):
         slam.track_monocular(frames[i], i / 30.0)
     if n_chain_warm:
