@@ -80,6 +80,13 @@ def run(n_frames=1000, out_json=None, verbose=True, n_features=400,
     # smoke runs shrink `leaves` (not per-frame motion) to stay short.
     poses = clover_trajectory(n_frames, leaves=leaves)
     slam = System(None, cfg, Sensor.MONOCULAR, async_mapping=async_mapping)
+    if os.environ.get("ORB_SLAM_LOOP_DEBUG") == "1":
+        slam.loop_closer.debug = True
+    if os.environ.get("ORB_SLAM_CHAIN_CLASSIC_KF") == "1":
+        slam.tracker.chain_classic_kf = True
+    if os.environ.get("ORB_SLAM_KF_ASYNC_QUEUE"):
+        v = os.environ["ORB_SLAM_KF_ASYNC_QUEUE"]
+        slam.tracker.kf_async_queue = None if v == "none" else int(v)
     rng = np.random.default_rng(1)
     per = n_frames // leaves
     gt = {}
@@ -162,6 +169,14 @@ def run(n_frames=1000, out_json=None, verbose=True, n_features=400,
         "loops_closed": int(loop_counts[-1]),
         "ate_rmse_m": float(rmse),
         "wall_s": wall_s,
+        "loop_stats": dict(slam.loop_closer.stats),
+        "chain_stats": dict(slam.tracker.chain_stats),
+        "reloc_stats": dict(slam.tracker.reloc_stats),
+        # Median per-keyframe associated-point count (thin keyframes
+        # starve the loop pipeline's KF-to-KF BoW matching).
+        "kf_mp_median": float(np.median(
+            [int((kf.mp_ids >= 0).sum()) for kf in slam.arena.kfs.values()]
+        )) if slam.arena.kfs else 0.0,
         **profile,
     }
     print(json.dumps(summary, indent=2))

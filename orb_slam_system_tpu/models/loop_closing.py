@@ -51,6 +51,11 @@ class LoopCloser:
         self.inv_sigma2 = (1.0 / self.scale_factors ** 2).astype(np.float32)
         self.n_loops_closed = 0
         self.debug = False
+        # Funnel counters (diagnosing WHERE loop attempts die on long
+        # runs): detect calls -> db candidates -> consistency-passing ->
+        # sim3 attempts -> each rejection gate -> accepts.
+        from collections import Counter
+        self.stats = Counter()
         self.gba = GBARunner()
         # Synchronous GBA keeps unit tests deterministic; the upstream
         # behavior (side thread + propagation to keyframes created during
@@ -97,6 +102,9 @@ class LoopCloser:
                 min_score = min(min_score, s)
         candidates = self.place_rec.db.detect_loop_candidates(
             kf.id, kf.bow, min_score, self.arena)
+        self.stats["detect_calls"] += 1
+        if candidates:
+            self.stats["db_candidates"] += 1
         if self.debug:
             print(f"[loop] kf {kf.id}: min_score={min_score:.3f} "
                   f"db_candidates={candidates} "
@@ -121,6 +129,8 @@ class LoopCloser:
             if consistent_for >= CONSISTENCY_TH:
                 enough.append(cand)
         self.consistent_groups = new_groups
+        if enough:
+            self.stats["consistent"] += 1
         return enough
 
     # ------------------------------------------------------------------
@@ -133,10 +143,12 @@ class LoopCloser:
                 continue
             # BoW matching between the two keyframes' map-point features.
             m = self._match_keyframes(kf, ckf)
+            self.stats["sim3_attempts"] += 1
             if self.debug:
                 print(f"[loop] sim3 kf {kf.id} vs cand {cand_id}: "
                       f"bow_matches={len(m)}", flush=True)
             if len(m) < 20:
+                self.stats["rej_bow_lt20"] += 1
                 continue
             rows1 = np.asarray([a for a, b in m])
             rows2 = np.asarray([b for a, b in m])
@@ -167,6 +179,7 @@ class LoopCloser:
                 print(f"[loop]   ransac ok={bool(okr)} inl={int(n)} "
                       f"s={float(s12):.3f}", flush=True)
             if not bool(okr):
+                self.stats["rej_ransac"] += 1
                 continue
             # Sim3-guided mutual re-search tops up the RANSAC-inlier BoW
             # matches (upstream LoopClosing::ComputeSim3 :184-190 +
@@ -182,6 +195,7 @@ class LoopCloser:
                 print(f"[loop]   after SearchBySim3: {len(matches12)} "
                       f"matches", flush=True)
             if len(matches12) < 20:
+                self.stats["rej_sim3_search_lt20"] += 1
                 continue
             rows1 = np.asarray(sorted(matches12), np.int64)
             rows2 = np.asarray([matches12[i] for i in rows1], np.int64)
@@ -202,6 +216,7 @@ class LoopCloser:
             if self.debug:
                 print(f"[loop]   optimize_sim3 inliers={int(n_in)}", flush=True)
             if int(n_in) < 20:
+                self.stats["rej_opt_lt20"] += 1
                 continue
             # Scw = S12 * T2w  (Sim3 world -> current KF camera).
             s_f = float(s_f)
@@ -229,7 +244,9 @@ class LoopCloser:
                       f"(+{len(cur_matches) - n_before} projected); "
                       f"gate >= 40", flush=True)
             if len(cur_matches) < 40:
+                self.stats["rej_project_lt40"] += 1
                 return False, None, None, None, None
+            self.stats["accept"] += 1
             return True, ckf, Scw, loop_points, cur_matches
         return False, None, None, None, None
 

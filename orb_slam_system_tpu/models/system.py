@@ -239,6 +239,8 @@ class System:
                 t2 = time.perf_counter()
                 self._timings.append(t2 - t0)
                 self._emit_frame_metrics(ts, t1 - t0, t2 - t1)
+                if self.viewer is not None:
+                    self.viewer.update(img)
                 yield Tcw
 
     def track_monocular_pipelined(self, frames, resync_every: int = 0,
@@ -420,6 +422,16 @@ class System:
                                          time.perf_counter() - t1)
             return Tcw
 
+        def vupdate(item):
+            # Live-viewer cadence for the realtime modes (Viewer::Run runs
+            # once per frame in the reference): cheap unless a browser is
+            # actively polling (LiveViewer poll-gates the frame encode).
+            if self.viewer is not None:
+                try:
+                    self.viewer.update(item[0])
+                except Exception:  # noqa: BLE001 — viewer never kills SLAM
+                    pass
+
         def process_oldest():
             """Returns (Tcw, broke) for the oldest in-flight frame,
             running the classic fallback when the chain result was weak.
@@ -461,6 +473,7 @@ class System:
                 if tr.state != TrackingState.OK:
                     state = None
                     broke = True
+            vupdate(_item)
             return Tcw, broke
 
         def drain_classic():
@@ -483,6 +496,7 @@ class System:
                     if tr.state != TrackingState.OK:
                         frame = build_classic(item)
                 outs.append(classic(frame))
+                vupdate(item)
             return outs
 
         def drain_all():
@@ -519,7 +533,9 @@ class System:
                              else build_classic(item))
                 if not chain_ok:
                     state = None
-                    yield classic(frame)
+                    Tcw = classic(frame)
+                    vupdate(item)
+                    yield Tcw
                     continue
                 with self._lock, tr.arena.lock:
                     if state is None:

@@ -126,6 +126,17 @@ class Tracker:
         # the chain accepted / re-anchored classically / deferred to a
         # classic keyframe re-track.
         self.chain_stats = {"accept": 0, "reject": 0, "kf": 0}
+        # Relocalization funnel (attempts / db hits / viable PnP
+        # candidates / accepts) — diagnoses LOST-and-never-recovers runs.
+        from collections import Counter
+        self.reloc_stats = Counter()
+        # Async-mapper bounded-queue keyframe admission: while the worker
+        # is busy, demanded keyframes are still enqueued as long as fewer
+        # than this many are pending (upstream's stereo/RGB-D busy-path
+        # semantics, src/Tracking.cc:609-615, extended to monocular —
+        # see need_new_keyframe). 0/None disables (strict upstream
+        # monocular behavior: drop the want when busy).
+        self.kf_async_queue: Optional[int] = 3
         # Opt-in conservative mode: frames that will create a keyframe are
         # re-tracked through the exact classic path before insertion.
         # Default off — with the chain state held on SE(3) (lie.se3_project)
@@ -229,17 +240,28 @@ class Tracker:
                          if self.velocity is not None else False)
                 saved = None
                 if ok_mm:
+                    # Save the FULL odometry solution incl. the outlier
+                    # mask and inlier count (reference :545-553 keeps
+                    # vbOutMM alongside TcwMM/vpMPsMM): a failed
+                    # relocalization candidate's pose-opt overwrites
+                    # cur.outlier, and restoring associations without
+                    # their mask would let _clean_outlier_associations
+                    # drop valid odometry matches at unrelated slots.
                     saved = (self.current.Tcw.copy(),
                              self.current.mp_ids.copy(),
-                             dict(self.current.vo_points or {}))
+                             dict(self.current.vo_points or {}),
+                             self.current.outlier.copy(),
+                             self.n_inliers)
                 ok_reloc = self.relocalization()
                 if ok_reloc:
                     self.mb_vo = False
                     self.frames_since_reloc = 0
                 elif ok_mm:
-                    self.current.Tcw, mp_ids, vo = saved
+                    (self.current.Tcw, mp_ids, vo,
+                     outlier, self.n_inliers) = saved
                     self.current.mp_ids[:] = mp_ids
                     self.current.vo_points = vo
+                    self.current.outlier[:] = outlier
                 ok = ok_mm or ok_reloc
         else:
             ok = self.relocalization()
@@ -671,24 +693,38 @@ class Tracker:
                 counts[kf_id] = counts.get(kf_id, 0) + 1
         if not counts:
             return False
-        local = set(counts)
-        for kf_id in list(local):
+        # Relevance order: observing keyframes first, by shared-point
+        # count (the reference's K1 set is NEVER dropped by the cap —
+        # src/Tracking.cc:759-761 only breaks the neighbor EXPANSION at
+        # 80), then covisibility/tree expansions in discovery order. A
+        # plain sorted(set)[:80] kept the LOWEST ids, i.e. the OLDEST
+        # keyframes, silently cutting the newest best-covising ones.
+        obs_sorted = sorted(counts, key=lambda k: (-counts[k], k))
+        local = list(obs_sorted)
+        seen = set(local)
+
+        def _add(kf_id):
+            if kf_id not in seen:
+                seen.add(kf_id)
+                local.append(kf_id)
+
+        for kf_id in obs_sorted:
             if len(local) > MAX_LOCAL_KEYFRAMES:
                 break
             kf = self.arena.kfs.get(kf_id)
             if kf is None:
                 continue
             for nb in self.arena.covisible_ordered(kf, 10):
-                local.add(nb)
+                _add(nb)
             for c in kf.children:
-                local.add(c)
+                _add(c)
             if kf.parent >= 0:
-                local.add(kf.parent)
-        # Sorted for determinism AND cache stability: `local` is a set, so
-        # unsorted iteration order varied run to run, defeating the
-        # local-block cache key (same keyframe SET, different tuple).
-        self.local_kf_ids = sorted(k for k in local if k in self.arena.kfs)[
-            :MAX_LOCAL_KEYFRAMES]
+                _add(kf.parent)
+        sel = [k for k in local if k in self.arena.kfs][:MAX_LOCAL_KEYFRAMES]
+        # Sorted for determinism AND cache stability: the local-block
+        # cache keys on the tuple, and the same keyframe SET must produce
+        # the same key regardless of discovery order.
+        self.local_kf_ids = sorted(sel)
         self.ref_kf_id = max(counts, key=counts.get)
         cur.ref_kf_id = self.ref_kf_id
         return True
@@ -727,8 +763,21 @@ class Tracker:
         else:
             srch = np.zeros(len(uniq), np.int64)
             found = np.zeros(len(uniq), bool)
-        sel_rows = srch[found][:LOCAL_MAP_SLOTS]
-        ids = [int(m) for m in uniq[found][:LOCAL_MAP_SLOTS]]
+        sel_rows = srch[found]
+        cand_ids = uniq[found]
+        if len(cand_ids) > LOCAL_MAP_SLOTS:
+            # The device block is fixed-size where the reference's local
+            # map is unbounded; when the cap binds, drop the WEAKEST-
+            # observED points (ascending-id truncation dropped the newest
+            # triangulations — exactly the points near the tracking
+            # front). Selection depends only on (kf set, arena.version),
+            # so the block cache key stays valid.
+            nobs = cols[5][sel_rows]
+            keep = np.lexsort((-cand_ids, -nobs))[:LOCAL_MAP_SLOTS]
+            keep.sort()      # ascending-id layout within the block
+            sel_rows = sel_rows[keep]
+            cand_ids = cand_ids[keep]
+        ids = [int(m) for m in cand_ids]
         P = LOCAL_MAP_SLOTS
         pos = np.zeros((P, 3), np.float32)
         normal = np.zeros((P, 3), np.float32)
@@ -1174,10 +1223,31 @@ class Tracker:
         th_ratio = 0.9 if self.cfg.sensor == Sensor.MONOCULAR else 0.75
         c2 = ((self.n_inliers < n_ref_matches * th_ratio) or c1c) \
             and self.n_inliers > 15
-        if (c1a or c1b or c1c) and c2:
+        # Bounded-queue keyframe admission (async mode). The reference's
+        # c1b gates on mapper idleness BEFORE the demand is even
+        # registered (src/Tracking.cc:609-615): with a slow/contended
+        # mapper the demand signal itself is suppressed (busy -> no c1b
+        # -> no want), insertion starves, keyframes thin out, the
+        # reference-KF tracked count drops, and the decision settles
+        # into a sparse self-reinforcing equilibrium — the 1250-frame
+        # async endurance run degraded from cm-class to meter-class ATE
+        # this way. Upstream's own stereo/RGB-D branch already has the
+        # answer: when the mapper is busy it still ACCEPTS the keyframe
+        # into the queue as long as fewer than 3 are pending
+        # (src/Tracking.cc:609-615, interruptBA + queue<3); only the
+        # monocular branch refuses outright. With kf_async_queue set,
+        # demand is measured without the idleness precondition and the
+        # same bounded-queue admission applies to all sensors — the
+        # worker catches up, tracking never blocks.
+        c1b_demand = (frames_since_kf >= self.min_frames
+                      if self.kf_async_queue else c1b)
+        if (c1a or c1b_demand or c1c) and c2:
             if mapper_idle:
                 return True
             self.local_mapper.interrupt_ba()
+            if (self.kf_async_queue
+                    and len(self.local_mapper.queue) < self.kf_async_queue):
+                return True
             return False
         return False
 
@@ -1216,32 +1286,62 @@ class Tracker:
         cur = self.current
         cam = self.cfg.camera
         Twc = np.linalg.inv(cur.Tcw)
+        if cur.depth is None:
+            return
+        # ALL valid depth-bearing features enter the depth-sorted sweep —
+        # tracked ones too: the reference counts nPoints for every swept
+        # entry (created OR already tracked) and stops at
+        # z > ThDepth && nPoints > 100, so a frame whose close features
+        # are already well tracked creates few far points. Counting only
+        # creations would pad every keyframe with up to 100 far/noisy
+        # points upstream would never make.
         cand = [(float(cur.depth[i]), int(i))
                 for i in np.nonzero(cur.feats.valid)[0]
-                if cur.depth is not None and cur.depth[i] > 0
-                and cur.mp_ids[i] < 0]
+                if cur.depth[i] > 0]
         cand.sort()
-        created = 0
+        n_points = 0
         for z, i in cand:
-            if z > self.cfg.th_depth and created >= 100:
+            if z > self.cfg.th_depth and n_points > 100:
                 break
-            uv = cur.feats.xy_und[i]
-            xc = np.array([(uv[0] - cam.cx) / cam.fx * z,
-                           (uv[1] - cam.cy) / cam.fy * z, z, 1.0], np.float32)
-            x3d = (Twc @ xc)[:3]
-            mp = self.arena.new_point(x3d, cur.feats.desc[i], kf.id, kf.id)
-            self.arena.add_observation(mp, kf, int(i))
-            self.arena.update_normal_and_depth(mp, self.scale_factors)
-            cur.mp_ids[i] = mp.id
-            kf.mp_ids[i] = mp.id
-            self.local_mapper.recent_points.append((mp.id, kf.id))
-            created += 1
+            if cur.mp_ids[i] < 0:
+                uv = cur.feats.xy_und[i]
+                xc = np.array([(uv[0] - cam.cx) / cam.fx * z,
+                               (uv[1] - cam.cy) / cam.fy * z, z, 1.0],
+                              np.float32)
+                x3d = (Twc @ xc)[:3]
+                mp = self.arena.new_point(x3d, cur.feats.desc[i],
+                                          kf.id, kf.id)
+                self.arena.add_observation(mp, kf, int(i))
+                self.arena.update_normal_and_depth(mp, self.scale_factors)
+                cur.mp_ids[i] = mp.id
+                kf.mp_ids[i] = mp.id
+                self.local_mapper.recent_points.append((mp.id, kf.id))
+            n_points += 1
 
     # ------------------------------------------------------------------
     # Relocalization (BoW candidate search + EPnP-RANSAC + top-up)
     # ------------------------------------------------------------------
 
     def relocalization(self) -> bool:
+        """See _relocalization_impl. This wrapper hides any temporary VO
+        points from the candidate pose optimizations: they were
+        backprojected from the (drifted, pre-lost or odometry) pose, and
+        the reference's relocalization scores candidates on candidate-KF
+        map points only (src/Tracking.cc:796-884). On success they stay
+        dropped (mbVO clears); on failure they are restored for the
+        caller's odometry-solution restore path."""
+        cur = self.current
+        saved_vo = cur.vo_points
+        cur.vo_points = {}
+        self.reloc_stats["attempts"] += 1
+        ok = self._relocalization_impl()
+        if not ok:
+            cur.vo_points = saved_vo
+        else:
+            self.reloc_stats["ok"] += 1
+        return ok
+
+    def _relocalization_impl(self) -> bool:
         """Reference Relocalization (src/Tracking.cc:796-884): BoW candidate
         keyframes -> per-candidate BoW matching (>=15) -> EPnP-RANSAC ->
         PoseOptimization -> projection top-up -> accept at >=50 inliers.
@@ -1262,6 +1362,7 @@ class Tracker:
             return False
         candidates = self.place_rec.db.detect_reloc_candidates(bow, self.arena)
         if not candidates:
+            self.reloc_stats["no_candidates"] += 1
             return False
         cam = self.cfg.camera
         cand_kfs = [kf for kf in (self.arena.kfs.get(c) for c in candidates)
@@ -1314,6 +1415,7 @@ class Tracker:
             if ok_all[i].sum() >= 15:
                 viable.append(i)
         if not viable:
+            self.reloc_stats["no_viable_pnp"] += 1
             return False
         # ---- ONE batched EPnP-RANSAC over all viable candidates.
         sets = make_pnp_sample_sets(n, 300, 0)
@@ -1344,6 +1446,7 @@ class Tracker:
                 self.ref_kf_id = kf.id
                 cur.ref_kf_id = kf.id
                 return True
+        self.reloc_stats["all_candidates_failed"] += 1
         return False
 
     def _reloc_topup(self, kf, radius_th=10.0):

@@ -192,6 +192,12 @@ class LiveViewer:
         self._png: Optional[bytes] = None
         self._line = "starting"
         self._mlock = threading.Lock()
+        # Frame encoding is POLL-GATED: annotating + PNG-encoding costs a
+        # packed-frame device fetch (a full tunnel RTT) plus host zlib on
+        # the tracking thread, so update() only does it while a client
+        # has fetched /frame.png recently. The first poll returns a
+        # placeholder and arms the gate.
+        self._frame_wanted_until = 0.0
         viewer = self
 
         class Handler(http.server.BaseHTTPRequestHandler):
@@ -213,6 +219,8 @@ class LiveViewer:
                         self._send(200, "text/html",
                                    _LIVE_HTML.encode())
                     elif path == "/frame.png":
+                        import time as _time
+                        viewer._frame_wanted_until = _time.time() + 3.0
                         with viewer._mlock:
                             png = viewer._png
                         if png is None:
@@ -236,10 +244,19 @@ class LiveViewer:
                         with tempfile.NamedTemporaryFile(
                                 "r", suffix=".ply", delete=False) as tf:
                             name = tf.name
-                        export_map_ply(name, viewer.system.arena)
-                        with open(name, "rb") as f:
-                            data = f.read()
-                        os.unlink(name)
+                        try:
+                            export_map_ply(name, viewer.system.arena)
+                            with open(name, "rb") as f:
+                                data = f.read()
+                        except Exception as e:  # noqa: BLE001
+                            self._send(500, "text/plain",
+                                       f"export failed: {e}".encode())
+                            return
+                        finally:
+                            try:
+                                os.unlink(name)
+                            except OSError:
+                                pass
                         self._send(200, "application/octet-stream", data)
                     else:
                         self._send(404, "text/plain", b"not found")
@@ -273,13 +290,20 @@ class LiveViewer:
 
     # Called by System once per tracked frame (the Viewer::Run cadence).
     def update(self, img: Optional[np.ndarray] = None):
+        import time as _time
         sys_ = self.system
         cur = sys_.tracker.current
         self._line = status_text(
             sys_.get_tracking_state(), sys_.arena.n_keyframes(),
             sys_.arena.n_points(), len(sys_.get_tracked_map_points()))
-        if img is not None and cur is not None:
+        # Poll-gated: cur.feats.xy forces a packed-frame fetch (one full
+        # tunnel round trip) and PNG encode burns the single host core —
+        # skip all of it unless a browser asked for frames recently.
+        if (img is not None and cur is not None
+                and _time.time() < self._frame_wanted_until):
             try:
+                if img.ndim == 3:
+                    img = img.mean(axis=2)
                 tracked = (cur.mp_ids >= 0) & ~cur.outlier
                 ann = annotate_frame(img, cur.feats.xy, tracked)
                 png = encode_png(ann)

@@ -75,8 +75,6 @@ class Vocabulary:
 
         def cluster(idx: np.ndarray, parent: int, level: int):
             if level >= L or len(idx) <= k:
-                for i in idx[:k] if level >= L else idx:
-                    pass
                 return
             D = descriptors[idx]
             # k-medoids init: random distinct rows.
@@ -161,11 +159,18 @@ class Vocabulary:
     def load(cls, path: str) -> "Vocabulary":
         """Load ORBvoc.txt (reference text format) with .npz caching."""
         cache = path + ".npz"
+        # Cache is valid only for the text file it was built from: a
+        # replaced/updated ORBvoc.txt at the same path must not silently
+        # serve the stale tree (mtime stored at build, compared on load).
         if os.path.exists(cache):
             z = np.load(cache)
-            return cls(int(z["k"]), int(z["L"]), z["node_desc"],
-                       z["node_parent"], z["node_children"], z["node_is_leaf"],
-                       z["node_weight"], z["word_of_node"])
+            src_mtime = float(z["src_mtime"]) if "src_mtime" in z else None
+            if (src_mtime is not None and os.path.exists(path)
+                    and abs(os.path.getmtime(path) - src_mtime) < 1.0):
+                return cls(int(z["k"]), int(z["L"]), z["node_desc"],
+                           z["node_parent"], z["node_children"],
+                           z["node_is_leaf"], z["node_weight"],
+                           z["word_of_node"])
         # Vectorized parse: the real ORBvoc.txt is ~1.08M lines / 140 MB —
         # a per-line Python loop takes minutes; one token split + one
         # ndarray conversion takes seconds. Every node line has exactly 35
@@ -222,7 +227,8 @@ class Vocabulary:
         np.savez_compressed(
             cache, k=k, L=L, node_desc=node_desc, node_parent=node_parent,
             node_children=node_children, node_is_leaf=node_is_leaf,
-            node_weight=node_weight, word_of_node=word_of_node)
+            node_weight=node_weight, word_of_node=word_of_node,
+            src_mtime=np.float64(os.path.getmtime(path)))
         return voc
 
     # ------------------------------------------------------------------

@@ -89,13 +89,19 @@ def test_live_viewer_serves_and_toggles():
     slam = System(None, cfg, Sensor.MONOCULAR, use_viewer=True,
                   viewer_port=0)
     base = f"http://127.0.0.1:{slam.viewer.port}"
-    for i, Tcw in enumerate(poses):
-        slam.track_monocular(r.render(Tcw), i / 30.0)
-    assert slam.get_tracking_state() == TrackingState.OK
 
     def get(path):
         with urllib.request.urlopen(base + path, timeout=10) as resp:
             return resp.read()
+
+    for i, Tcw in enumerate(poses):
+        if i == len(poses) // 2:
+            # Frame encoding is poll-gated (no device fetch / PNG work
+            # unless a client is watching): the first poll returns the
+            # placeholder and arms the gate for subsequent frames.
+            get("/frame.png")
+        slam.track_monocular(r.render(Tcw), i / 30.0)
+    assert slam.get_tracking_state() == TrackingState.OK
 
     html = get("/")
     assert b"canvas" in html and b"localization" in html
