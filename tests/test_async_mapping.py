@@ -88,3 +88,56 @@ def test_internal_reset_under_lock_does_not_deadlock():
         assert slam.arena.n_keyframes() == 0
     finally:
         slam.shutdown()
+
+
+def test_bounded_queue_keyframe_admission():
+    """While the async worker is busy, a demanded keyframe is still
+    admitted into its queue as long as fewer than kf_async_queue are
+    pending (upstream's stereo/RGB-D busy-path semantics,
+    src/Tracking.cc:609-615, extended to monocular — without it a slow
+    mapper suppresses the keyframe decision's own demand signal and the
+    map settles into a thin equilibrium; docs/ROADMAP.md 'Async-mapping
+    quality at map scale')."""
+    W, H = 640, 480
+    cam = CameraConfig(fx=520.0, fy=520.0, cx=W / 2, cy=H / 2, fps=30.0,
+                       width=W, height=H)
+    cfg = SlamConfig(camera=cam, orb=ORBConfig(n_features=400),
+                     sensor=Sensor.MONOCULAR)
+    r = PlanarSceneRenderer(cam.K, W, H, texture=make_texture(2048, 8, 7),
+                            tex_scale=220.0)
+    poses = orbit_trajectory(12, radius=0.35, depth=-2.0, tilt=0.3)
+    slam = System(None, cfg, Sensor.MONOCULAR, async_mapping=False)
+    for i, Tcw in enumerate(poses):
+        slam.track_monocular(r.render(Tcw), i / 30.0)
+    tr = slam.tracker
+    assert tr.state.name == "OK"
+
+    class BusyMapper:
+        """Stand-in exposing the surface need_new_keyframe touches."""
+        def __init__(self, inner):
+            self.inner = inner
+            self.queue = []
+            self.interrupts = 0
+        def accepting(self):
+            return False                       # forever busy
+        def interrupt_ba(self):
+            self.interrupts += 1
+
+    busy = BusyMapper(slam.local_mapper)
+    tr.local_mapper = busy
+    # Force the demand conditions: inliers under 90% of the reference
+    # keyframe's tracked count.
+    tr.n_inliers = 16
+    tr.kf_async_queue = 3
+    admitted = []
+    for _ in range(5):
+        if tr.need_new_keyframe():
+            busy.queue.append(object())        # would-be insert
+            admitted.append(True)
+    assert len(busy.queue) == 3, busy.queue    # bounded at kf_async_queue
+    assert busy.interrupts >= 5
+    # Strict upstream monocular behavior when disabled: drop the want.
+    tr.kf_async_queue = None
+    assert tr.need_new_keyframe() is False
+    tr.local_mapper = busy.inner
+    slam.shutdown()
