@@ -347,6 +347,12 @@ class MapArena:
             kf = self.kfs.get(kf_id)
             if kf is None:
                 continue
+            # Mirror guard (same as erase_observation/set_point_bad): only
+            # touch the slot if it still points at `old` — a diverged
+            # slot belongs to some third point, and overwriting it would
+            # silently detach that point's mirror.
+            if kf.mp_ids[idx] != old.id:
+                continue
             # new.obs is the authoritative observation set: O(1) membership
             # (scanning kf.mp_ids per observation made Replace O(N) and
             # dominated fusion-time host work).
@@ -565,6 +571,13 @@ class MapArena:
         within the already-connected set, record Tcp for trajectory export."""
         if kf.id == self.kf_origin_id or kf.not_erase:
             return
+        # Observations and the keyframe set change below even when no
+        # point goes bad: every version-keyed cache (point_columns n_obs,
+        # obs_table, n_tracked_points, the tracker's local-map block)
+        # must invalidate — cull_keyframes' redundancy recount relies on
+        # it, and a missing bump let adjacent keyframes justify each
+        # other's deletion from pre-cull observation rows.
+        self.version += 1
         for idx, mid in enumerate(kf.mp_ids):
             if mid >= 0:
                 mp = self.mps.get(int(mid))

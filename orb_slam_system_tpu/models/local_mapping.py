@@ -195,10 +195,20 @@ class LocalMapper:
             if not self.queue:
                 with t.stage("fuse_neighbors"), lk:
                     self.search_in_neighbors(kf)
-            if self.arena.n_keyframes() > 2 and self.enable_local_ba:
+            # Local BA and keyframe culling only with an EMPTY queue
+            # (reference Run :43-49: both run iff !CheckNewKeyFrames()):
+            # with a backlog — e.g. a bounded-queue admission burst — the
+            # worker catches up first and runs ONE BA/cull pass on the
+            # newest keyframe instead of paying a full device solve per
+            # queued entry. (_abort_ba mirrors upstream's mbAbortBA
+            # intent; the batched LM solve is a single jitted program and
+            # cannot stop mid-flight, so queue-gating does the catching
+            # up instead.)
+            if (not self.queue and self.arena.n_keyframes() > 2
+                    and self.enable_local_ba):
                 with t.stage("local_ba"), lk:
                     self.local_ba(kf)
-            if self.enable_kf_culling:
+            if not self.queue and self.enable_kf_culling:
                 with t.stage("cull_kfs"), lk:
                     self.cull_keyframes(kf)
             # Hand off to loop closing (reference :72, the thread boundary).
@@ -452,8 +462,12 @@ class LocalMapper:
         created = []
         for i1 in np.nonzero(ok)[0]:
             i2 = int(sel2[i1])
-            mp = self.arena.new_point(X[i1], kf2.feats.desc[i2],
-                                      kf2.id, kf1.id)
+            # ref_kf = the CURRENT keyframe kf1 (reference :166-233
+            # constructs MapPoint(x3D, mpCurrentKeyFrame, mpMap)); the
+            # normal/scale-band anchor must be the creating keyframe's
+            # viewpoint, not the neighbor's.
+            mp = self.arena.new_point(X[i1], kf1.feats.desc[int(i1)],
+                                      kf1.id, kf1.id)
             self.arena.add_observation(mp, kf1, int(i1))
             self.arena.add_observation(mp, kf2, i2)
             self.recent_points.append((mp.id, kf1.id))
@@ -673,8 +687,15 @@ class LocalMapper:
                 self.arena.add_observation(mp, dst_kf, int(j))
                 touched[mp.id] = mp
         if touched:
-            # ONE batched refresh for every survivor the merge touched.
-            self.arena.compute_distinctive_many(list(touched.values()))
+            # ONE batched refresh for every survivor the merge touched —
+            # descriptors AND normals/scale bands (upstream
+            # SearchInNeighbors :282-292 runs UpdateNormalAndDepth
+            # alongside ComputeDistinctiveDescriptors; a stale band makes
+            # the 0.8/1.2 distance gates misjudge the merged point in
+            # every later projection search).
+            survivors = list(touched.values())
+            self.arena.compute_distinctive_many(survivors)
+            self.arena.update_normals_many(survivors, self.scale_factors)
 
     # ----- local bundle adjustment ----------------------------------------
 

@@ -272,7 +272,10 @@ class LoopCloser:
             jnp.asarray(kf2.feats.desc), jnp.asarray(has2),
             jnp.asarray(kf2.feats.angle), jnp.asarray(np.where(has2, n2, -1)),
             nn_ratio=0.75)
-        idx2 = np.asarray(res.idx2)
+        # Inputs are device copies: release the map mutex for the fetch
+        # (one tunnel round trip) so tracking's host phases proceed.
+        with self.arena.unlocked():
+            idx2 = np.asarray(res.idx2)
         if (idx2 >= 0).sum() < 20:
             res = matching.search_by_node_id(
                 jnp.asarray(kf1.feats.desc), jnp.asarray(has1),
@@ -282,7 +285,8 @@ class LoopCloser:
                 jnp.asarray(kf2.feats.angle),
                 jnp.asarray(np.zeros(kf2.feats.n_slots, np.int32)),
                 nn_ratio=0.75)
-            idx2 = np.asarray(res.idx2)
+            with self.arena.unlocked():
+                idx2 = np.asarray(res.idx2)
         return [(i, int(idx2[i])) for i in np.nonzero(idx2 >= 0)[0]]
 
     def _slot_points(self, kf: KeyFrameRec, exclude=frozenset()):
@@ -358,7 +362,7 @@ class LoopCloser:
             p1w, mind1, maxd1, ok1, sR21 @ R1w, sR21 @ t1w + t21, th)
         proj2, rad2, lvl2, good2 = self._sim3_guided_geometry(
             p2w, mind2, maxd2, ok2, sR12 @ R2w, sR12 @ t2w + t12, th)
-        idx2 = np.asarray(matching.search_by_sim3(
+        res = matching.search_by_sim3(
             jnp.asarray(d1), jnp.asarray(proj1), jnp.asarray(rad1),
             jnp.asarray(lvl1), jnp.asarray(good1),
             jnp.asarray(d2), jnp.asarray(proj2), jnp.asarray(rad2),
@@ -366,7 +370,9 @@ class LoopCloser:
             jnp.asarray(kf1.feats.desc), jnp.asarray(kf1.feats.xy_und),
             jnp.asarray(kf1.feats.valid), jnp.asarray(kf1.feats.octave),
             jnp.asarray(kf2.feats.desc), jnp.asarray(kf2.feats.xy_und),
-            jnp.asarray(kf2.feats.valid), jnp.asarray(kf2.feats.octave)))
+            jnp.asarray(kf2.feats.valid), jnp.asarray(kf2.feats.octave))
+        with self.arena.unlocked():
+            idx2 = np.asarray(res)
         return {int(i): int(j) for i, j in enumerate(idx2) if j >= 0}
 
     def _project_loop_points(self, kf: KeyFrameRec, Scw: dict,
@@ -402,7 +408,8 @@ class LoopCloser:
             jnp.asarray(kf.feats.xy_und), jnp.asarray(kf.feats.desc),
             jnp.asarray(kf.feats.valid), jnp.asarray(kf.feats.octave),
             jnp.asarray(already), max_dist=matching.TH_LOW)
-        idx2 = np.asarray(res.idx2)
+        with self.arena.unlocked():
+            idx2 = np.asarray(res.idx2)
         for k in np.nonzero(idx2 >= 0)[0]:
             slot = int(idx2[k])
             if slot not in cur_matches:
@@ -500,9 +507,30 @@ class LoopCloser:
         # 4. SearchAndFuse: project loop points into the corrected group
         #    (:302-317, ORBmatcher::Fuse with Scw radius 4).
         self._search_and_fuse(corrected, loop_points)
-        # 5. New covisibility links created by the fusion -> loop connections.
+        # 5. New covisibility links created by the fusion -> loop
+        #    connections: RECOUNT the group's connections after the fuse
+        #    (upstream CorrectLoop :283-296 calls UpdateConnections per
+        #    group keyframe after SearchAndFuse) and collect the NEW
+        #    cross-loop links (minus prior neighbors and the group
+        #    itself) — these enter the essential graph as loop
+        #    constraints measured at the corrected poses; without the
+        #    recount the single explicit kf<->matched_kf edge was the
+        #    only constraint pulling the loop closed.
+        prev_covis = {g: set(arena.kfs[g].covis)
+                      for g in corrected if g in arena.kfs}
+        loop_connections: Dict[int, set] = {}
+        for g_id in corrected:
+            gkf = arena.kfs.get(g_id)
+            if gkf is None:
+                continue
+            arena.update_connections(gkf)
+            new = (set(gkf.covis) - prev_covis.get(g_id, set())
+                   - set(corrected))
+            if new:
+                loop_connections[g_id] = new
         #    Essential-graph optimization (:292-296).
-        self._optimize_essential_graph(kf, matched_kf, corrected, non_corrected)
+        self._optimize_essential_graph(kf, matched_kf, corrected,
+                                       non_corrected, loop_connections)
         # 6. Loop edge (upstream; fork omitted it — §0.1 row 7). Upstream
         # AddLoopEdge also sets mbNotErase PERMANENTLY
         # (src/KeyFrame.cc:398-409) so keyframe culling can never delete a
@@ -523,16 +551,19 @@ class LoopCloser:
         """SearchAndFuse (reference LoopClosing.cc:302-317): project the
         loop map points into every corrected keyframe and fuse — corrected
         loop points REPLACE current-map duplicates unconditionally (the
-        Fuse(KF, Scw, ...) variant). Delegates to the local mapper's
-        vectorized masked-MXU fuse."""
-        for g_id in corrected:
-            gkf = self.arena.kfs.get(g_id)
-            if gkf is None:
-                continue
-            self.local_mapper._fuse(gkf, list(loop_points), radius_th=4.0,
-                                    replace_existing=True)
+        Fuse(KF, Scw, ...) variant). ONE batched device call for the whole
+        corrected group (the jobs share the same id-list object, so the
+        projection pass is shared too); the per-keyframe variant cost one
+        ~27 ms round trip per group member (~20 per loop) under the map
+        lock."""
+        ids = list(loop_points)
+        jobs = [(g_id, ids) for g_id in corrected
+                if g_id in self.arena.kfs]
+        if jobs:
+            self.local_mapper._fuse_jobs(jobs, radius_th=4.0,
+                                         replace_existing=True)
     def _optimize_essential_graph(self, kf, matched_kf, corrected,
-                                  non_corrected):
+                                  non_corrected, loop_connections=None):
         """Build + solve the essential graph (reference Optimizer::
         OptimizeEssentialGraph src/Optimizer.cc:762-1025): spanning-tree
         edges, existing loop edges, covisibility edges >= 100, and the new
@@ -582,6 +613,39 @@ class LoopCloser:
             e_i.append(index[i_id]); e_j.append(index[j_id])
             e_R.append(Rji); e_t.append(tji); e_s.append(sji)
 
+        # Edge insertion ORDER matters (upstream :862-884 inserts the
+        # LoopConnections set FIRST, then skips duplicates among
+        # tree/covis edges): after the post-fusion covisibility recount,
+        # (cur, matched) is typically a >=100 covis pair — if its covis
+        # edge (measured from the DRIFTED non-corrected poses) were
+        # added first, the dedup would drop the real loop constraint and
+        # the solve would revert the correction. Loop-connection
+        # measurements use the corrected/current vertex Sim3s (upstream
+        # computes Sji from vScw).
+        def vertex_pose(x_id):
+            S = corrected.get(x_id)
+            if S is not None:
+                return (S["s"], S["R"], S["t"])
+            return sim3_of(arena.kfs[x_id].Tcw)
+
+        # The new loop constraint: current KF at its CORRECTED Sim3 (the
+        # measured drift scale 1/s rides this edge) <-> matched KF.
+        add_edge(kf.id, matched_kf.id, vertex_pose(kf.id),
+                 sim3_of(non_corrected.get(matched_kf.id,
+                                           arena.kfs[matched_kf.id].Tcw)))
+        for g_id, nbs in (loop_connections or {}).items():
+            gkf = arena.kfs.get(g_id)
+            if gkf is None:
+                continue
+            for nb in nbs:
+                if nb not in arena.kfs:
+                    continue
+                # Weight filter as upstream (minFeat=100) except the main
+                # loop pair, which always enters.
+                if (gkf.covis.get(nb, 0) < 100
+                        and not (g_id == kf.id and nb == matched_kf.id)):
+                    continue
+                add_edge(g_id, nb, vertex_pose(g_id), vertex_pose(nb))
         for k_id in kf_ids:
             k_kf = arena.kfs[k_id]
             # Use pre-correction poses for edges inside the corrected group
@@ -598,14 +662,6 @@ class LoopCloser:
             for nb, w in k_kf.covis.items():
                 if w >= 100 and nb < k_id and nb in arena.kfs:
                     add_edge(k_id, nb, pose_of(k_id), pose_of(nb))
-        # The new loop constraint: current KF at its CORRECTED Sim3 (the
-        # measured drift scale 1/s rides this edge) <-> matched KF.
-        cur_S = corrected.get(kf.id)
-        add_edge(kf.id, matched_kf.id,
-                 (cur_S["s"], cur_S["R"], cur_S["t"]) if cur_S is not None
-                 else sim3_of(arena.kfs[kf.id].Tcw),
-                 sim3_of(non_corrected.get(matched_kf.id,
-                                           arena.kfs[matched_kf.id].Tcw)))
         if not e_i:
             return
         E = len(e_i)
@@ -738,7 +794,13 @@ class LoopCloser:
                 arena.kfs[arena.kf_origin_id].Tcw.copy()
         # Spanning-tree propagation to keyframes born during the solve
         # (passes bounded by tree depth; each pass resolves children whose
-        # parent already has a corrected pose).
+        # parent already has a corrected pose). The relative pose Tcp is
+        # taken against the parent's pose AT APPLY TIME (upstream's
+        # mTcwBefGBA, RunGlobalBundleAdjustment :370-400) — NOT its
+        # snapshot-era pose: local BA may have moved the parent during
+        # the async solve, and the child is consistent with the parent's
+        # current pose, so a snapshot base would bake the local-BA delta
+        # into the corrected child as error.
         pre_apply = {k: kf.Tcw.copy() for k, kf in arena.kfs.items()}
         changed = True
         while changed:
@@ -748,7 +810,9 @@ class LoopCloser:
                     continue
                 parent = kf.parent
                 if parent in new_pose:
-                    base = old_poses.get(parent, pre_apply.get(parent))
+                    base = pre_apply.get(parent)
+                    if base is None:
+                        continue
                     Tcp = pre_apply[k] @ np.linalg.inv(base)
                     new_pose[k] = (Tcp @ new_pose[parent]).astype(np.float32)
                     changed = True
@@ -762,9 +826,12 @@ class LoopCloser:
                 arena.set_point_pos(mp, X_n[p_index[m]])
             else:
                 # Born during GBA: re-anchor via the reference keyframe's
-                # old->new pose pair (upstream :402-408).
+                # apply-time->new pose pair (upstream :402-408 uses
+                # mTcwBefGBA — the pose right before the GBA result is
+                # written, since the point is consistent with the ref
+                # keyframe's CURRENT pose, not its snapshot pose).
                 ref = mp.ref_kf
-                T_old = old_poses.get(ref, pre_apply.get(ref))
+                T_old = pre_apply.get(ref)
                 if ref not in new_pose or T_old is None:
                     continue
                 pc = T_old[:3, :3] @ mp.pos + T_old[:3, 3]
