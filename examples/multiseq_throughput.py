@@ -104,7 +104,7 @@ def run_frontend(n_seq: int = 8, n_frames: int = 20):
     ]
     trajs = [orbit_trajectory(n_frames, radius=0.3, depth=-2.0, tilt=0.3)
              for _ in range(S)]
-    _, prev_desc, prev_xy, prev_valid, pts, Tcw0 = example
+    _, prev_desc, prev_valid, pts, Tcw0 = example
     out = step(*example)
     _ = np.asarray(out[1])
     t_total = 0.0
@@ -112,7 +112,7 @@ def run_frontend(n_seq: int = 8, n_frames: int = 20):
     for f in range(n_frames):
         imgs = np.stack([renderers[s].render(trajs[s][f]) for s in range(S)])
         t0 = time.perf_counter()
-        T, n_in, n_match = step(jnp.asarray(imgs), prev_desc, prev_xy,
+        T, n_in, n_match = step(jnp.asarray(imgs), prev_desc,
                                 prev_valid, pts, Tcw0)
         _ = int(n_in)  # sync
         t_total += time.perf_counter() - t0

@@ -29,7 +29,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from orb_slam_system_tpu.config import ORBConfig
 from orb_slam_system_tpu.ops.extractor import ORBExtractor
-from orb_slam_system_tpu.ops.hamming import N_BITS, to_pm1_int8
+from orb_slam_system_tpu.ops.hamming import (
+    distance_matrix_from_pm1, to_pm1_int8)
 from orb_slam_system_tpu.solvers.pose_opt import pose_optimization
 
 
@@ -46,7 +47,7 @@ def make_multiseq_step(mesh: Mesh, height: int, width: int,
                        n_features: int = 256, n_levels: int = 4):
     """Returns (step_fn, example_args). step_fn is jitted over the mesh:
 
-    (imgs f32[S,H,W], prev_desc u32[S,N,8], prev_xy f32[S,N,2],
+    (imgs f32[S,H,W], prev_desc u32[S,N,8],
      prev_valid bool[S,N], pts f32[S,N,3], Tcw0 f32[S,4,4])
       -> (Tcw f32[S,4,4], n_inliers i32, n_matched i32)
 
@@ -57,10 +58,15 @@ def make_multiseq_step(mesh: Mesh, height: int, width: int,
     extractor = ORBExtractor(cfg, height, width)
     N = extractor.n_slots
     S_model = mesh.shape["model"]
+    # The model axis slices query slots with dynamic_slice: a remainder
+    # would be covered by NO shard and its matches/edges would vanish
+    # silently.
+    assert N % S_model == 0, (
+        f"n_slots {N} not divisible by model axis {S_model}")
     fx = fy = 0.8 * width
     cx, cy = width / 2.0, height / 2.0
 
-    def local_step(imgs, prev_desc, prev_xy, prev_valid, pts, Tcw0):
+    def local_step(imgs, prev_desc, prev_valid, pts, Tcw0):
         # ---- per-device shard of sequences (dp) --------------------------
         feats = extractor._extract(imgs)              # pure fn, traced here
         # ---- matching, sharded over query keypoint slots (sp) ------------
@@ -72,10 +78,7 @@ def make_multiseq_step(mesh: Mesh, height: int, width: int,
         m_idx = jax.lax.axis_index("model")
         nq = N // S_model
         q_loc = jax.lax.dynamic_slice_in_dim(q, m_idx * nq, nq, axis=1)
-        dot = jnp.einsum("sqb,srb->sqr", q_loc.astype(jnp.int8),
-                         r.astype(jnp.int8),
-                         preferred_element_type=jnp.int32)
-        dist = (N_BITS - dot) // 2                    # [s, nq, N]
+        dist = jax.vmap(distance_matrix_from_pm1)(q_loc, r)  # [s, nq, N]
         v_loc = jax.lax.dynamic_slice_in_dim(feats.valid, m_idx * nq, nq, axis=1)
         mask = v_loc[:, :, None] & prev_valid[:, None, :]
         dist = jnp.where(mask, dist, 1 << 20)
@@ -110,20 +113,22 @@ def make_multiseq_step(mesh: Mesh, height: int, width: int,
     smapped = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P("data"), P("data"), P("data"), P("data"), P("data"),
-                  P("data")),
+        in_specs=(P("data"), P("data"), P("data"), P("data"), P("data")),
         out_specs=(P("data"), P(), P()),
         check_vma=False,
     )
-    from orb_slam_system_tpu.utils.precision import f32_solver
-    step = jax.jit(f32_solver(smapped))
+    # NO whole-step f32_solver wrap: pose_optimization already traces
+    # under its own @f32_solver scope, and a whole-program
+    # matmul_precision('highest') would also cover the bf16 Pallas
+    # descriptor kernel inside extractor._extract — exactly the global
+    # wrap that breaks its Mosaic lowering on real TPUs (see CLAUDE.md
+    # precision notes).
+    step = jax.jit(smapped)
 
     S = mesh.shape["data"] * 2   # 2 sequences per data shard
     rng = np.random.default_rng(0)
     imgs = rng.uniform(0, 255, size=(S, height, width)).astype(np.float32)
     prev_desc = rng.integers(0, 2 ** 32, size=(S, N, 8), dtype=np.uint32)
-    prev_xy = rng.uniform(20, min(height, width) - 20,
-                          size=(S, N, 2)).astype(np.float32)
     prev_valid = np.ones((S, N), bool)
     pts = rng.uniform(-2, 2, size=(S, N, 3)).astype(np.float32)
     pts[..., 2] = rng.uniform(3, 8, size=(S, N))
@@ -131,7 +136,7 @@ def make_multiseq_step(mesh: Mesh, height: int, width: int,
     sharding = NamedSharding(mesh, P("data"))
     args = tuple(
         jax.device_put(a, sharding)
-        for a in (imgs, prev_desc, prev_xy, prev_valid, pts, Tcw0))
+        for a in (imgs, prev_desc, prev_valid, pts, Tcw0))
     return step, args
 
 

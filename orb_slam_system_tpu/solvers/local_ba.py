@@ -192,10 +192,11 @@ def bundle_adjust(prob: BAProblem, fx, fy, cx, cy,
         gp = jnp.zeros((P, 3), f32).at[prob.e_pt].add(gp_e)
         A_cp = jnp.zeros((C, P, 6, 3), f32).at[prob.e_cam, prob.e_pt].add(Wcp_e)
         # LM damping (multiplicative on block diagonals).
+        # eye * diag[:, :, None] is already the diagonal damping matrix.
         Hcc_d = Hcc + lam * jnp.eye(6, dtype=f32)[None] * jnp.maximum(
-            jnp.diagonal(Hcc, axis1=1, axis2=2), 1e-6)[:, :, None] * jnp.eye(6, dtype=f32)[None]
+            jnp.diagonal(Hcc, axis1=1, axis2=2), 1e-6)[:, :, None]
         Hpp_d = Hpp + lam * jnp.eye(3, dtype=f32)[None] * jnp.maximum(
-            jnp.diagonal(Hpp, axis1=1, axis2=2), 1e-6)[:, :, None] * jnp.eye(3, dtype=f32)[None]
+            jnp.diagonal(Hpp, axis1=1, axis2=2), 1e-6)[:, :, None]
         Hpp_inv = _inv3x3(Hpp_d)
         # Guard padded/unobserved points.
         pt_ok = prob.pt_valid & (jnp.einsum("pii->p", Hpp) > 1e-9)
@@ -298,11 +299,9 @@ def bundle_adjust_cg(prob: BAProblem, fx, fy, cx, cy,
         gp = psum_(jnp.zeros((P, 3), f32).at[prob.e_pt].add(
             jnp.einsum("eif,ei->ef", Jp_w, e_w)))
         Hcc_d = Hcc + lam * jnp.eye(6, dtype=f32)[None] * jnp.maximum(
-            jnp.diagonal(Hcc, axis1=1, axis2=2), 1e-6)[:, :, None] \
-            * jnp.eye(6, dtype=f32)[None]
+            jnp.diagonal(Hcc, axis1=1, axis2=2), 1e-6)[:, :, None]
         Hpp_d = Hpp + lam * jnp.eye(3, dtype=f32)[None] * jnp.maximum(
-            jnp.diagonal(Hpp, axis1=1, axis2=2), 1e-6)[:, :, None] \
-            * jnp.eye(3, dtype=f32)[None]
+            jnp.diagonal(Hpp, axis1=1, axis2=2), 1e-6)[:, :, None]
         Hpp_inv = _inv3x3(Hpp_d)
         pt_ok = prob.pt_valid & (jnp.einsum("pii->p", Hpp) > 1e-9)
         Hpp_inv = jnp.where(pt_ok[:, None, None], Hpp_inv, 0.0)

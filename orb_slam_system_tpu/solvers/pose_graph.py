@@ -38,7 +38,8 @@ def _edge_residual(xi_i, xi_j, S0_i, S0_j, Sji):
     return lie.sim3_log(E)
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "cg_iters"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_iters", "cg_iters", "axis_name"))
 @f32_solver
 def optimize_essential_graph(
     R0, t0, s0,            # f32[K,3,3], f32[K,3], f32[K] initial Sim3 (world->cam)
@@ -48,12 +49,22 @@ def optimize_essential_graph(
     e_valid,               # bool[E]
     n_iters: int = 20,
     cg_iters: int = 50,
+    axis_name=None,
 ):
-    """Returns optimized (R f32[K,3,3], t f32[K,3], s f32[K])."""
+    """Returns optimized (R f32[K,3,3], t f32[K,3], s f32[K]).
+
+    With axis_name set (inside shard_map over an edge-sharded mesh
+    axis), every global reduction — gradient, block-Jacobi diagonal, CG
+    matvec, LM costs — is a psum over that axis, so each device performs
+    the IDENTICAL global solve on its edge shard (the same pattern as
+    local_ba.bundle_adjust_cg; parallel/pose_graph_dist.py is the thin
+    shard_map wrapper)."""
     K = R0.shape[0]
     E = e_i.shape[0]
     f32 = t0.dtype
     free = v_valid & ~v_fixed
+    psum_ = ((lambda x: x) if axis_name is None
+             else (lambda x: jax.lax.psum(x, axis_name)))
 
     def residuals(xi):
         def per_edge(ii, jj, Re, te, se):
@@ -84,12 +95,12 @@ def optimize_essential_graph(
         b = -(jnp.zeros((K, 7), f32)
               .at[e_i].add(jnp.einsum("eab,ea->eb", Ji, r))
               .at[e_j].add(jnp.einsum("eab,ea->eb", Jj, r)))
-        b = b * free[:, None]
+        b = psum_(b) * free[:, None]
         # Block-Jacobi diagonal.
         Hd = (jnp.zeros((K, 7, 7), f32)
               .at[e_i].add(jnp.einsum("eab,eac->ebc", Ji, Ji))
               .at[e_j].add(jnp.einsum("eab,eac->ebc", Jj, Jj)))
-        Hd = Hd + (lam + 1e-6) * jnp.eye(7, dtype=f32)[None]
+        Hd = psum_(Hd) + (lam + 1e-6) * jnp.eye(7, dtype=f32)[None]
         Minv = jnp.linalg.inv(Hd)
 
         def matvec(x):
@@ -99,7 +110,7 @@ def optimize_essential_graph(
             y = (jnp.zeros((K, 7), f32)
                  .at[e_i].add(jnp.einsum("eab,ea->eb", Ji, u))
                  .at[e_j].add(jnp.einsum("eab,ea->eb", Jj, u)))
-            y = y + (lam + 1e-6) * x
+            y = psum_(y) + (lam + 1e-6) * x
             return y * free[:, None]
 
         def precond(x):
@@ -126,13 +137,13 @@ def optimize_essential_graph(
             return x, r_new, p, rz_new
 
         x, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, (x, r_cg, p, rz))
-        return x, jnp.sum(r * r)
+        return x, psum_(jnp.sum(r * r))
 
     def lm_iter(_, carry):
         xi, lam = carry
         dx, cost0 = gn_step(xi, lam)
         xi_new = xi + dx
-        cost1 = jnp.sum((residuals(xi_new) * ew[:, None]) ** 2)
+        cost1 = psum_(jnp.sum((residuals(xi_new) * ew[:, None]) ** 2))
         improved = cost1 < cost0
         xi = jnp.where(improved, xi_new, xi)
         lam = jnp.clip(jnp.where(improved, lam * 0.5, lam * 4.0), 1e-10, 1e6)
@@ -247,9 +258,18 @@ def optimize_sim3(
     xi = run(valid, S_base, n_iters)
     c1, c2 = chi2s(xi, S_base)
     inlier = valid & (c1 <= th2) & (c2 <= th2)
-    xi = run(inlier, S_base, n_iters)
-    c1, c2 = chi2s(xi, S_base)
-    inlier = valid & (c1 <= th2) & (c2 <= th2)
-    S = lie.sim3_mul(lie.sim3_exp(xi), S_base)
+    # Stage 2 CONTINUES from the stage-1 optimum (upstream keeps the
+    # vertex estimate and re-optimizes after removing outlier edges,
+    # Optimizer.cc:1189-1209): rebase S at the stage-1 solution so the
+    # second LM refines instead of re-deriving from the coarse RANSAC
+    # seed. The final inlier mask covers only edges that SURVIVED stage
+    # 1 — re-admitting a stage-1 outlier whose chi2 happens to pass at
+    # the refined solution would hand loop closing a correspondence the
+    # optimization never fit.
+    S_base2 = lie.sim3_mul(lie.sim3_exp(xi), S_base)
+    xi2 = run(inlier, S_base2, n_iters)
+    c1, c2 = chi2s(xi2, S_base2)
+    inlier = inlier & (c1 <= th2) & (c2 <= th2)
+    S = lie.sim3_mul(lie.sim3_exp(xi2), S_base2)
     n_in = jnp.sum(inlier.astype(jnp.int32))
     return n_in, S["s"], S["R"], S["t"], inlier
