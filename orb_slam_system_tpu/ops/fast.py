@@ -40,6 +40,14 @@ CIRCLE = np.array(
 
 ARC_LEN = 9  # FAST-9: contiguous arc of >= 9 circle pixels
 
+# Global top-N strategy on TPU. round 2 replaced lax.top_k with the radix
+# threshold select (_top_n_select_rows) when top_k was the hottest op; a
+# round-3 same-window ablation at the FUSED multi-level shape ([64, 4800]
+# -> 241) measured lax.top_k ~2x faster than the radix (whose cost is the
+# cumsum/scatter compaction tail, not the kth search) — so top_k is the
+# default again, with the radix kept A/B-able (tools/tpu_select_ablate.py).
+TOPK_SELECT = True
+
 
 def _shift2d(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     """Shift img[B,H,W] so out[y,x] = img[y+dy, x+dx]; border values are
@@ -223,8 +231,9 @@ def select_keypoints(
     vals, idx, hc, wc = _cell_candidates(score, ini_th, min_th, cell,
                                          topk_per_cell, pre_nms)
     flat_key = _order_key(vals, topk_per_cell).reshape(B, -1)
-    if jax.default_backend() == "tpu":
-        # Radix threshold select: TPU lax.top_k at k~n_max is a full sort.
+    if jax.default_backend() == "tpu" and not TOPK_SELECT:
+        # Radix threshold select (kept A/B-able: at the fused multi-level
+        # shape lax.top_k measured FASTER in round 3 — see TOPK_SELECT).
         flat_idx, top_vals, filled = _top_n_select(flat_key, n_max)
     else:
         top_vals, flat_idx = jax.lax.top_k(flat_key, n_max)
@@ -339,7 +348,7 @@ def select_keypoints_multi(
     flat_key = _order_key(vals, K).reshape(R, -1)
     n_rows = jnp.asarray(np.repeat(np.asarray(budgets, np.int32), B))
     n_out = int(max(budgets))
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and not TOPK_SELECT:
         flat_idx, top_vals, filled = _top_n_select_rows(flat_key, n_rows,
                                                         n_out)
     else:

@@ -100,6 +100,26 @@ def main():
     timeit("chunk_layout", chk(
         lambda b: brief._chunk_layout(b, n_chunks)), bins)
 
+    # --- descriptor-path data movement, one op at a time (attributes the
+    # non-matmul cost of compute_descriptors: [37,37]->flat relayout + bf16
+    # cast, the bin-sorted row gather, the unsort gather, bit packing)
+    M = B * N
+    PPv = 37 * 37
+    S = n_chunks * brief.CHUNK
+    pidx = jnp.asarray(rng.integers(0, M + 1, size=(S,)).astype(np.int32))
+    slot = jnp.asarray(rng.permutation(S)[:M].astype(np.int32))
+    timeit("desc_reshape_cast", chk(
+        lambda p: p.reshape(M, PPv).astype(jnp.bfloat16)), pat_d)
+    flatb = jnp.asarray(
+        rng.integers(0, 256, size=(M + 1, PPv)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    timeit("desc_row_gather[S,1369]", chk(lambda f, i: f[i]), flatb, pidx)
+    diffs_f = jnp.asarray(rng.normal(size=(S, 256)).astype(np.float32))
+    timeit("desc_unsort[M,256]", chk(lambda d, s: d[s]), diffs_f, slot)
+    bits_u = (diffs_f[slot] > 0).astype(jnp.uint32)
+    timeit("desc_pack_bits", chk(
+        lambda b: brief.pack_bits(b).astype(jnp.float32)), bits_u)
+
     # --- brief pallas kernel alone on pre-sorted input
     S = n_chunks * brief.CHUNK
     p_sorted = jnp.asarray(
