@@ -59,6 +59,7 @@ class TrackPrograms:
         n_levels = cfg.orb.n_levels
         fx, fy, cx, cy, bf = cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
         th_depth = float(cfg.th_depth)
+        self._th_cache: dict = {}  # float -> device scalar (see chain_step)
 
         def unpack(packed):
             """Slice a device-resident packed frame buffer (see
@@ -394,11 +395,19 @@ class TrackPrograms:
         packed_out.copy_to_host_async() and decode later with
         decode_chain_out."""
         lm_pos, lm_normal, lm_mind, lm_maxd, lm_desc, lm_valid = lm_block
+        # Device-cache the search-radius scalar: a fresh jnp.asarray per
+        # call is a host->device transfer, and each device_put costs ~2 ms
+        # of dispatch stall on the tunnel client (cProfile: device_put was
+        # the largest main-thread cost of the pipelined loop). The caller
+        # caches lm_remap the same way (Tracker.chain_enqueue).
+        th_dev = self._th_cache.get(th)
+        if th_dev is None:
+            th_dev = self._th_cache[th] = jnp.asarray(th, jnp.float32)
         return self._chain_step(
             T_prev_dev, T_last_dev, assoc_dev, jnp.asarray(lm_remap),
             packed_last, packed_cur,
             lm_pos, lm_normal, lm_mind, lm_maxd, lm_desc, lm_valid,
-            jnp.asarray(th, jnp.float32))
+            th_dev)
 
     def decode_chain_out(self, packed_out):
         """numpy-decode a chain packed_out (accepts the device array — a

@@ -126,6 +126,8 @@ class Tracker:
         # the chain accepted / re-anchored classically / deferred to a
         # classic keyframe re-track.
         self.chain_stats = {"accept": 0, "reject": 0, "kf": 0}
+        self._remap_identity_dev = None  # cached device arange (chain_enqueue)
+        self._chain_valid_cache = None   # (block pos id, device valid)
         # Relocalization funnel (attempts / db hits / viable PnP
         # candidates / accepts) — diagnoses LOST-and-never-recovers runs.
         from collections import Counter
@@ -996,7 +998,15 @@ class Tracker:
         """(ids, device 6-tuple) local-map block for the chain program."""
         ids, pos, normal, mind, maxd, desc, valid = \
             self._gather_local_points()
-        return ids, (pos, normal, mind, maxd, desc, jnp.asarray(valid))
+        # The block arrays are device-cached per epoch by
+        # _gather_local_points, but `valid` is kept numpy there (host
+        # consumers); device-cache its upload alongside, keyed by the
+        # block identity — converting it fresh every frame was one of the
+        # four per-frame device_puts (~2 ms each) in the pipelined loop.
+        cache = self._chain_valid_cache
+        if cache is None or cache[0] is not pos:
+            cache = self._chain_valid_cache = (pos, jnp.asarray(valid))
+        return ids, (pos, normal, mind, maxd, desc, cache[1])
 
     def chain_bootstrap(self):
         """Build the device tracking state from the host state (entry into
@@ -1028,7 +1038,13 @@ class Tracker:
         assoc_dev). Returns (ids, new_state, packed_out)."""
         ids, block = self.chain_block()
         if prev_ids is ids or prev_ids == ids:
-            remap = np.arange(LOCAL_MAP_SLOTS, dtype=np.int32)
+            # Identity remap: reuse ONE device-resident array (uploading a
+            # fresh arange per frame cost a ~2 ms device_put on the tunnel
+            # client; the block is unchanged on most steady-state frames).
+            remap = self._remap_identity_dev
+            if remap is None:
+                remap = self._remap_identity_dev = jnp.asarray(
+                    np.arange(LOCAL_MAP_SLOTS, dtype=np.int32))
         else:
             # Map the previous block's slots into the current block.
             ids_arr = np.asarray(ids, np.int64)
