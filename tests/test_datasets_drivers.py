@@ -99,11 +99,15 @@ def test_mono_tum_driver_end_to_end(tmp_path):
         "ORBextractor.nLevels: 8\nORBextractor.iniThFAST: 20\n"
         "ORBextractor.minThFAST: 7\n")
     env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu")
+    # Generous timeout: the run takes ~25 s warm-cache on this box, but a
+    # cold XLA compile of the full tracking program set on the single CPU
+    # core (or compile-cache contention with a concurrently-compiling
+    # parent pytest process) has been seen to stretch far beyond 900 s.
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "..",
                                       "examples", "mono_tum.py"),
          "none", str(settings), str(seq), "--no-realtime"],
-        capture_output=True, text=True, timeout=900, cwd=str(tmp_path),
+        capture_output=True, text=True, timeout=2400, cwd=str(tmp_path),
         env=env)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "median tracking time" in out.stdout
