@@ -305,25 +305,26 @@ class LocalMapper:
         # Gather all passing neighbors, then run ONE batched epipolar search
         # over the whole set (per-neighbor calls each cost a host round trip
         # on the TPU tunnel; a new keyframe has up to 20 neighbors).
-        cand = []
-        for nb_id in neighbors:
-            kf2 = self.arena.kfs.get(nb_id)
-            if kf2 is None or kf2.bad:
-                continue
-            O2 = kf2.camera_center()
-            baseline = float(np.linalg.norm(O2 - O1))
-            med_depth = self._median_scene_depth(kf2)
-            if med_depth <= 0 or baseline / med_depth < 0.01:
-                continue  # reference baseline gate (:176-183)
-            F12 = self._compute_f12(kf, kf2)
-            # Epipole of camera 1 in image 2.
-            Xc = kf2.Tcw[:3, :3] @ O1 + kf2.Tcw[:3, 3]
-            if abs(Xc[2]) < 1e-9:
-                continue
-            epi = np.array([
-                K[0, 0] * Xc[0] / Xc[2] + K[0, 2],
-                K[1, 1] * Xc[1] / Xc[2] + K[1, 2]], np.float32)
-            cand.append((kf2, F12.astype(np.float32), epi))
+        with self.stage_ms.stage("tri_prep"):
+            cand = []
+            for nb_id in neighbors:
+                kf2 = self.arena.kfs.get(nb_id)
+                if kf2 is None or kf2.bad:
+                    continue
+                O2 = kf2.camera_center()
+                baseline = float(np.linalg.norm(O2 - O1))
+                med_depth = self._median_scene_depth(kf2)
+                if med_depth <= 0 or baseline / med_depth < 0.01:
+                    continue  # reference baseline gate (:176-183)
+                F12 = self._compute_f12(kf, kf2)
+                # Epipole of camera 1 in image 2.
+                Xc = kf2.Tcw[:3, :3] @ O1 + kf2.Tcw[:3, 3]
+                if abs(Xc[2]) < 1e-9:
+                    continue
+                epi = np.array([
+                    K[0, 0] * Xc[0] / Xc[2] + K[0, 2],
+                    K[1, 1] * Xc[1] / Xc[2] + K[1, 2]], np.float32)
+                cand.append((kf2, F12.astype(np.float32), epi))
         if not cand:
             return
         M = len(cand)
@@ -333,54 +334,62 @@ class LocalMapper:
         # in the frame loop), and pad per-slot arrays to the largest slot
         # count in the batch (mono-init keyframes come from the 2x-features
         # extractor).
-        M_pad = max(8, 1 << (M - 1).bit_length())
-        nb_valid = np.zeros(M_pad, bool)
-        nb_valid[:M] = True
-        cand_p = cand + [cand[0]] * (M_pad - M)
-        n2 = max(c[0].feats.n_slots for c in cand)
+        with self.stage_ms.stage("tri_prep"):
+            M_pad = max(8, 1 << (M - 1).bit_length())
+            nb_valid = np.zeros(M_pad, bool)
+            nb_valid[:M] = True
+            cand_p = cand + [cand[0]] * (M_pad - M)
+            n2 = max(c[0].feats.n_slots for c in cand)
 
-        stack = lambda f, fill=0: np.stack(  # noqa: E731
-            [self._pad_slots(np.asarray(f(c)), n2, fill) for c in cand_p])
-        Kc = cam.K.astype(np.float32)
-        P1 = (Kc @ kf.Tcw[:3, :]).astype(np.float32)
-        P2_all = np.stack([(Kc @ c[0].Tcw[:3, :]).astype(np.float32)
-                           for c in cand_p])
-        # Epipolar search + batched DLT: ONE device program, ONE fetch
-        # (the idx2->uv2 gather runs on device); per-neighbor acceptance
-        # gates stay vectorized numpy. The map mutex is released for the
-        # round trip (inputs are immutable copies by this point).
-        args = (
-            jnp.asarray(kf.feats.xy_und), jnp.asarray(kf.feats.desc),
-            jnp.asarray(avail1), jnp.asarray(kf.feats.octave),
-            jnp.asarray(kf.feats.angle),
-            jnp.asarray(stack(lambda c: c[0].feats.xy_und)),
-            jnp.asarray(stack(lambda c: c[0].feats.desc)),
-            jnp.asarray(stack(
-                lambda c: c[0].feats.valid & (c[0].mp_ids < 0))),
-            jnp.asarray(stack(lambda c: c[0].feats.octave)),
-            jnp.asarray(stack(lambda c: c[0].feats.angle)),
-            jnp.asarray(np.stack([c[1] for c in cand_p])),
-            jnp.asarray(self.inv_sigma2),
-            jnp.asarray(np.stack([c[2] for c in cand_p])),
-            jnp.asarray(nb_valid),
-            jnp.asarray(P1), jnp.asarray(P2_all))
-        with self.arena.unlocked():
+            stack = lambda f, fill=0: np.stack(  # noqa: E731
+                [self._pad_slots(np.asarray(f(c)), n2, fill) for c in cand_p])
+            Kc = cam.K.astype(np.float32)
+            P1 = (Kc @ kf.Tcw[:3, :]).astype(np.float32)
+            P2_all = np.stack([(Kc @ c[0].Tcw[:3, :]).astype(np.float32)
+                               for c in cand_p])
+            # Epipolar search + batched DLT: ONE device program, ONE fetch
+            # (the idx2->uv2 gather runs on device); per-neighbor acceptance
+            # gates stay vectorized numpy. The map mutex is released for the
+            # round trip (inputs are immutable copies by this point).
+            args = (
+                jnp.asarray(kf.feats.xy_und), jnp.asarray(kf.feats.desc),
+                jnp.asarray(avail1), jnp.asarray(kf.feats.octave),
+                jnp.asarray(kf.feats.angle),
+                jnp.asarray(stack(lambda c: c[0].feats.xy_und)),
+                jnp.asarray(stack(lambda c: c[0].feats.desc)),
+                jnp.asarray(stack(
+                    lambda c: c[0].feats.valid & (c[0].mp_ids < 0))),
+                jnp.asarray(stack(lambda c: c[0].feats.octave)),
+                jnp.asarray(stack(lambda c: c[0].feats.angle)),
+                jnp.asarray(np.stack([c[1] for c in cand_p])),
+                jnp.asarray(self.inv_sigma2),
+                jnp.asarray(np.stack([c[2] for c in cand_p])),
+                jnp.asarray(nb_valid),
+                jnp.asarray(P1), jnp.asarray(P2_all))
+        with self.arena.unlocked(), self.stage_ms.stage("tri_device"):
             out = np.asarray(_search_and_dlt(*args))
-        idx2_all = out[..., 0].astype(np.int64)
-        X_all = out[..., 1:4]
-        okd_all = out[..., 4] > 0.5
-        for m in range(M):
-            kf2 = cand[m][0]
-            idx2 = idx2_all[m]
-            # Features claimed while processing an earlier neighbor are
-            # skipped (the sequential reference re-derives avail1 per
-            # neighbor; the batched search used the initial mask).
-            rows = np.nonzero((idx2 >= 0) & (kf.mp_ids < 0)
-                              & (kf2.mp_ids[idx2.clip(0)] < 0))[0]
-            if len(rows) == 0:
-                continue
-            self._triangulate_matches(kf, kf2, rows, idx2[rows],
-                                      X_pre=X_all[m], ok_pre=okd_all[m])
+        with self.stage_ms.stage("tri_gates"):
+            idx2_all = out[..., 0].astype(np.int64)
+            X_all = out[..., 1:4]
+            okd_all = out[..., 4] > 0.5
+            created: list = []
+            for m in range(M):
+                kf2 = cand[m][0]
+                idx2 = idx2_all[m]
+                # Features claimed while processing an earlier neighbor are
+                # skipped (the sequential reference re-derives avail1 per
+                # neighbor; the batched search used the initial mask).
+                rows = np.nonzero((idx2 >= 0) & (kf.mp_ids < 0)
+                                  & (kf2.mp_ids[idx2.clip(0)] < 0))[0]
+                if len(rows) == 0:
+                    continue
+                created.extend(self._triangulate_matches(
+                    kf, kf2, rows, idx2[rows],
+                    X_pre=X_all[m], ok_pre=okd_all[m]))
+        if created:
+            with self.stage_ms.stage("tri_refresh"):
+                self.arena.compute_distinctive_many(created)
+                self.arena.update_normals_many(created, self.scale_factors)
 
     def _median_scene_depth(self, kf: KeyFrameRec) -> float:
         """Reference KeyFrame::ComputeSceneMedianDepth (src/KeyFrame.cc:613-643)."""
@@ -458,7 +467,10 @@ class LocalMapper:
                      / self.scale_factors[kf2.feats.octave[sel2]])
         rf = 1.5 * self.cfg.orb.scale_factor
         ok &= ~((ratio_dist * rf < ratio_oct) | (ratio_dist > ratio_oct * rf))
-        # Arena bookkeeping only for survivors.
+        # Arena bookkeeping only for survivors. The descriptor/normal
+        # refresh is batched by the caller across ALL neighbors of the
+        # insertion (it runs the [P,M,M] popcount pass; per-neighbor it
+        # executed up to 20x per keyframe).
         created = []
         for i1 in np.nonzero(ok)[0]:
             i2 = int(sel2[i1])
@@ -472,9 +484,7 @@ class LocalMapper:
             self.arena.add_observation(mp, kf2, i2)
             self.recent_points.append((mp.id, kf1.id))
             created.append(mp)
-        if created:
-            self.arena.compute_distinctive_many(created)
-            self.arena.update_normals_many(created, self.scale_factors)
+        return created
 
     # ----- fusion (reference SearchInNeighbors :235-293) -------------------
 
@@ -554,12 +564,6 @@ class LocalMapper:
         radius = (radius_th * self.scale_factors[lvl]).astype(np.float32)
         return proj, radius, lvl, good
 
-    def _project_for_fuse(self, dst_kf: KeyFrameRec, ids, radius_th=3.0):
-        """Single-keyframe wrapper over _project_for_fuse_many."""
-        proj, radius, lvl, good = self._project_for_fuse_many(
-            [dst_kf], ids, radius_th)
-        return proj[0], radius[0], lvl[0], good[0]
-
     @staticmethod
     def _pad_pow2(n: int, lo: int = 256) -> int:
         return max(lo, 1 << (max(n, 1) - 1).bit_length())
@@ -622,46 +626,44 @@ class LocalMapper:
         with self.arena.unlocked():
             idx2_all = np.asarray(
                 matching.search_by_projection_set_batch(*args))
+        # Merge job by job (later jobs see earlier replace chains), but
+        # refresh descriptors/normals ONCE over the union of touched
+        # points: the per-job refresh ran the [P,M,M] popcount pass up to
+        # ~15x per insertion and was the largest host slice of
+        # search_in_neighbors (matching decisions are unaffected — every
+        # job's device matching used descriptors gathered before any
+        # merge, exactly as built above).
+        touched: dict[int, object] = {}
         for j, (dkf, ids) in enumerate(filt):
-            self._merge_fuse_matches(dkf, ids, idx2_all[j], replace_existing)
+            self._merge_fuse_matches(dkf, ids, idx2_all[j], replace_existing,
+                                     touched)
+        self._refresh_touched(touched)
 
-    def _fuse(self, dst_kf: KeyFrameRec, point_ids, radius_th=3.0,
-              replace_existing=False):
-        """Project a point set into one keyframe and merge duplicates
-        (reference ORBmatcher::Fuse :504-568): one masked-MXU search + a
-        host merge loop over the accepted matches."""
-        ids = [m for m in point_ids if m in self.arena.mps]
-        if not ids:
-            return
-        proj, radius, lvl, good = self._project_for_fuse(
-            dst_kf, ids, radius_th)
-        P_pad = self._pad_pow2(len(ids))
-        pad = P_pad - len(ids)
-        desc = np.stack([self.arena.mps[m].desc for m in ids])
-        if pad:
-            z2 = lambda a, fill=0: np.concatenate(  # noqa: E731
-                [a, np.full((pad,) + a.shape[1:], fill, a.dtype)])
-            proj, radius, lvl = z2(proj), z2(radius), z2(lvl)
-            good, desc = z2(good), z2(desc)
-        res = matching.search_by_projection_set(
-            jnp.asarray(proj), jnp.asarray(radius), jnp.asarray(lvl),
-            jnp.asarray(good), jnp.asarray(desc),
-            jnp.asarray(dst_kf.feats.xy_und), jnp.asarray(dst_kf.feats.desc),
-            jnp.asarray(dst_kf.feats.valid), jnp.asarray(dst_kf.feats.octave),
-            jnp.asarray(np.zeros(dst_kf.feats.n_slots, bool)),
-            max_dist=matching.TH_LOW)
-        self._merge_fuse_matches(dst_kf, ids, np.asarray(res.idx2),
-                                 replace_existing)
+    def _refresh_touched(self, touched):
+        """One batched descriptor + normal/depth-band refresh for every
+        survivor the fuse merges touched (upstream SearchInNeighbors
+        :282-292 runs ComputeDistinctiveDescriptors + UpdateNormalAndDepth
+        per fused point; a stale band makes the 0.8/1.2 distance gates
+        misjudge the merged point in every later projection search)."""
+        if touched:
+            survivors = list(touched.values())
+            self.arena.compute_distinctive_many(survivors)
+            self.arena.update_normals_many(survivors, self.scale_factors)
 
     def _merge_fuse_matches(self, dst_kf: KeyFrameRec, ids, idx2,
-                            replace_existing=False):
+                            replace_existing=False, touched=None):
         """Apply fuse decisions: replace the less-observed duplicate or add
         the missing observation (reference Fuse :549-568). With
         replace_existing=True the incoming point always wins — the
         SearchAndFuse(Scw) loop-closing variant (reference Fuse(KF, Scw,...)
         + LoopClosing::SearchAndFuse :302-317, where corrected loop points
-        replace current-map duplicates unconditionally)."""
-        touched: dict[int, object] = {}
+        replace current-map duplicates unconditionally).
+
+        Touched survivors are accumulated into `touched` (or refreshed
+        here when called standalone without one)."""
+        own_refresh = touched is None
+        if touched is None:
+            touched = {}
         for k in np.nonzero(idx2[:len(ids)] >= 0)[0]:
             mp = self.arena.mps.get(ids[k])
             if mp is None or mp.bad or dst_kf.id in mp.obs:
@@ -686,16 +688,8 @@ class LocalMapper:
             else:
                 self.arena.add_observation(mp, dst_kf, int(j))
                 touched[mp.id] = mp
-        if touched:
-            # ONE batched refresh for every survivor the merge touched —
-            # descriptors AND normals/scale bands (upstream
-            # SearchInNeighbors :282-292 runs UpdateNormalAndDepth
-            # alongside ComputeDistinctiveDescriptors; a stale band makes
-            # the 0.8/1.2 distance gates misjudge the merged point in
-            # every later projection search).
-            survivors = list(touched.values())
-            self.arena.compute_distinctive_many(survivors)
-            self.arena.update_normals_many(survivors, self.scale_factors)
+        if own_refresh:
+            self._refresh_touched(touched)
 
     # ----- local bundle adjustment ----------------------------------------
 
