@@ -590,6 +590,7 @@ class LocalMapper:
                 filt.append((dkf, ids))
         if not filt:
             return
+        st = self.stage_ms
         M = len(filt)
         M_pad = max(8, 1 << (M - 1).bit_length())
         P_pad = self._pad_pow2(max(len(ids) for _, ids in filt))
@@ -598,32 +599,34 @@ class LocalMapper:
         lvls = np.zeros((M_pad, P_pad), np.int32)
         goods = np.zeros((M_pad, P_pad), bool)
         descs = np.zeros((M_pad, P_pad, 8), np.uint32)
-        groups: dict[int, tuple[list[int], list[int]]] = {}
-        for j, (_, ids) in enumerate(filt):
-            groups.setdefault(id(ids), ([], ids))[0].append(j)
-        for rows, ids in groups.values():
-            proj, radius, lvl, good = self._project_for_fuse_many(
-                [filt[j][0] for j in rows], ids, radius_th)
-            dgrp = np.stack([self.arena.mps[m].desc for m in ids])
-            for k, j in enumerate(rows):
-                projs[j, :len(ids)] = proj[k]
-                radii[j, :len(ids)] = radius[k]
-                lvls[j, :len(ids)] = lvl[k]
-                goods[j, :len(ids)] = good[k]
-                descs[j, :len(ids)] = dgrp
-        n2 = max(dkf.feats.n_slots for dkf, _ in filt)
-        stackf = lambda f, fill=0: np.stack(  # noqa: E731
-            [self._pad_slots(np.asarray(f(filt[min(m, M - 1)][0])), n2, fill)
-             for m in range(M_pad)])
-        args = (
-            jnp.asarray(projs), jnp.asarray(radii), jnp.asarray(lvls),
-            jnp.asarray(goods), jnp.asarray(descs),
-            jnp.asarray(stackf(lambda k: k.feats.xy_und)),
-            jnp.asarray(stackf(lambda k: k.feats.desc)),
-            jnp.asarray(stackf(lambda k: k.feats.valid)),
-            jnp.asarray(stackf(lambda k: k.feats.octave)),
-            jnp.asarray(np.zeros((M_pad, n2), bool)))
-        with self.arena.unlocked():
+        with st.stage("fuse_prep"):
+            groups: dict[int, tuple[list[int], list[int]]] = {}
+            for j, (_, ids) in enumerate(filt):
+                groups.setdefault(id(ids), ([], ids))[0].append(j)
+            for rows, ids in groups.values():
+                proj, radius, lvl, good = self._project_for_fuse_many(
+                    [filt[j][0] for j in rows], ids, radius_th)
+                dgrp = np.stack([self.arena.mps[m].desc for m in ids])
+                for k, j in enumerate(rows):
+                    projs[j, :len(ids)] = proj[k]
+                    radii[j, :len(ids)] = radius[k]
+                    lvls[j, :len(ids)] = lvl[k]
+                    goods[j, :len(ids)] = good[k]
+                    descs[j, :len(ids)] = dgrp
+            n2 = max(dkf.feats.n_slots for dkf, _ in filt)
+            stackf = lambda f, fill=0: np.stack(  # noqa: E731
+                [self._pad_slots(np.asarray(f(filt[min(m, M - 1)][0])), n2,
+                                 fill)
+                 for m in range(M_pad)])
+            args = (
+                jnp.asarray(projs), jnp.asarray(radii), jnp.asarray(lvls),
+                jnp.asarray(goods), jnp.asarray(descs),
+                jnp.asarray(stackf(lambda k: k.feats.xy_und)),
+                jnp.asarray(stackf(lambda k: k.feats.desc)),
+                jnp.asarray(stackf(lambda k: k.feats.valid)),
+                jnp.asarray(stackf(lambda k: k.feats.octave)),
+                jnp.asarray(np.zeros((M_pad, n2), bool)))
+        with self.arena.unlocked(), st.stage("fuse_device"):
             idx2_all = np.asarray(
                 matching.search_by_projection_set_batch(*args))
         # Merge job by job (later jobs see earlier replace chains), but
@@ -633,11 +636,12 @@ class LocalMapper:
         # search_in_neighbors (matching decisions are unaffected — every
         # job's device matching used descriptors gathered before any
         # merge, exactly as built above).
-        touched: dict[int, object] = {}
-        for j, (dkf, ids) in enumerate(filt):
-            self._merge_fuse_matches(dkf, ids, idx2_all[j], replace_existing,
-                                     touched)
-        self._refresh_touched(touched)
+        with st.stage("fuse_merge"):
+            touched: dict[int, object] = {}
+            for j, (dkf, ids) in enumerate(filt):
+                self._merge_fuse_matches(dkf, ids, idx2_all[j],
+                                         replace_existing, touched)
+            self._refresh_touched(touched)
 
     def _refresh_touched(self, touched):
         """One batched descriptor + normal/depth-band refresh for every
@@ -697,6 +701,25 @@ class LocalMapper:
         """Reference PerformLocalBundleAdjustment -> Optimizer::
         LocalBundleAdjustment (src/Optimizer.cc:434-759): window = current KF
         + covisible KFs; points they observe; boundary KFs fixed."""
+        with self.stage_ms.stage("ba_prep"):
+            prob, cam_index, cam_fixed, pt_index, edge_refs = \
+                self._local_ba_prep(kf)
+        if prob is None:
+            return
+        cam = self.cfg.camera
+        # One fetch for all three results (each np.asarray costs a host
+        # round trip on the TPU tunnel); the map mutex is released for the
+        # solve + fetch so tracking proceeds during it.
+        with self.arena.unlocked(), self.stage_ms.stage("ba_device"):
+            Tcw_d, X_d, inl_d = local_bundle_adjustment(
+                prob, cam.fx, cam.fy, cam.cx, cam.cy)
+            Tcw_new, X_new, inlier = jax.device_get((Tcw_d, X_d, inl_d))
+        with self.stage_ms.stage("ba_writeback"):
+            self._local_ba_writeback(cam_index, cam_fixed, pt_index,
+                                     edge_refs, Tcw_new, X_new, inlier)
+
+    def _local_ba_prep(self, kf: KeyFrameRec):
+        """Window/point/edge collection + padded problem assembly."""
         cam = self.cfg.camera
         window = [kf.id] + self.arena.covisible_ordered(kf, BA_CAMS - 2)
         window = window[:BA_CAMS - 1]
@@ -734,7 +757,7 @@ class LocalMapper:
             cam_valid[i] = True
             cam_fixed[i] = (c_id in fixed) or (c_id == self.arena.kf_origin_id)
         if (~cam_fixed & cam_valid).sum() == 0:
-            return
+            return None, None, None, None, None
         pts = np.zeros((BA_POINTS, 3), np.float32)
         pt_valid = np.zeros(BA_POINTS, bool)
         for m, i in pt_index.items():
@@ -759,7 +782,7 @@ class LocalMapper:
                 edge_refs.append((m, kf_id))
         n_e = len(tri_pt)
         if n_e < 10:
-            return
+            return None, None, None, None, None
         e_cam = np.zeros(BA_EDGES, np.int32)
         e_pt = np.zeros(BA_EDGES, np.int32)
         e_uv = np.zeros((BA_EDGES, 2), np.float32)
@@ -788,14 +811,13 @@ class LocalMapper:
             e_pt=jnp.asarray(e_pt), e_uv=jnp.asarray(e_uv),
             e_inv_sigma2=jnp.asarray(e_is2), e_valid=jnp.asarray(e_valid),
             e_ur=jnp.asarray(e_ur), bf=self.cfg.camera.bf)
-        # One fetch for all three results (each np.asarray costs a host
-        # round trip on the TPU tunnel); the map mutex is released for the
-        # solve + fetch so tracking proceeds during it.
-        with self.arena.unlocked():
-            Tcw_d, X_d, inl_d = local_bundle_adjustment(
-                prob, cam.fx, cam.fy, cam.cx, cam.cy)
-            Tcw_new, X_new, inlier = jax.device_get((Tcw_d, X_d, inl_d))
-        # Write back (reference :692-738, under the map-update mutex there).
+        return prob, cam_index, cam_fixed, pt_index, edge_refs
+
+    def _local_ba_writeback(self, cam_index, cam_fixed, pt_index, edge_refs,
+                            Tcw_new, X_new, inlier):
+        """Apply the solved window (reference :692-738, under the
+        map-update mutex there)."""
+        pt_ids = list(pt_index)
         for c_id, i in cam_index.items():
             if not cam_fixed[i]:
                 self.arena.kfs[c_id].Tcw = Tcw_new[i].copy()

@@ -157,6 +157,14 @@ def bundle_adjust(prob: BAProblem, fx, fy, cx, cy,
     P = prob.points.shape[0]
     f32 = prob.points.dtype
     free_cam = (~prob.cam_fixed) & prob.cam_valid
+    # Segment-sums over edges run as one-hot MATMULS, not scatter-adds:
+    # TPU lowers .at[].add to a serialized scatter (~8k sequential block
+    # updates per LM iteration made the windowed solve >1 s/keyframe on
+    # v5e); as [E,C]/[E,P] one-hot contractions the same reductions ride
+    # the MXU. One-hot entries are exactly 0/1 so the products are exact;
+    # accumulation is f32 under the solver's HIGHEST matmul precision.
+    oh_c = jax.nn.one_hot(prob.e_cam, C, dtype=f32)        # [E,C]
+    oh_p = jax.nn.one_hot(prob.e_pt, P, dtype=f32)         # [E,P]
 
     def cost_at(Tcw, X, xi_all, dX):
         p = prob._replace(Tcw=Tcw, points=X)
@@ -186,11 +194,14 @@ def bundle_adjust(prob: BAProblem, fx, fy, cx, cy,
         Wcp_e = jnp.einsum("e,eif,eig->efg", w, Jc, Jp)      # [E,6,3]
         gc_e = jnp.einsum("e,eif,ei->ef", w, Jc, e)          # [E,6]
         gp_e = jnp.einsum("e,eif,ei->ef", w, Jp, e)          # [E,3]
-        Hcc = jnp.zeros((C, 6, 6), f32).at[prob.e_cam].add(Hcc_e)
-        Hpp = jnp.zeros((P, 3, 3), f32).at[prob.e_pt].add(Hpp_e)
-        gc = jnp.zeros((C, 6), f32).at[prob.e_cam].add(gc_e)
-        gp = jnp.zeros((P, 3), f32).at[prob.e_pt].add(gp_e)
-        A_cp = jnp.zeros((C, P, 6, 3), f32).at[prob.e_cam, prob.e_pt].add(Wcp_e)
+        Hcc = jnp.einsum("ec,efg->cfg", oh_c, Hcc_e)
+        Hpp = jnp.einsum("ep,efg->pfg", oh_p, Hpp_e)
+        gc = jnp.einsum("ec,ef->cf", oh_c, gc_e)
+        gp = jnp.einsum("ep,ef->pf", oh_p, gp_e)
+        # A_cp via a camera-expanded intermediate ([C,E,6,3], C is small)
+        # so the E-contraction against oh_p is one batched MXU matmul.
+        Wc_e = jnp.einsum("ec,eij->ceij", oh_c, Wcp_e)
+        A_cp = jnp.einsum("ceij,ep->cpij", Wc_e, oh_p)
         # LM damping (multiplicative on block diagonals).
         # eye * diag[:, :, None] is already the diagonal damping matrix.
         Hcc_d = Hcc + lam * jnp.eye(6, dtype=f32)[None] * jnp.maximum(
