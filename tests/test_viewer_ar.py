@@ -105,7 +105,17 @@ def test_live_viewer_serves_and_toggles():
 
     html = get("/")
     assert b"canvas" in html and b"localization" in html
+    # The frame gate only stays armed 3 s past a poll; on a loaded box a
+    # single tracked frame can exceed that, leaving the placeholder in
+    # place. A browser re-polls continuously — emulate that: re-poll and
+    # track another frame until a real encode lands.
     png = get("/frame.png")
+    for retry in range(5):
+        if len(png) > 1000:
+            break
+        slam.track_monocular(r.render(poses[-1]),
+                             (len(poses) + retry) / 30.0)
+        png = get("/frame.png")
     assert png[:8] == b"\x89PNG\r\n\x1a\n" and len(png) > 1000
     status = json.loads(get("/status"))
     assert "OK" in status["line"] and status["localization"] is False
