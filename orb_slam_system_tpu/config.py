@@ -257,5 +257,41 @@ def load_settings(path: str, sensor: Sensor = Sensor.MONOCULAR) -> SlamConfig:
     )
 
 
+def save_settings_yaml(cfg: SlamConfig, path: str):
+    """Write a SlamConfig as a reference-format OpenCV settings yaml
+    (inverse of load_settings; same key set as reference
+    src/Tracking.cc:32-96). Round-trips through load_settings."""
+    cam, orb, vw = cfg.camera, cfg.orb, cfg.viewer
+    lines = ["%YAML:1.0", ""]
+    for k, v in (
+        ("Camera.fx", cam.fx), ("Camera.fy", cam.fy),
+        ("Camera.cx", cam.cx), ("Camera.cy", cam.cy),
+        ("Camera.k1", cam.k1), ("Camera.k2", cam.k2),
+        ("Camera.p1", cam.p1), ("Camera.p2", cam.p2),
+        ("Camera.k3", cam.k3), ("Camera.bf", cam.bf),
+        ("Camera.fps", cam.fps), ("Camera.RGB", int(cam.rgb)),
+        ("Camera.width", cam.width), ("Camera.height", cam.height),
+        ("ThDepth", cfg.th_depth), ("DepthMapFactor", cfg.depth_map_factor),
+        ("ORBextractor.nFeatures", orb.n_features),
+        ("ORBextractor.scaleFactor", orb.scale_factor),
+        ("ORBextractor.nLevels", orb.n_levels),
+        ("ORBextractor.iniThFAST", orb.ini_th_fast),
+        ("ORBextractor.minThFAST", orb.min_th_fast),
+        ("Viewer.KeyFrameSize", vw.keyframe_size),
+        ("Viewer.KeyFrameLineWidth", vw.keyframe_line_width),
+        ("Viewer.GraphLineWidth", vw.graph_line_width),
+        ("Viewer.PointSize", vw.point_size),
+        ("Viewer.CameraSize", vw.camera_size),
+        ("Viewer.CameraLineWidth", vw.camera_line_width),
+        ("Viewer.ViewpointX", vw.viewpoint_x),
+        ("Viewer.ViewpointY", vw.viewpoint_y),
+        ("Viewer.ViewpointZ", vw.viewpoint_z),
+        ("Viewer.ViewpointF", vw.viewpoint_f),
+    ):
+        lines.append(f"{k}: {v}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m

@@ -74,16 +74,100 @@ def decode_image_msg(msg) -> np.ndarray:
     return img
 
 
+class ApproxTimeSync:
+    """Two-stream approximate-time pairing (the reference nodes use
+    message_filters::sync_policies::ApproximateTime over left/right and
+    rgb/depth topics, Examples/ROS/ORB_SLAM2/src/ros_stereo.cc:113-117 /
+    ros_rgbd.cc:64-68): feed messages per stream; when the head-of-queue
+    stamps agree within `slop` seconds the callback fires with the pair."""
+
+    def __init__(self, callback, slop: float = 0.05, queue_size: int = 10):
+        self.callback = callback
+        self.slop = slop
+        self.queue_size = queue_size
+        self._q = ([], [])
+
+    def add(self, stream: int, msg, stamp_sec: float):
+        q = self._q[stream]
+        q.append((stamp_sec, msg))
+        if len(q) > self.queue_size:
+            q.pop(0)
+        self._try_emit()
+
+    def _try_emit(self):
+        qa, qb = self._q
+        while qa and qb:
+            ta, tb = qa[0][0], qb[0][0]
+            if abs(ta - tb) <= self.slop:
+                a = qa.pop(0)[1]
+                b = qb.pop(0)[1]
+                self.callback(a, b, min(ta, tb))
+            elif ta < tb:
+                qa.pop(0)
+            else:
+                qb.pop(0)
+
+
+def _import_rospy(rospy_module=None, image_cls=None):
+    """Injectable imports: tests drive the node lifecycle with a stub."""
+    if rospy_module is None:
+        import rospy  # noqa: deferred, optional dependency
+        rospy_module = rospy
+    if image_cls is None:
+        from sensor_msgs.msg import Image  # noqa: deferred
+        image_cls = Image
+    return rospy_module, image_cls
+
+
 def attach_rospy(bridge, image_topic: str = "/camera/image_raw",
-                 node_name: str = "orb_slam_tpu"):
+                 node_name: str = "orb_slam_tpu",
+                 rospy_module=None, image_cls=None,
+                 on_result=None):
     """Wire a RosMonoBridge to a live rospy subscriber (requires rospy at
-    runtime; import-gated so the package has no hard ROS dep). Decoding
-    uses decode_image_msg, so cv_bridge is not needed."""
-    import rospy  # noqa: deferred, optional dependency
-    from sensor_msgs.msg import Image  # noqa: deferred
+    runtime; import-gated so the package has no hard ROS dep; pass
+    rospy_module/image_cls to inject a test stub). Decoding uses
+    decode_image_msg, so cv_bridge is not needed."""
+    rospy, Image = _import_rospy(rospy_module, image_cls)
 
     def cb(msg):
-        bridge.on_image(decode_image_msg(msg), msg.header.stamp.to_sec())
+        r = bridge.on_image(decode_image_msg(msg), msg.header.stamp.to_sec())
+        if on_result is not None:
+            on_result(r)
 
     rospy.init_node(node_name, anonymous=True)
     return rospy.Subscriber(image_topic, Image, cb, queue_size=1)
+
+
+def attach_rospy_pair(bridge, topic_a: str, topic_b: str,
+                      node_name: str = "orb_slam_tpu",
+                      rospy_module=None, image_cls=None,
+                      slop: float = 0.05, on_result=None,
+                      preprocess=None):
+    """Wire a RosStereoBridge / RosRGBDBridge to two synchronized image
+    topics (reference ros_stereo.cc / ros_rgbd.cc message_filters setup).
+    `preprocess(img_a, img_b) -> (img_a, img_b)` hooks stereo
+    rectification in front of tracking."""
+    rospy, Image = _import_rospy(rospy_module, image_cls)
+
+    def emit(msg_a, msg_b, stamp):
+        a = decode_image_msg(msg_a)
+        b = decode_image_msg(msg_b)
+        if preprocess is not None:
+            a, b = preprocess(a, b)
+        r = bridge.on_images(a, b, stamp)
+        if on_result is not None:
+            on_result(r)
+
+    sync = ApproxTimeSync(emit, slop=slop)
+    rospy.init_node(node_name, anonymous=True)
+    subs = (
+        rospy.Subscriber(
+            topic_a, Image,
+            lambda m: sync.add(0, m, m.header.stamp.to_sec()),
+            queue_size=1),
+        rospy.Subscriber(
+            topic_b, Image,
+            lambda m: sync.add(1, m, m.header.stamp.to_sec()),
+            queue_size=1),
+    )
+    return subs, sync

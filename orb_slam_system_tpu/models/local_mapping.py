@@ -20,7 +20,8 @@ import numpy as np
 from orb_slam_system_tpu.config import SlamConfig
 from orb_slam_system_tpu.mapping.arena import KeyFrameRec, MapArena, hamming_np
 from orb_slam_system_tpu.ops import matching
-from orb_slam_system_tpu.solvers.local_ba import BAProblem, local_bundle_adjustment
+from orb_slam_system_tpu.solvers.local_ba import (
+    BAProblem, local_bundle_adjustment_packed, unpack_local_ba)
 from orb_slam_system_tpu.solvers.triangulate import triangulate_dlt
 
 import jax
@@ -56,10 +57,22 @@ def _search_and_dlt(xy1, desc1, avail1, oct1, ang1,
         idx2[..., None].astype(jnp.float32), X,
         okd[..., None].astype(jnp.float32)], axis=-1)
 
-# Local BA size buckets (static shapes for XLA).
+# Local BA size buckets (static shapes for XLA). Points/edges pick the
+# smallest bucket that fits the actual window (each bucket compiles once;
+# a small early-map window solving at the maximum padded size paid ~4x
+# the FLOPs for nothing).
 BA_CAMS = 16
 BA_POINTS = 2048
 BA_EDGES = 8192
+BA_PT_BUCKETS = (512, 1024, 2048)
+BA_EDGE_BUCKETS = (2048, 4096, 8192)
+
+
+def _bucket(n: int, ladder) -> int:
+    for b in ladder:
+        if n <= b:
+            return b
+    return ladder[-1]
 
 
 class LocalMapper:
@@ -76,6 +89,12 @@ class LocalMapper:
         self.inv_sigma2 = (1.0 / self.scale_factors ** 2).astype(np.float32)
         self.enable_local_ba = True
         self.enable_kf_culling = True
+        # Fused tri+fuse device program (one packed fetch per insertion);
+        # False restores the separate create_new_map_points /
+        # search_in_neighbors programs (parity testing).
+        import os
+        self.use_fused_tri = (
+            os.environ.get("ORB_SLAM_TPU_NO_FUSED_TRI", "0") != "1")
         # MapPointCulling obs threshold: 2 mono, 3 stereo/RGBD
         # (reference src/LocalMapping.cc:137-151 cnThObs).
         from orb_slam_system_tpu.config import Sensor
@@ -190,11 +209,19 @@ class LocalMapper:
                 self.process_new_keyframe(kf)
             with t.stage("cull_points"), lk:
                 self.cull_map_points(kf)
-            with t.stage("triangulate"), lk:
-                self.create_new_map_points(kf)
-            if not self.queue:
-                with t.stage("fuse_neighbors"), lk:
-                    self.search_in_neighbors(kf)
+            # Triangulation + fusion ride ONE fused device program with
+            # ONE packed fetch (ops/mapper_fused.py); fusion joins only
+            # with an empty queue (reference Run :43-49 runs
+            # SearchInNeighbors iff !CheckNewKeyFrames()).
+            if self.use_fused_tri:
+                with t.stage("tri_fuse"), lk:
+                    self.tri_and_fuse(kf, do_fuse=not self.queue)
+            else:
+                with t.stage("triangulate"), lk:
+                    self.create_new_map_points(kf)
+                if not self.queue:
+                    with t.stage("fuse_neighbors"), lk:
+                        self.search_in_neighbors(kf)
             # Local BA and keyframe culling only with an EMPTY queue
             # (reference Run :43-49: both run iff !CheckNewKeyFrames()):
             # with a backlog — e.g. a bounded-queue admission burst — the
@@ -290,6 +317,37 @@ class LocalMapper:
         F12 = Kinv.T @ tx @ R12 @ Kinv
         return F12.astype(np.float32)
 
+    def _tri_candidates(self, kf: KeyFrameRec):
+        """Triangulation neighbor selection + per-neighbor epipolar
+        geometry (reference CreateNewMapPoints :166-183: best covisible
+        neighbors passing the baseline/median-depth gate). Returns a list
+        of (neighbor_kf, F12, epipole_xy)."""
+        cam = self.cfg.camera
+        K = cam.K
+        n_neighbors = 20  # mono (reference :169)
+        neighbors = self.arena.covisible_ordered(kf, n_neighbors)
+        O1 = kf.camera_center()
+        cand = []
+        for nb_id in neighbors:
+            kf2 = self.arena.kfs.get(nb_id)
+            if kf2 is None or kf2.bad:
+                continue
+            O2 = kf2.camera_center()
+            baseline = float(np.linalg.norm(O2 - O1))
+            med_depth = self._median_scene_depth(kf2)
+            if med_depth <= 0 or baseline / med_depth < 0.01:
+                continue  # reference baseline gate (:176-183)
+            F12 = self._compute_f12(kf, kf2)
+            # Epipole of camera 1 in image 2.
+            Xc = kf2.Tcw[:3, :3] @ O1 + kf2.Tcw[:3, 3]
+            if abs(Xc[2]) < 1e-9:
+                continue
+            epi = np.array([
+                K[0, 0] * Xc[0] / Xc[2] + K[0, 2],
+                K[1, 1] * Xc[1] / Xc[2] + K[1, 2]], np.float32)
+            cand.append((kf2, F12.astype(np.float32), epi))
+        return cand
+
     def create_new_map_points(self, kf: KeyFrameRec):
         """Upstream-complete CreateNewMapPoints (reference :166-233; the
         fork's TriangulateAndAddPoint no-op is NOT reproduced): epipolar
@@ -297,34 +355,12 @@ class LocalMapper:
         triangulation, parallax/depth/reprojection/scale-consistency gates,
         then MapPoint creation with observations in both keyframes."""
         cam = self.cfg.camera
-        K = cam.K
-        n_neighbors = 20  # mono (reference :169)
-        neighbors = self.arena.covisible_ordered(kf, n_neighbors)
-        O1 = kf.camera_center()
         avail1 = kf.feats.valid & (kf.mp_ids < 0)
         # Gather all passing neighbors, then run ONE batched epipolar search
         # over the whole set (per-neighbor calls each cost a host round trip
         # on the TPU tunnel; a new keyframe has up to 20 neighbors).
         with self.stage_ms.stage("tri_prep"):
-            cand = []
-            for nb_id in neighbors:
-                kf2 = self.arena.kfs.get(nb_id)
-                if kf2 is None or kf2.bad:
-                    continue
-                O2 = kf2.camera_center()
-                baseline = float(np.linalg.norm(O2 - O1))
-                med_depth = self._median_scene_depth(kf2)
-                if med_depth <= 0 or baseline / med_depth < 0.01:
-                    continue  # reference baseline gate (:176-183)
-                F12 = self._compute_f12(kf, kf2)
-                # Epipole of camera 1 in image 2.
-                Xc = kf2.Tcw[:3, :3] @ O1 + kf2.Tcw[:3, 3]
-                if abs(Xc[2]) < 1e-9:
-                    continue
-                epi = np.array([
-                    K[0, 0] * Xc[0] / Xc[2] + K[0, 2],
-                    K[1, 1] * Xc[1] / Xc[2] + K[1, 2]], np.float32)
-                cand.append((kf2, F12.astype(np.float32), epi))
+            cand = self._tri_candidates(kf)
         if not cand:
             return
         M = len(cand)
@@ -486,14 +522,198 @@ class LocalMapper:
             created.append(mp)
         return created
 
+    # ----- fused triangulation + fusion (one device program) ---------------
+
+    def _point_data(self, ids, n_pad: int):
+        """Columnar gather of fuse-projection point data for an id list,
+        padded to n_pad: (pos, desc, 0.8*min_dist, 1.2*max_dist, normal,
+        ok)."""
+        pos = np.zeros((n_pad, 3), np.float32)
+        desc = np.zeros((n_pad, 8), np.uint32)
+        mind = np.zeros(n_pad, np.float32)
+        maxd = np.ones(n_pad, np.float32)
+        normal = np.zeros((n_pad, 3), np.float32)
+        okv = np.zeros(n_pad, bool)
+        if ids:
+            rows, ok = self.arena.lookup_points(np.asarray(ids, np.int64))
+            (_, c_pos, c_desc, c_mind, c_maxd, _n,
+             c_normal) = self.arena.point_columns()
+            r = rows[ok]
+            w = np.nonzero(ok)[0]
+            pos[w] = c_pos[r]
+            desc[w] = c_desc[r]
+            mind[w] = 0.8 * c_mind[r]
+            maxd[w] = np.maximum(1.2 * c_maxd[r], 1e-6)
+            normal[w] = c_normal[r]
+            okv[w] = True
+        return pos, desc, mind, maxd, normal, okv
+
+    def tri_and_fuse(self, kf: KeyFrameRec, do_fuse: bool = True):
+        """CreateNewMapPoints + SearchInNeighbors as ONE device program
+        with ONE packed fetch (ops/mapper_fused.tri_fuse_step): epipolar
+        search, DLT, ALL acceptance gates, and both fusion directions —
+        including the just-triangulated points, whose positions/normals/
+        scale bands the program computes in-flight — run on device; the
+        host only applies arena bookkeeping from the packed result.
+
+        Replaces the 2-program 2-fetch (plus host-gate) sequence; on the
+        TPU tunnel each fetch costs ~27 ms and the host gates competed
+        with tracking for the single CPU core."""
+        from orb_slam_system_tpu.ops import mapper_fused
+        cam = self.cfg.camera
+        orb = self.cfg.orb
+        st = self.stage_ms
+        with st.stage("tri_fuse_prep"):
+            cand = self._tri_candidates(kf)
+        if not cand:
+            # No triangulation geometry this insertion: plain fusion only.
+            if do_fuse:
+                self.search_in_neighbors(kf)
+            return
+        with st.stage("tri_fuse_prep"):
+            targets: list = []
+            src_ids: list = []
+            union: list = []
+            if do_fuse:
+                t_ids, src_ids, union = self._fuse_sets(kf)
+                targets = [self.arena.kfs[t] for t in t_ids]
+                if not targets:
+                    do_fuse = False
+            # Triangulation inputs (padded as in create_new_map_points).
+            M = len(cand)
+            M_pad = max(8, 1 << (M - 1).bit_length())
+            nb_valid = np.zeros(M_pad, bool)
+            nb_valid[:M] = True
+            cand_p = cand + [cand[0]] * (M_pad - M)
+            n2 = max(c[0].feats.n_slots for c in cand)
+            stack = lambda f, fill=0: np.stack(  # noqa: E731
+                [self._pad_slots(np.asarray(f(c)), n2, fill) for c in cand_p])
+            Kc = cam.K.astype(np.float32)
+            P1 = (Kc @ kf.Tcw[:3, :]).astype(np.float32)
+            P2_all = np.stack([(Kc @ c[0].Tcw[:3, :]).astype(np.float32)
+                               for c in cand_p])
+            nb_Tcw = np.stack([c[0].Tcw for c in cand_p]).astype(np.float32)
+            nb_O = np.stack([c[0].camera_center()
+                             for c in cand_p]).astype(np.float32)
+            avail1 = kf.feats.valid & (kf.mp_ids < 0)
+            N1 = kf.feats.n_slots
+            # Fusion inputs (fixed dummy shapes when fusion is skipped so
+            # the tri-only program variant compiles once).
+            if do_fuse:
+                T = len(targets)
+                T_pad = max(8, 1 << (T - 1).bit_length())
+                tg_p = targets + [targets[0]] * (T_pad - T)
+                tg_mask = np.zeros(T_pad, bool)
+                tg_mask[:T] = True
+                n2t = max(t.feats.n_slots for t in targets)
+                stackt = lambda f, fill=0: np.stack(  # noqa: E731
+                    [self._pad_slots(np.asarray(f(t)), n2t, fill)
+                     for t in tg_p])
+                tg_xy = stackt(lambda t: t.feats.xy_und)
+                tg_desc = stackt(lambda t: t.feats.desc)
+                tg_val = stackt(lambda t: t.feats.valid)
+                tg_oct = stackt(lambda t: t.feats.octave)
+                tg_R = np.stack([t.Tcw[:3, :3]
+                                 for t in tg_p]).astype(np.float32)
+                tg_t = np.stack([t.Tcw[:3, 3]
+                                 for t in tg_p]).astype(np.float32)
+                tg_ctr = np.stack([t.camera_center()
+                                   for t in tg_p]).astype(np.float32)
+                PA0 = self._pad_pow2(len(src_ids))
+                A = self._point_data(src_ids, PA0)
+                PB = self._pad_pow2(len(union))
+                B = self._point_data(union, PB)
+            else:
+                T_pad, n2t, PA0, PB = 8, 8, 256, 256
+                tg_xy = np.zeros((T_pad, n2t, 2), np.float32)
+                tg_desc = np.zeros((T_pad, n2t, 8), np.uint32)
+                tg_val = np.zeros((T_pad, n2t), bool)
+                tg_oct = np.zeros((T_pad, n2t), np.int32)
+                tg_R = np.tile(np.eye(3, dtype=np.float32), (T_pad, 1, 1))
+                tg_t = np.zeros((T_pad, 3), np.float32)
+                tg_ctr = np.zeros((T_pad, 3), np.float32)
+                tg_mask = np.zeros(T_pad, bool)
+                A = self._point_data([], PA0)
+                B = self._point_data([], PB)
+            args = (
+                jnp.asarray(kf.feats.xy_und), jnp.asarray(kf.feats.desc),
+                jnp.asarray(avail1), jnp.asarray(kf.feats.valid),
+                jnp.asarray(kf.feats.octave), jnp.asarray(kf.feats.angle),
+                jnp.asarray(stack(lambda c: c[0].feats.xy_und)),
+                jnp.asarray(stack(lambda c: c[0].feats.desc)),
+                jnp.asarray(stack(
+                    lambda c: c[0].feats.valid & (c[0].mp_ids < 0))),
+                jnp.asarray(stack(lambda c: c[0].feats.octave)),
+                jnp.asarray(stack(lambda c: c[0].feats.angle)),
+                jnp.asarray(np.stack([c[1] for c in cand_p])),
+                jnp.asarray(np.stack([c[2] for c in cand_p])),
+                jnp.asarray(nb_valid), jnp.asarray(P1), jnp.asarray(P2_all),
+                jnp.asarray(kf.Tcw.astype(np.float32)), jnp.asarray(nb_Tcw),
+                jnp.asarray(kf.camera_center().astype(np.float32)),
+                jnp.asarray(nb_O),
+                jnp.asarray(np.linalg.inv(
+                    cam.K.astype(np.float64)).astype(np.float32)),
+                cam.fx, cam.fy, cam.cx, cam.cy,
+                float(cam.width), float(cam.height),
+                jnp.asarray(self.inv_sigma2), jnp.asarray(self.scale_factors),
+                float(np.log(orb.scale_factor)), 1.5 * orb.scale_factor,
+                jnp.asarray(tg_xy), jnp.asarray(tg_desc),
+                jnp.asarray(tg_val), jnp.asarray(tg_oct),
+                jnp.asarray(tg_R), jnp.asarray(tg_t), jnp.asarray(tg_ctr),
+                jnp.asarray(tg_mask),
+                jnp.asarray(A[0]), jnp.asarray(A[1]), jnp.asarray(A[2]),
+                jnp.asarray(A[3]), jnp.asarray(A[4]), jnp.asarray(A[5]),
+                jnp.asarray(B[0]), jnp.asarray(B[1]), jnp.asarray(B[2]),
+                jnp.asarray(B[3]), jnp.asarray(B[4]), jnp.asarray(B[5]),
+            )
+        with self.arena.unlocked(), st.stage("tri_fuse_device"):
+            buf = np.asarray(mapper_fused.tri_fuse_step(
+                *args, do_fuse=do_fuse))
+        with st.stage("tri_fuse_merge"):
+            tri, idxA, idxB = mapper_fused.unpack_tri_fuse(
+                buf, N1, T_pad, PA0 + N1, PB, do_fuse)
+            # Create accepted points (device gates are authoritative; the
+            # arena-claim re-checks guard only against pads/defensive
+            # staleness).
+            created = []
+            created_ids = [-1] * N1
+            acc = tri[:, 0] > 0.5
+            for i1 in np.nonzero(acc)[0]:
+                m = int(tri[i1, 1])
+                j2 = int(tri[i1, 2])
+                kf2 = cand[m][0]
+                if (j2 < 0 or kf.mp_ids[i1] >= 0
+                        or kf2.mp_ids[j2] >= 0):
+                    continue
+                mp = self.arena.new_point(tri[i1, 3:6],
+                                          kf.feats.desc[int(i1)],
+                                          kf.id, kf.id)
+                self.arena.add_observation(mp, kf, int(i1))
+                self.arena.add_observation(mp, kf2, j2)
+                self.recent_points.append((mp.id, kf.id))
+                created.append(mp)
+                created_ids[int(i1)] = mp.id
+            if created:
+                self.arena.compute_distinctive_many(created)
+                self.arena.update_normals_many(created, self.scale_factors)
+            if do_fuse:
+                idsA = (src_ids + [-1] * (PA0 - len(src_ids)) + created_ids)
+                idsB = union + [-1] * (PB - len(union))
+                touched: dict = {}
+                for j, t_kf in enumerate(targets):
+                    self._merge_fuse_matches(t_kf, idsA, idxA[j],
+                                             False, touched)
+                self._merge_fuse_matches(kf, idsB, idxB, False, touched)
+                self._refresh_touched(touched)
+                self.arena.update_connections(kf)
+
     # ----- fusion (reference SearchInNeighbors :235-293) -------------------
 
-    def search_in_neighbors(self, kf: KeyFrameRec):
-        """Map-point fusion with first+second order covisible neighbors.
-        The fork implements but never calls this (§0.1 row 3); upstream runs
-        it when the queue is empty. Projects each side's points into the
-        other and merges duplicates (ORBmatcher::Fuse semantics: replace the
-        less-observed point)."""
+    def _fuse_sets(self, kf: KeyFrameRec):
+        """Fusion target selection (first + second order covisible
+        neighbors, reference SearchInNeighbors :240-258) plus the two
+        point sets: the current KF's bound points (direction A) and the
+        union of the targets' points (direction B)."""
         targets = []
         for nb in self.arena.covisible_ordered(kf, 20):
             targets.append(nb)
@@ -503,12 +723,7 @@ class LocalMapper:
             for nb2 in self.arena.covisible_ordered(nb_kf, 5):
                 if nb2 != kf.id and nb2 not in targets:
                     targets.append(nb2)
-        if not targets:
-            return
-        # Direction A — current KF's points into ALL targets; direction B —
-        # the union of the targets' points into the current KF. BOTH ride
-        # ONE batched device program (the B call used to cost a second
-        # tunnel round trip per insertion).
+        targets = [t for t in targets if t in self.arena.kfs]
         src_ids = [int(m) for m in kf.mp_ids
                    if m >= 0 and int(m) in self.arena.mps]
         union: list[int] = []
@@ -521,6 +736,22 @@ class LocalMapper:
                 if m >= 0 and int(m) not in seen_u and int(m) in self.arena.mps:
                     seen_u.add(int(m))
                     union.append(int(m))
+        return targets, src_ids, union
+
+    def search_in_neighbors(self, kf: KeyFrameRec):
+        """Map-point fusion with first+second order covisible neighbors.
+        The fork implements but never calls this (§0.1 row 3); upstream runs
+        it when the queue is empty. Projects each side's points into the
+        other and merges duplicates (ORBmatcher::Fuse semantics: replace the
+        less-observed point). Standalone path — keyframe insertion normally
+        runs this fused with triangulation (tri_and_fuse)."""
+        targets, src_ids, union = self._fuse_sets(kf)
+        if not targets:
+            return
+        # Direction A — current KF's points into ALL targets; direction B —
+        # the union of the targets' points into the current KF. BOTH ride
+        # ONE batched device program (the B call used to cost a second
+        # tunnel round trip per insertion).
         jobs = [(t, src_ids) for t in targets] + [(kf.id, union)]
         self._fuse_jobs(jobs)
         self.arena.update_connections(kf)
@@ -707,13 +938,16 @@ class LocalMapper:
         if prob is None:
             return
         cam = self.cfg.camera
-        # One fetch for all three results (each np.asarray costs a host
-        # round trip on the TPU tunnel); the map mutex is released for the
-        # solve + fetch so tracking proceeds during it.
+        # ONE packed fetch for all three results (each fetched array costs
+        # a host round trip on the TPU tunnel); the map mutex is released
+        # for the solve + fetch so tracking proceeds during it.
+        C = int(prob.Tcw.shape[0])
+        P = int(prob.points.shape[0])
+        E = int(prob.e_cam.shape[0])
         with self.arena.unlocked(), self.stage_ms.stage("ba_device"):
-            Tcw_d, X_d, inl_d = local_bundle_adjustment(
-                prob, cam.fx, cam.fy, cam.cx, cam.cy)
-            Tcw_new, X_new, inlier = jax.device_get((Tcw_d, X_d, inl_d))
+            buf = np.asarray(local_bundle_adjustment_packed(
+                prob, cam.fx, cam.fy, cam.cx, cam.cy))
+            Tcw_new, X_new, inlier = unpack_local_ba(buf, C, P, E)
         with self.stage_ms.stage("ba_writeback"):
             self._local_ba_writeback(cam_index, cam_fixed, pt_index,
                                      edge_refs, Tcw_new, X_new, inlier)
@@ -758,8 +992,9 @@ class LocalMapper:
             cam_fixed[i] = (c_id in fixed) or (c_id == self.arena.kf_origin_id)
         if (~cam_fixed & cam_valid).sum() == 0:
             return None, None, None, None, None
-        pts = np.zeros((BA_POINTS, 3), np.float32)
-        pt_valid = np.zeros(BA_POINTS, bool)
+        P_b = _bucket(len(pt_ids), BA_PT_BUCKETS)
+        pts = np.zeros((P_b, 3), np.float32)
+        pt_valid = np.zeros(P_b, bool)
         for m, i in pt_index.items():
             pts[i] = self.arena.mps[m].pos
             pt_valid[i] = True
@@ -783,12 +1018,13 @@ class LocalMapper:
         n_e = len(tri_pt)
         if n_e < 10:
             return None, None, None, None, None
-        e_cam = np.zeros(BA_EDGES, np.int32)
-        e_pt = np.zeros(BA_EDGES, np.int32)
-        e_uv = np.zeros((BA_EDGES, 2), np.float32)
-        e_ur = np.full(BA_EDGES, -1.0, np.float32)
-        e_is2 = np.ones(BA_EDGES, np.float32)
-        e_valid = np.zeros(BA_EDGES, bool)
+        E_b = _bucket(n_e, BA_EDGE_BUCKETS)
+        e_cam = np.zeros(E_b, np.int32)
+        e_pt = np.zeros(E_b, np.int32)
+        e_uv = np.zeros((E_b, 2), np.float32)
+        e_ur = np.full(E_b, -1.0, np.float32)
+        e_is2 = np.ones(E_b, np.float32)
+        e_valid = np.zeros(E_b, bool)
         e_cam[:n_e] = tri_cam
         e_pt[:n_e] = tri_pt
         e_valid[:n_e] = True

@@ -29,7 +29,8 @@ from orb_slam_system_tpu.solvers.pose_graph import (
     optimize_essential_graph,
     optimize_sim3,
 )
-from orb_slam_system_tpu.solvers.sim3 import make_sim3_sample_sets, sim3_ransac
+from orb_slam_system_tpu.solvers.sim3 import (
+    make_sim3_sample_sets, sim3_ransac_batch)
 from orb_slam_system_tpu.vocab.vocabulary import Vocabulary
 
 CONSISTENCY_TH = 3      # reference src/LoopClosing.cc:17
@@ -136,13 +137,22 @@ class LoopCloser:
     # ------------------------------------------------------------------
 
     def compute_sim3(self, kf: KeyFrameRec, candidates: List[int]):
-        """Reference ComputeSim3 (:127-208)."""
-        for cand_id in candidates:
-            ckf = self.arena.kfs.get(cand_id)
-            if ckf is None or ckf.bad:
-                continue
-            # BoW matching between the two keyframes' map-point features.
-            m = self._match_keyframes(kf, ckf)
+        """Reference ComputeSim3 (:127-208), candidate-parallel on device:
+        stage 1 runs ONE batched KF-KF BoW match (with the unconstrained
+        retry in-program) over ALL candidates, stage 2 ONE batched Sim3
+        RANSAC over those passing the >=20 gate — the per-candidate
+        version paid 2-3 tunnel round trips per candidate, nearly all on
+        attempts that die at the BoW gate. The refinement tail
+        (SearchBySim3 top-up, OptimizeSim3, projection gate) runs only
+        for RANSAC-passing candidates, first winner taken in candidate
+        order as upstream."""
+        ckfs = [(cid, c) for cid in candidates
+                if (c := self.arena.kfs.get(cid)) is not None and not c.bad]
+        if not ckfs:
+            return False, None, None, None, None
+        match_lists = self._match_keyframes_batch(kf, [c for _, c in ckfs])
+        eligible = []
+        for (cand_id, ckf), m in zip(ckfs, match_lists):
             self.stats["sim3_attempts"] += 1
             if self.debug:
                 print(f"[loop] sim3 kf {kf.id} vs cand {cand_id}: "
@@ -158,26 +168,51 @@ class LoopCloser:
             ok = ok1 & ok2
             if ok.sum() < 20:
                 continue
-            N = len(rows1)
-            uv1 = kf.feats.xy_und[rows1].astype(np.float32)
-            uv2 = ckf.feats.xy_und[rows2].astype(np.float32)
-            max1 = 9.21 * (1.0 / self.inv_sigma2)[kf.feats.octave[rows1]]
-            max2 = 9.21 * (1.0 / self.inv_sigma2)[ckf.feats.octave[rows2]]
-            cam = self.cfg.camera
-            sets = make_sim3_sample_sets(N, 300, 0)
-            # Inputs are immutable copies: release the map mutex for the
-            # RANSAC device round trip so tracking proceeds (loop closure
-            # runs on the async mapping worker).
-            with self.arena.unlocked():
-                okr, s12, R12, t12, inl, n = sim3_ransac(
-                    jnp.asarray(P1), jnp.asarray(P2), jnp.asarray(uv1),
-                    jnp.asarray(uv2), jnp.asarray(max1.astype(np.float32)),
-                    jnp.asarray(max2.astype(np.float32)), jnp.asarray(ok),
-                    jnp.asarray(sets), cam.fx, cam.fy, cam.cx, cam.cy,
-                    fix_scale=self.fix_scale)
+            eligible.append((ckf, rows1, rows2, P1, P2, ok))
+        if not eligible:
+            return False, None, None, None, None
+        cam = self.cfg.camera
+        C = len(eligible)
+        C_pad = max(2, 1 << (C - 1).bit_length())
+        N_pad = max(64, 1 << (max(len(e[1]) for e in eligible) - 1)
+                    .bit_length())
+        P1b = np.zeros((C_pad, N_pad, 3), np.float32)
+        P2b = np.zeros((C_pad, N_pad, 3), np.float32)
+        uv1b = np.zeros((C_pad, N_pad, 2), np.float32)
+        uv2b = np.zeros((C_pad, N_pad, 2), np.float32)
+        m1b = np.ones((C_pad, N_pad), np.float32)
+        m2b = np.ones((C_pad, N_pad), np.float32)
+        okb = np.zeros((C_pad, N_pad), bool)
+        for k, (ckf, rows1, rows2, P1, P2, ok) in enumerate(eligible):
+            n = len(rows1)
+            P1b[k, :n] = P1
+            P2b[k, :n] = P2
+            uv1b[k, :n] = kf.feats.xy_und[rows1]
+            uv2b[k, :n] = ckf.feats.xy_und[rows2]
+            m1b[k, :n] = 9.21 * (1.0 / self.inv_sigma2)[
+                kf.feats.octave[rows1]]
+            m2b[k, :n] = 9.21 * (1.0 / self.inv_sigma2)[
+                ckf.feats.octave[rows2]]
+            okb[k, :n] = ok
+        sets = make_sim3_sample_sets(N_pad, 300, 0)
+        # Inputs are immutable copies: release the map mutex for the
+        # RANSAC device round trip so tracking proceeds (loop closure
+        # runs on the async mapping worker).
+        with self.arena.unlocked():
+            out = np.asarray(sim3_ransac_batch(
+                jnp.asarray(P1b), jnp.asarray(P2b), jnp.asarray(uv1b),
+                jnp.asarray(uv2b), jnp.asarray(m1b), jnp.asarray(m2b),
+                jnp.asarray(okb), jnp.asarray(sets),
+                cam.fx, cam.fy, cam.cx, cam.cy, fix_scale=self.fix_scale))
+        for k, (ckf, rows1, rows2, P1, P2, ok) in enumerate(eligible):
+            okr = out[k, 0] > 0.5
+            s12 = out[k, 1]
+            R12 = out[k, 2:11].reshape(3, 3)
+            t12 = out[k, 11:14]
+            inl = out[k, 14:14 + len(rows1)] > 0.5
             if self.debug:
-                print(f"[loop]   ransac ok={bool(okr)} inl={int(n)} "
-                      f"s={float(s12):.3f}", flush=True)
+                print(f"[loop]   ransac ok={bool(okr)} "
+                      f"inl={int(inl.sum())} s={float(s12):.3f}", flush=True)
             if not bool(okr):
                 self.stats["rej_ransac"] += 1
                 continue
@@ -250,44 +285,49 @@ class LoopCloser:
             return True, ckf, Scw, loop_points, cur_matches
         return False, None, None, None, None
 
-    def _match_keyframes(self, kf1: KeyFrameRec, kf2: KeyFrameRec):
+    def _match_keyframes_batch(self, kf1: KeyFrameRec, ckfs):
         """SearchByBoW(KF,KF) (reference src/ORBmatcher.cc:278-366,
-        upstream-complete): node-constrained ratio-test matching restricted
-        to features with map points.
+        upstream-complete) over ALL loop candidates in ONE device call
+        (matching.search_by_node_id_retry_batch): node-constrained
+        ratio-test matching restricted to features with map points, with
+        the unconstrained fallback IN-PROGRAM (the node constraint exists
+        upstream for speed; our matching is one dense MXU matmul either
+        way, and a shallow self-trained vocabulary under-populates nodes —
+        the Sim3 RANSAC + OptimizeSim3 gates downstream keep precision).
 
-        The node constraint exists in the reference for SPEED (restricting
-        candidate pairs); our matching is one dense MXU matmul either way,
-        so when the constrained pass yields too few matches (common with a
-        shallow self-trained vocabulary) we retry unconstrained — the Sim3
-        RANSAC + OptimizeSim3 gates downstream keep precision."""
+        Returns one [(slot1, slot2), ...] list per candidate."""
+        from orb_slam_system_tpu.models.local_mapping import LocalMapper
         has1 = (kf1.mp_ids >= 0) & kf1.feats.valid
-        has2 = (kf2.mp_ids >= 0) & kf2.feats.valid
         n1 = kf1.node_ids if kf1.node_ids is not None else np.zeros(
             kf1.feats.n_slots, np.int32)
-        n2 = kf2.node_ids if kf2.node_ids is not None else np.zeros(
-            kf2.feats.n_slots, np.int32)
-        res = matching.search_by_node_id(
+        C = len(ckfs)
+        C_pad = max(2, 1 << (C - 1).bit_length())
+        ckfs_p = list(ckfs) + [ckfs[0]] * (C_pad - C)
+        n2max = max(k.feats.n_slots for k in ckfs)
+        pad = LocalMapper._pad_slots
+
+        def stack(f, fill=0):
+            return np.stack([pad(np.asarray(f(k)), n2max, fill)
+                             for k in ckfs_p])
+
+        has2 = stack(lambda k: (k.mp_ids >= 0) & k.feats.valid)
+        node2 = stack(lambda k: (
+            k.node_ids if k.node_ids is not None
+            else np.zeros(k.feats.n_slots, np.int32)))
+        node2 = np.where(has2, node2, -1)
+        res = matching.search_by_node_id_retry_batch(
             jnp.asarray(kf1.feats.desc), jnp.asarray(has1),
-            jnp.asarray(kf1.feats.angle), jnp.asarray(np.where(has1, n1, -1)),
-            jnp.asarray(kf2.feats.desc), jnp.asarray(has2),
-            jnp.asarray(kf2.feats.angle), jnp.asarray(np.where(has2, n2, -1)),
-            nn_ratio=0.75)
+            jnp.asarray(kf1.feats.angle),
+            jnp.asarray(np.where(has1, n1, -1)),
+            jnp.asarray(stack(lambda k: k.feats.desc)), jnp.asarray(has2),
+            jnp.asarray(stack(lambda k: k.feats.angle)),
+            jnp.asarray(node2), nn_ratio=0.75)
         # Inputs are device copies: release the map mutex for the fetch
         # (one tunnel round trip) so tracking's host phases proceed.
         with self.arena.unlocked():
-            idx2 = np.asarray(res.idx2)
-        if (idx2 >= 0).sum() < 20:
-            res = matching.search_by_node_id(
-                jnp.asarray(kf1.feats.desc), jnp.asarray(has1),
-                jnp.asarray(kf1.feats.angle),
-                jnp.asarray(np.zeros(kf1.feats.n_slots, np.int32)),
-                jnp.asarray(kf2.feats.desc), jnp.asarray(has2),
-                jnp.asarray(kf2.feats.angle),
-                jnp.asarray(np.zeros(kf2.feats.n_slots, np.int32)),
-                nn_ratio=0.75)
-            with self.arena.unlocked():
-                idx2 = np.asarray(res.idx2)
-        return [(i, int(idx2[i])) for i in np.nonzero(idx2 >= 0)[0]]
+            idx2_all = np.asarray(res)
+        return [[(int(i), int(row[i])) for i in np.nonzero(row >= 0)[0]]
+                for row in idx2_all[:C]]
 
     def _slot_points(self, kf: KeyFrameRec, exclude=frozenset()):
         """Per-feature-slot map-point arrays (descriptor, world position,

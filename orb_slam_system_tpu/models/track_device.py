@@ -402,6 +402,12 @@ class TrackPrograms:
         # caches lm_remap the same way (Tracker.chain_enqueue).
         th_dev = self._th_cache.get(th)
         if th_dev is None:
+            # Callers pass a small fixed set of radii (the default and the
+            # widened-retry value); cap the cache so a hypothetical
+            # per-frame-varying radius can't leak one device scalar per
+            # distinct value.
+            if len(self._th_cache) >= 8:
+                self._th_cache.pop(next(iter(self._th_cache)))
             th_dev = self._th_cache[th] = jnp.asarray(th, jnp.float32)
         return self._chain_step(
             T_prev_dev, T_last_dev, assoc_dev, jnp.asarray(lm_remap),

@@ -1000,12 +1000,16 @@ class Tracker:
             self._gather_local_points()
         # The block arrays are device-cached per epoch by
         # _gather_local_points, but `valid` is kept numpy there (host
-        # consumers); device-cache its upload alongside, keyed by the
-        # block identity — converting it fresh every frame was one of the
-        # four per-frame device_puts (~2 ms each) in the pipelined loop.
+        # consumers); device-cache its upload alongside, keyed by the SAME
+        # (local keyframe set, arena.version) key as the block cache —
+        # converting it fresh every frame was one of the four per-frame
+        # device_puts (~2 ms each) in the pipelined loop, and keying on
+        # array identity made correctness depend incidentally on the
+        # block cache never mutating its arrays in place.
+        key = (tuple(self.local_kf_ids), self.arena.version)
         cache = self._chain_valid_cache
-        if cache is None or cache[0] is not pos:
-            cache = self._chain_valid_cache = (pos, jnp.asarray(valid))
+        if cache is None or cache[0] != key:
+            cache = self._chain_valid_cache = (key, jnp.asarray(valid))
         return ids, (pos, normal, mind, maxd, desc, cache[1])
 
     def chain_bootstrap(self):

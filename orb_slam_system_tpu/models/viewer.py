@@ -122,7 +122,10 @@ button.on{background:#265f26}
 <div id="status">connecting...</div>
 <div id="row">
  <div><img id="frame" width="640"/></div>
- <div><canvas id="map" width="480" height="480"></canvas></div>
+ <div><canvas id="map" width="560" height="560"></canvas><br/>
+  <span style="color:#888">drag: rotate &middot; wheel: zoom &middot;
+  green frustum: camera &middot; blue: covisibility &middot;
+  gray: spanning tree &middot; red: loop edges</span></div>
 </div>
 <div>
  <button id="follow" class="on" onclick="toggleFollow()">follow camera</button>
@@ -132,9 +135,25 @@ button.on{background:#265f26}
 </div>
 <script>
 let follow = true;
+let yaw = 0.6, pitch = -0.5, dist = 6.0, target = [0,0,0];
 function toggleFollow(){follow=!follow;
   document.getElementById('follow').classList.toggle('on',follow);}
 function cmd(a){fetch('/cmd?action='+a,{method:'POST'});}
+const cv0 = document.getElementById('map');
+let drag = null;
+cv0.addEventListener('mousedown', e=>{drag=[e.clientX,e.clientY];});
+window.addEventListener('mouseup', ()=>{drag=null;});
+window.addEventListener('mousemove', e=>{
+  if(!drag) return;
+  yaw   += (e.clientX-drag[0])*0.008;
+  pitch += (e.clientY-drag[1])*0.008;
+  pitch = Math.max(-1.5, Math.min(1.5, pitch));
+  drag=[e.clientX,e.clientY]; if(last) draw(last);});
+cv0.addEventListener('wheel', e=>{
+  dist *= Math.exp(e.deltaY*0.001);
+  dist = Math.max(0.3, Math.min(100, dist));
+  e.preventDefault(); if(last) draw(last);},{passive:false});
+let last = null;
 async function tick(){
   try{
     const s = await (await fetch('/status')).json();
@@ -142,29 +161,58 @@ async function tick(){
     document.getElementById('loc').classList.toggle('on', s.localization);
     document.getElementById('frame').src = '/frame.png?'+s.n;
     const m = await (await fetch('/map.json')).json();
-    draw(m);
+    last = m; draw(m);
   }catch(e){}
   setTimeout(tick, 200);
 }
-function draw(m){
-  const cv = document.getElementById('map'), g = cv.getContext('2d');
-  g.fillStyle='#000'; g.fillRect(0,0,cv.width,cv.height);
-  let cx=0, cy=0, scale=60;
-  if(follow && m.cur){cx=m.cur[0]; cy=m.cur[1];}
-  else if(m.pts.length){let sx=0,sy=0;
-    for(const p of m.pts){sx+=p[0];sy+=p[1];}
-    cx=sx/m.pts.length; cy=sy/m.pts.length;}
-  const X=p=>cv.width/2+(p[0]-cx)*scale, Y=p=>cv.height/2+(p[1]-cy)*scale;
-  g.fillStyle='#999';
-  for(const p of m.pts){g.fillRect(X(p)-1,Y(p)-1,2,2);}
-  g.strokeStyle='#264'; g.beginPath();
-  for(const e of m.edges){
-    g.moveTo(X(m.kfs[e[0]]),Y(m.kfs[e[0]]));
-    g.lineTo(X(m.kfs[e[1]]),Y(m.kfs[e[1]]));}
+// Hand-rolled 3D view (replaces the reference's Pangolin OpenGlRenderState,
+// src/MapDrawer.cc:21-198): orbit camera around `target`, perspective
+// projection, painter-free wireframes.
+function proj(p){
+  const cy=Math.cos(yaw), sy=Math.sin(yaw);
+  const cp=Math.cos(pitch), sp=Math.sin(pitch);
+  let x=p[0]-target[0], y=p[1]-target[1], z=p[2]-target[2];
+  let x1 =  cy*x + sy*z,  z1 = -sy*x + cy*z;      // yaw about Y
+  let y2 =  cp*y - sp*z1, z2 =  sp*y + cp*z1;     // pitch about X
+  const zc = z2 + dist;
+  if (zc < 0.05) return null;
+  const f = 420;
+  return [cv0.width/2 + f*x1/zc, cv0.height/2 + f*y2/zc];
+}
+function seg(g, a, b){
+  const pa = proj(a), pb = proj(b);
+  if(!pa || !pb) return;
+  g.moveTo(pa[0], pa[1]); g.lineTo(pb[0], pb[1]);
+}
+function frustum(g, fr){   // fr = [apex, c0, c1, c2, c3]
+  g.beginPath();
+  for(let i=1;i<=4;i++) seg(g, fr[0], fr[i]);
+  seg(g, fr[1], fr[2]); seg(g, fr[2], fr[4]);
+  seg(g, fr[4], fr[3]); seg(g, fr[3], fr[1]);
   g.stroke();
-  g.fillStyle='#e44';
-  for(const k of m.kfs){g.fillRect(X(k)-2,Y(k)-2,4,4);}
-  if(m.cur){g.fillStyle='#4e4';g.fillRect(X(m.cur)-3,Y(m.cur)-3,6,6);}
+}
+function draw(m){
+  const g = cv0.getContext('2d');
+  g.fillStyle='#000'; g.fillRect(0,0,cv0.width,cv0.height);
+  if(follow && m.cur){target = m.cur;}
+  else if(m.kfs.length){let s=[0,0,0];
+    for(const k of m.kfs){s[0]+=k[0];s[1]+=k[1];s[2]+=k[2];}
+    target=[s[0]/m.kfs.length, s[1]/m.kfs.length, s[2]/m.kfs.length];}
+  g.fillStyle='#bbb';
+  for(const p of m.pts){const q=proj(p); if(q) g.fillRect(q[0]-1,q[1]-1,2,2);}
+  const styles = {c:'#36c', t:'#777', l:'#e33'};
+  for(const kind of ['c','t','l']){
+    g.strokeStyle = styles[kind];
+    g.lineWidth = kind==='l' ? 2 : 1;
+    g.beginPath();
+    for(const e of m.edges){
+      if(e[2]===kind) seg(g, m.kfs[e[0]], m.kfs[e[1]]);}
+    g.stroke();
+  }
+  g.strokeStyle='#48f'; g.lineWidth=1;
+  for(const fr of m.frusta){frustum(g, fr);}
+  if(m.cur_frustum){g.strokeStyle='#4e4'; g.lineWidth=2;
+    frustum(g, m.cur_frustum);}
 }
 tick();
 </script></body></html>"""
@@ -313,9 +361,27 @@ class LiveViewer:
                 pass
         self.n += 1
 
+    @staticmethod
+    def _frustum(Tcw: np.ndarray, size: float):
+        """Camera wireframe frustum in world coords: [apex, 4 image-plane
+        corners] (reference MapDrawer::DrawKeyFrames geometry,
+        src/MapDrawer.cc:84-128: w=size, h=0.75w, z=0.6w)."""
+        R = Tcw[:3, :3].T
+        C = -R @ Tcw[:3, 3]
+        w, h, z = size, 0.75 * size, 0.6 * size
+        corners = np.array([[-w, -h, z], [w, -h, z], [-w, h, z], [w, h, z]],
+                           np.float32)
+        pts = [C] + [C + R @ c for c in corners]
+        return [[round(float(v), 4) for v in p] for p in pts]
+
     def _map_json(self) -> bytes:
+        """Live 3D map payload: points, keyframe centers + frusta, the
+        covisibility (>=100, 'c') / spanning-tree ('t') / loop ('l') graph
+        — the content of the reference MapDrawer's GL view
+        (src/MapDrawer.cc:21-198) as JSON for the browser renderer."""
         import json
         arena = self.system.arena
+        vw = self.system.cfg.viewer
         with arena.lock:
             pts = [mp.pos for mp in arena.mps.values()]
             if len(pts) > 2000:           # bounded payload
@@ -323,19 +389,34 @@ class LiveViewer:
             kf_ids = sorted(arena.kfs)
             kfi = {k: i for i, k in enumerate(kf_ids)}
             kfs = [arena.kfs[k].camera_center() for k in kf_ids]
+            frusta = [self._frustum(arena.kfs[k].Tcw, vw.keyframe_size)
+                      for k in kf_ids]
             edges = []
             for k in kf_ids:
                 kf = arena.kfs[k]
+                # Covisibility graph >=100 (reference DrawKeyFrames
+                # covisGraph branch), spanning tree, loop edges.
+                for nb, wgt in kf.covis.items():
+                    if wgt >= 100 and nb > k and nb in kfi:
+                        edges.append((kfi[k], kfi[nb], "c"))
                 if kf.parent >= 0 and kf.parent in kfi:
-                    edges.append((kfi[k], kfi[kf.parent]))
+                    edges.append((kfi[k], kfi[kf.parent], "t"))
+                for le in kf.loop_edges:
+                    if le > k and le in kfi:
+                        edges.append((kfi[k], kfi[le], "l"))
             cur = self.system.tracker.current
-            cur_c = (cur.camera_center().tolist()
-                     if cur is not None and cur.Tcw is not None else None)
+            cur_c = None
+            cur_fr = None
+            if cur is not None and cur.Tcw is not None:
+                cur_c = cur.camera_center().tolist()
+                cur_fr = self._frustum(cur.Tcw, vw.camera_size)
         return json.dumps({
             "pts": [[round(float(v), 4) for v in p] for p in pts],
             "kfs": [[round(float(v), 4) for v in p] for p in kfs],
+            "frusta": frusta,
             "edges": edges,
             "cur": cur_c,
+            "cur_frustum": cur_fr,
         }).encode()
 
     def snapshot_map(self, path: str):

@@ -323,6 +323,36 @@ def search_by_node_id_batch(
     return res.idx2
 
 
+@jax.jit
+def search_by_node_id_retry_batch(
+    desc1, valid1, ang1, node1,
+    desc2, valid2, ang2, node2,
+    nn_ratio: jnp.ndarray = 0.75,
+    min_matches: jnp.ndarray = 20,
+):
+    """SearchByBoW(KF,KF) over C candidate keyframes in ONE device program
+    (set-2 args carry a leading [C] axis; set-1 broadcasts), with the
+    unconstrained retry IN-PROGRAM: when the node-constrained pass yields
+    fewer than min_matches, that candidate's result falls back to dense
+    unconstrained matching (the node constraint exists in the reference
+    for SPEED, src/ORBmatcher.cc:278-366; our matching is one MXU matmul
+    either way, and a shallow self-trained vocabulary under-populates
+    nodes). The loop closer used to pay 1-2 tunnel round trips PER
+    candidate here. Returns idx2 i32[C, N1]."""
+    zero1 = jnp.zeros_like(node1)
+
+    def one(d2, v2, a2, n2):
+        rc = search_by_node_id(desc1, valid1, ang1, node1,
+                               d2, v2, a2, n2, nn_ratio=nn_ratio)
+        ru = search_by_node_id(desc1, valid1, ang1, zero1,
+                               d2, v2, a2, jnp.zeros_like(n2),
+                               nn_ratio=nn_ratio)
+        enough = jnp.sum((rc.idx2 >= 0).astype(jnp.int32)) >= min_matches
+        return jnp.where(enough, rc.idx2, ru.idx2)
+
+    return jax.vmap(one)(desc2, valid2, ang2, node2)
+
+
 def _best_in_window(D, proj, rad, lvl, ok, xy, valid, octv):
     """Best column per row under the Sim3 projection window: column j is a
     candidate for row i iff |xy_j - proj_i| <= rad_i (both axes) and

@@ -60,6 +60,32 @@ class BAProblem(NamedTuple):
                 else jnp.full(self.e_cam.shape[0], -1.0, jnp.float32))
 
 
+def _use_matmul_segsum() -> bool:
+    """Segment-sum strategy selection at TRACE time.
+
+    TPU lowers `.at[].add` to a SERIALIZED scatter (~8k sequential block
+    updates per LM iteration made the windowed solve >1 s/keyframe on
+    v5e), so there the reductions run as one-hot matmul contractions on
+    the MXU (exact: 0/1 weights, f32 HIGHEST accumulation). On CPU the
+    opposite holds — native scatter-add is O(E) while the one-hot
+    contraction is O(E*P) dense FLOPs (~10 GFLOP per LM iteration at the
+    windowed sizes, far beyond a 1-core host) — so CPU keeps the scatter.
+    jit compiles for the default backend at call time, which is pinned
+    per process here (tests force CPU; production runs the TPU tunnel)."""
+    import jax as _jax
+    return _jax.default_backend() != "cpu"
+
+
+def _seg_sum(idx, blocks, n, use_matmul, oh=None):
+    """sum blocks[e] into out[idx[e]]: [E,...] -> [n,...]."""
+    if use_matmul:
+        if oh is None:
+            oh = jax.nn.one_hot(idx, n, dtype=blocks.dtype)
+        flat = blocks.reshape(blocks.shape[0], -1)
+        return (oh.T @ flat).reshape((n,) + blocks.shape[1:])
+    return jnp.zeros((n,) + blocks.shape[1:], blocks.dtype).at[idx].add(blocks)
+
+
 def _edge_residuals(xi_all, dX, prob: BAProblem, fx, fy, cx, cy):
     """Residuals and Jacobians for all edges at perturbed state.
     xi_all: f32[C,6] se3 updates (left-mult); dX: f32[P,3] point updates."""
@@ -157,14 +183,11 @@ def bundle_adjust(prob: BAProblem, fx, fy, cx, cy,
     P = prob.points.shape[0]
     f32 = prob.points.dtype
     free_cam = (~prob.cam_fixed) & prob.cam_valid
-    # Segment-sums over edges run as one-hot MATMULS, not scatter-adds:
-    # TPU lowers .at[].add to a serialized scatter (~8k sequential block
-    # updates per LM iteration made the windowed solve >1 s/keyframe on
-    # v5e); as [E,C]/[E,P] one-hot contractions the same reductions ride
-    # the MXU. One-hot entries are exactly 0/1 so the products are exact;
-    # accumulation is f32 under the solver's HIGHEST matmul precision.
-    oh_c = jax.nn.one_hot(prob.e_cam, C, dtype=f32)        # [E,C]
-    oh_p = jax.nn.one_hot(prob.e_pt, P, dtype=f32)         # [E,P]
+    # Segment-sums over edges: one-hot MXU matmuls on TPU, native
+    # scatter-adds on CPU (see _use_matmul_segsum).
+    use_mm = _use_matmul_segsum()
+    oh_c = jax.nn.one_hot(prob.e_cam, C, dtype=f32) if use_mm else None
+    oh_p = jax.nn.one_hot(prob.e_pt, P, dtype=f32) if use_mm else None
 
     def cost_at(Tcw, X, xi_all, dX):
         p = prob._replace(Tcw=Tcw, points=X)
@@ -194,14 +217,26 @@ def bundle_adjust(prob: BAProblem, fx, fy, cx, cy,
         Wcp_e = jnp.einsum("e,eif,eig->efg", w, Jc, Jp)      # [E,6,3]
         gc_e = jnp.einsum("e,eif,ei->ef", w, Jc, e)          # [E,6]
         gp_e = jnp.einsum("e,eif,ei->ef", w, Jp, e)          # [E,3]
-        Hcc = jnp.einsum("ec,efg->cfg", oh_c, Hcc_e)
-        Hpp = jnp.einsum("ep,efg->pfg", oh_p, Hpp_e)
-        gc = jnp.einsum("ec,ef->cf", oh_c, gc_e)
-        gp = jnp.einsum("ep,ef->pf", oh_p, gp_e)
-        # A_cp via a camera-expanded intermediate ([C,E,6,3], C is small)
-        # so the E-contraction against oh_p is one batched MXU matmul.
-        Wc_e = jnp.einsum("ec,eij->ceij", oh_c, Wcp_e)
-        A_cp = jnp.einsum("ceij,ep->cpij", Wc_e, oh_p)
+        Hcc = _seg_sum(prob.e_cam, Hcc_e, C, use_mm, oh_c)
+        Hpp = _seg_sum(prob.e_pt, Hpp_e, P, use_mm, oh_p)
+        gc = _seg_sum(prob.e_cam, gc_e, C, use_mm, oh_c)
+        gp = _seg_sum(prob.e_pt, gp_e, P, use_mm, oh_p)
+        # Cross term A_cp[c,p] = sum_{e: cam=c, pt=p} Wcp_e[e]. TPU: scan
+        # over cameras, each step a per-camera MASKED matmul [P,E]x[E,18]
+        # (peak memory O(E*18+P*18) — the earlier camera-expanded
+        # [C,E,6,3] intermediate materialized hundreds of MB on the
+        # dense-GBA path at C=48 with long edge lists). CPU: scatter-add
+        # at the (cam, pt) block index.
+        if use_mm:
+            Wcp_flat = Wcp_e.reshape(-1, 18)
+            _, A_cp_flat = jax.lax.scan(
+                lambda carry, mask_c:
+                    (carry, oh_p.T @ (Wcp_flat * mask_c[:, None])),
+                None, oh_c.T)                                # [C,P,18]
+            A_cp = A_cp_flat.reshape(C, P, 6, 3)
+        else:
+            A_cp = (jnp.zeros((C, P, 6, 3), f32)
+                    .at[prob.e_cam, prob.e_pt].add(Wcp_e))
         # LM damping (multiplicative on block diagonals).
         # eye * diag[:, :, None] is already the diagonal damping matrix.
         Hcc_d = Hcc + lam * jnp.eye(6, dtype=f32)[None] * jnp.maximum(
@@ -417,6 +452,26 @@ def local_bundle_adjustment(prob: BAProblem, fx, fy, cx, cy):
     Tcw, X = bundle_adjust(prob2, fx, fy, cx, cy, n_iters=10, use_huber=False)
     inlier, _ = classify_outliers(Tcw, X, prob2, fx, fy, cx, cy)
     return Tcw, X, inlier
+
+
+@jax.jit
+@f32_solver
+def local_bundle_adjustment_packed(prob: BAProblem, fx, fy, cx, cy):
+    """local_bundle_adjustment with the three results PACKED into one flat
+    f32 buffer [C*16 + P*3 + E] — on the TPU tunnel every fetched array
+    costs one ~27 ms round trip, so the mapper fetches this once and
+    splits on the host."""
+    Tcw, X, inl = local_bundle_adjustment(prob, fx, fy, cx, cy)
+    return jnp.concatenate([
+        Tcw.reshape(-1), X.reshape(-1), inl.astype(X.dtype)])
+
+
+def unpack_local_ba(buf, C: int, P: int, E: int):
+    """Host-side split of local_bundle_adjustment_packed's buffer."""
+    Tcw = buf[:C * 16].reshape(C, 4, 4)
+    X = buf[C * 16:C * 16 + P * 3].reshape(P, 3)
+    inl = buf[C * 16 + P * 3:] > 0.5
+    return Tcw, X, inl
 
 
 def global_bundle_adjustment(prob: BAProblem, fx, fy, cx, cy, n_iters=20):

@@ -125,6 +125,30 @@ def sim3_ransac(
     return n_f >= min_inliers, s_f, R_f, t_f, inl_f, n_f
 
 
+@jax.jit
+@f32_solver
+def sim3_ransac_batch(
+    P1, P2, uv1, uv2, max_err1, max_err2, valid, sample_sets,
+    fx, fy, cx, cy, fix_scale: jnp.ndarray = False,
+    min_inliers: jnp.ndarray = 20,
+):
+    """sim3_ransac vmapped over C candidate pairs in ONE device program
+    with ONE packed result (the loop closer's ComputeSim3 used to run
+    RANSAC candidate-by-candidate, reference src/LoopClosing.cc:127-208 —
+    each a tunnel round trip). Point args carry a leading [C] axis;
+    sample_sets/camera are shared. Returns f32[C, 14 + N]:
+    [ok, s, R(9), t(3), inliers(N)] per candidate."""
+    def one(p1, p2, u1, u2, m1, m2, v):
+        ok, s, R, t, inl, _n = sim3_ransac(
+            p1, p2, u1, u2, m1, m2, v, sample_sets,
+            fx, fy, cx, cy, fix_scale, min_inliers)
+        return jnp.concatenate([
+            jnp.stack([ok.astype(p1.dtype), s.astype(p1.dtype)]),
+            R.reshape(-1), t, inl.astype(p1.dtype)])
+
+    return jax.vmap(one)(P1, P2, uv1, uv2, max_err1, max_err2, valid)
+
+
 def make_sim3_sample_sets(n_slots: int, n_sets: int = 300, seed: int = 0):
     """Reference RANSAC(0.99, 20, 300) (src/LoopClosing.cc:156)."""
     rng = np.random.default_rng(seed)

@@ -121,6 +121,13 @@ def test_live_viewer_serves_and_toggles():
     assert "OK" in status["line"] and status["localization"] is False
     m = json.loads(get("/map.json"))
     assert len(m["pts"]) > 100 and len(m["kfs"]) >= 2 and m["cur"]
+    # 3D view payload: one 5-point frustum per keyframe, typed graph
+    # edges, current-camera frustum (MapDrawer parity).
+    assert len(m["frusta"]) == len(m["kfs"])
+    assert all(len(fr) == 5 and len(fr[0]) == 3 for fr in m["frusta"])
+    assert m["cur_frustum"] and len(m["cur_frustum"]) == 5
+    assert all(e[2] in ("c", "t", "l") for e in m["edges"])
+    assert any(e[2] == "t" for e in m["edges"])  # spanning tree present
     ply = get("/map.ply")
     assert ply.startswith(b"ply")
 
