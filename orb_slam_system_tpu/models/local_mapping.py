@@ -106,6 +106,8 @@ class LocalMapper:
         self._cv = None
         self._stop = False
         self._busy = False
+        self.worker_errors = 0
+        self.stats_fuse_truncated = 0
 
     # ----- thread-protocol surface (reference :305-458) -------------------
 
@@ -184,6 +186,18 @@ class LocalMapper:
             try:
                 self._busy = True
                 self.process_pending()
+            except Exception:  # noqa: BLE001
+                # A dead worker thread would silently stop draining the
+                # queue and deadlock the next reset/flush; log loudly,
+                # drop the offending keyframe, keep serving (SURVEY.md §5
+                # failure-detection row: the mapping thread must survive
+                # a bad keyframe).
+                import sys
+                import traceback
+                self.worker_errors += 1
+                print("[local_mapping] worker error (keyframe dropped):",
+                      file=sys.stderr)
+                traceback.print_exc()
             finally:
                 self._busy = False
 
@@ -525,16 +539,16 @@ class LocalMapper:
     # ----- fused triangulation + fusion (one device program) ---------------
 
     def _point_data(self, ids, n_pad: int):
-        """Columnar gather of fuse-projection point data for an id list,
-        padded to n_pad: (pos, desc, 0.8*min_dist, 1.2*max_dist, normal,
-        ok)."""
+        """Columnar gather of fuse-projection point data for an id list
+        (or id array with -1 holes), padded to n_pad: (pos, desc,
+        0.8*min_dist, 1.2*max_dist, normal, ok)."""
         pos = np.zeros((n_pad, 3), np.float32)
         desc = np.zeros((n_pad, 8), np.uint32)
         mind = np.zeros(n_pad, np.float32)
         maxd = np.ones(n_pad, np.float32)
         normal = np.zeros((n_pad, 3), np.float32)
         okv = np.zeros(n_pad, bool)
-        if ids:
+        if len(ids):
             rows, ok = self.arena.lookup_points(np.asarray(ids, np.int64))
             (_, c_pos, c_desc, c_mind, c_maxd, _n,
              c_normal) = self.arena.point_columns()
@@ -548,17 +562,30 @@ class LocalMapper:
             okv[w] = True
         return pos, desc, mind, maxd, normal, okv
 
+    # Fusion-target cap: T_pad buckets {FUSE_T_SMALL, FUSE_T_MAX}; targets
+    # beyond the cap (covisibility-ordered, so the weakest) are dropped —
+    # the reference's unbounded first+second-order set rarely exceeds it.
+    FUSE_T_SMALL = 16
+    FUSE_T_MAX = 64
+    # Direction-B union cap (padded pow2 buckets up to this).
+    FUSE_PB_MAX = 4096
+
     def tri_and_fuse(self, kf: KeyFrameRec, do_fuse: bool = True):
-        """CreateNewMapPoints + SearchInNeighbors as ONE device program
-        with ONE packed fetch (ops/mapper_fused.tri_fuse_step): epipolar
-        search, DLT, ALL acceptance gates, and both fusion directions —
-        including the just-triangulated points, whose positions/normals/
-        scale bands the program computes in-flight — run on device; the
-        host only applies arena bookkeeping from the packed result.
+        """CreateNewMapPoints + SearchInNeighbors as TWO CHAINED device
+        programs with ONE packed fetch (ops/mapper_fused.{tri_step,
+        fuse_step} — the fuse program consumes the tri program's block
+        device-resident): epipolar search, DLT, ALL acceptance gates, and
+        both fusion directions — including the just-triangulated points,
+        whose positions/normals/scale bands are computed in-flight — run
+        on device; the host only applies arena bookkeeping from the
+        packed result.
 
         Replaces the 2-program 2-fetch (plus host-gate) sequence; on the
         TPU tunnel each fetch costs ~27 ms and the host gates competed
-        with tracking for the single CPU core."""
+        with tracking for the single CPU core. Shape-bucket discipline
+        matters here: every fresh (neighbors x targets x union) size
+        combination is a multi-second XLA compile landing in the frame
+        loop, so each program keys on few, coarse buckets."""
         from orb_slam_system_tpu.ops import mapper_fused
         cam = self.cfg.camera
         orb = self.cfg.orb
@@ -572,13 +599,17 @@ class LocalMapper:
             return
         with st.stage("tri_fuse_prep"):
             targets: list = []
-            src_ids: list = []
             union: list = []
             if do_fuse:
-                t_ids, src_ids, union = self._fuse_sets(kf)
+                t_ids, _src, union = self._fuse_sets(kf)
                 targets = [self.arena.kfs[t] for t in t_ids]
+                if len(targets) > self.FUSE_T_MAX:
+                    targets = targets[:self.FUSE_T_MAX]
                 if not targets:
                     do_fuse = False
+            # Direction-A ids: SLOT-ALIGNED snapshot of the current KF's
+            # bindings (before point creation mutates kf.mp_ids).
+            src_slot_ids = [int(m) for m in kf.mp_ids]
             # Triangulation inputs (padded as in create_new_map_points).
             M = len(cand)
             M_pad = max(8, 1 << (M - 1).bit_length())
@@ -597,48 +628,15 @@ class LocalMapper:
                              for c in cand_p]).astype(np.float32)
             avail1 = kf.feats.valid & (kf.mp_ids < 0)
             N1 = kf.feats.n_slots
-            # Fusion inputs (fixed dummy shapes when fusion is skipped so
-            # the tri-only program variant compiles once).
-            if do_fuse:
-                T = len(targets)
-                T_pad = max(8, 1 << (T - 1).bit_length())
-                tg_p = targets + [targets[0]] * (T_pad - T)
-                tg_mask = np.zeros(T_pad, bool)
-                tg_mask[:T] = True
-                n2t = max(t.feats.n_slots for t in targets)
-                stackt = lambda f, fill=0: np.stack(  # noqa: E731
-                    [self._pad_slots(np.asarray(f(t)), n2t, fill)
-                     for t in tg_p])
-                tg_xy = stackt(lambda t: t.feats.xy_und)
-                tg_desc = stackt(lambda t: t.feats.desc)
-                tg_val = stackt(lambda t: t.feats.valid)
-                tg_oct = stackt(lambda t: t.feats.octave)
-                tg_R = np.stack([t.Tcw[:3, :3]
-                                 for t in tg_p]).astype(np.float32)
-                tg_t = np.stack([t.Tcw[:3, 3]
-                                 for t in tg_p]).astype(np.float32)
-                tg_ctr = np.stack([t.camera_center()
-                                   for t in tg_p]).astype(np.float32)
-                PA0 = self._pad_pow2(len(src_ids))
-                A = self._point_data(src_ids, PA0)
-                PB = self._pad_pow2(len(union))
-                B = self._point_data(union, PB)
-            else:
-                T_pad, n2t, PA0, PB = 8, 8, 256, 256
-                tg_xy = np.zeros((T_pad, n2t, 2), np.float32)
-                tg_desc = np.zeros((T_pad, n2t, 8), np.uint32)
-                tg_val = np.zeros((T_pad, n2t), bool)
-                tg_oct = np.zeros((T_pad, n2t), np.int32)
-                tg_R = np.tile(np.eye(3, dtype=np.float32), (T_pad, 1, 1))
-                tg_t = np.zeros((T_pad, 3), np.float32)
-                tg_ctr = np.zeros((T_pad, 3), np.float32)
-                tg_mask = np.zeros(T_pad, bool)
-                A = self._point_data([], PA0)
-                B = self._point_data([], PB)
-            args = (
-                jnp.asarray(kf.feats.xy_und), jnp.asarray(kf.feats.desc),
-                jnp.asarray(avail1), jnp.asarray(kf.feats.valid),
-                jnp.asarray(kf.feats.octave), jnp.asarray(kf.feats.angle),
+            O1_dev = jnp.asarray(kf.camera_center().astype(np.float32))
+            nb_O_dev = jnp.asarray(nb_O)
+            Tcw1_dev = jnp.asarray(kf.Tcw.astype(np.float32))
+            xy1_dev = jnp.asarray(kf.feats.xy_und)
+            desc1_dev = jnp.asarray(kf.feats.desc)
+            oct1_dev = jnp.asarray(kf.feats.octave)
+            tri_args = (
+                xy1_dev, desc1_dev,
+                jnp.asarray(avail1), oct1_dev, jnp.asarray(kf.feats.angle),
                 jnp.asarray(stack(lambda c: c[0].feats.xy_und)),
                 jnp.asarray(stack(lambda c: c[0].feats.desc)),
                 jnp.asarray(stack(
@@ -648,30 +646,65 @@ class LocalMapper:
                 jnp.asarray(np.stack([c[1] for c in cand_p])),
                 jnp.asarray(np.stack([c[2] for c in cand_p])),
                 jnp.asarray(nb_valid), jnp.asarray(P1), jnp.asarray(P2_all),
-                jnp.asarray(kf.Tcw.astype(np.float32)), jnp.asarray(nb_Tcw),
-                jnp.asarray(kf.camera_center().astype(np.float32)),
-                jnp.asarray(nb_O),
+                Tcw1_dev, jnp.asarray(nb_Tcw), O1_dev, nb_O_dev,
                 jnp.asarray(np.linalg.inv(
                     cam.K.astype(np.float64)).astype(np.float32)),
                 cam.fx, cam.fy, cam.cx, cam.cy,
-                float(cam.width), float(cam.height),
                 jnp.asarray(self.inv_sigma2), jnp.asarray(self.scale_factors),
-                float(np.log(orb.scale_factor)), 1.5 * orb.scale_factor,
-                jnp.asarray(tg_xy), jnp.asarray(tg_desc),
-                jnp.asarray(tg_val), jnp.asarray(tg_oct),
-                jnp.asarray(tg_R), jnp.asarray(tg_t), jnp.asarray(tg_ctr),
-                jnp.asarray(tg_mask),
-                jnp.asarray(A[0]), jnp.asarray(A[1]), jnp.asarray(A[2]),
-                jnp.asarray(A[3]), jnp.asarray(A[4]), jnp.asarray(A[5]),
-                jnp.asarray(B[0]), jnp.asarray(B[1]), jnp.asarray(B[2]),
-                jnp.asarray(B[3]), jnp.asarray(B[4]), jnp.asarray(B[5]),
+                1.5 * orb.scale_factor,
             )
+            fuse_args = None
+            T_pad = PB = 0
+            if do_fuse:
+                T = len(targets)
+                T_pad = (self.FUSE_T_SMALL if T <= self.FUSE_T_SMALL
+                         else self.FUSE_T_MAX)
+                tg_p = targets + [targets[0]] * (T_pad - T)
+                tg_mask = np.zeros(T_pad, bool)
+                tg_mask[:T] = True
+                n2t = max(t.feats.n_slots for t in targets)
+                stackt = lambda f, fill=0: np.stack(  # noqa: E731
+                    [self._pad_slots(np.asarray(f(t)), n2t, fill)
+                     for t in tg_p])
+                if len(union) > self.FUSE_PB_MAX:
+                    self.stats_fuse_truncated += 1
+                    union = union[:self.FUSE_PB_MAX]
+                PB = self._pad_pow2(len(union), lo=1024)
+                A = self._point_data(src_slot_ids, N1)
+                B = self._point_data(union, PB)
+                fuse_args = (
+                    xy1_dev, desc1_dev, jnp.asarray(kf.feats.valid),
+                    oct1_dev, Tcw1_dev, O1_dev, nb_O_dev,
+                    cam.fx, cam.fy, cam.cx, cam.cy,
+                    float(cam.width), float(cam.height),
+                    jnp.asarray(self.scale_factors),
+                    float(np.log(orb.scale_factor)),
+                    jnp.asarray(stackt(lambda t: t.feats.xy_und)),
+                    jnp.asarray(stackt(lambda t: t.feats.desc)),
+                    jnp.asarray(stackt(lambda t: t.feats.valid)),
+                    jnp.asarray(stackt(lambda t: t.feats.octave)),
+                    jnp.asarray(np.stack([t.Tcw[:3, :3] for t in tg_p])
+                                .astype(np.float32)),
+                    jnp.asarray(np.stack([t.Tcw[:3, 3] for t in tg_p])
+                                .astype(np.float32)),
+                    jnp.asarray(np.stack([t.camera_center() for t in tg_p])
+                                .astype(np.float32)),
+                    jnp.asarray(tg_mask),
+                    jnp.asarray(A[0]), jnp.asarray(A[1]), jnp.asarray(A[2]),
+                    jnp.asarray(A[3]), jnp.asarray(A[4]), jnp.asarray(A[5]),
+                    jnp.asarray(B[0]), jnp.asarray(B[1]), jnp.asarray(B[2]),
+                    jnp.asarray(B[3]), jnp.asarray(B[4]), jnp.asarray(B[5]),
+                )
         with self.arena.unlocked(), st.stage("tri_fuse_device"):
-            buf = np.asarray(mapper_fused.tri_fuse_step(
-                *args, do_fuse=do_fuse))
+            tri_dev = mapper_fused.tri_step(*tri_args)
+            if do_fuse:
+                buf = np.asarray(mapper_fused.fuse_step(
+                    tri_dev, *fuse_args))
+            else:
+                buf = np.asarray(tri_dev).reshape(-1)
         with st.stage("tri_fuse_merge"):
             tri, idxA, idxB = mapper_fused.unpack_tri_fuse(
-                buf, N1, T_pad, PA0 + N1, PB, do_fuse)
+                buf, N1, T_pad, 2 * N1, PB, do_fuse)
             # Create accepted points (device gates are authoritative; the
             # arena-claim re-checks guard only against pads/defensive
             # staleness).
@@ -697,7 +730,7 @@ class LocalMapper:
                 self.arena.compute_distinctive_many(created)
                 self.arena.update_normals_many(created, self.scale_factors)
             if do_fuse:
-                idsA = (src_ids + [-1] * (PA0 - len(src_ids)) + created_ids)
+                idsA = src_slot_ids + created_ids
                 idsB = union + [-1] * (PB - len(union))
                 touched: dict = {}
                 for j, t_kf in enumerate(targets):

@@ -20,17 +20,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-KPT = 16         # keypoints per grid step
+# Keypoints per grid step. Chunk width trades per-keypoint sequencing
+# overhead (the align loop) against VMEM scratch and matmul granularity;
+# override with ORB_SLAM_GATHER_KPT for A/B measurement (r3 landed 16;
+# r4 measures 32/64 per VERDICT #4).
+import os as _os
+KPT = int(_os.environ.get("ORB_SLAM_GATHER_KPT", "16"))
 WIN_W = 256      # DMA window width: 128-aligned start + patch fits
 WIN_H = 56       # DMA window height: 8-aligned start + patch fits
 
 
-def _kernel(ys_ref, xs_ref, img_ref, out_ref, win, sem, *, H, W, P):
+def _kernel(ys_ref, xs_ref, img_ref, out_ref, win, sem, *, H, W, P,
+            kpt):
     b = pl.program_id(0)
     j = pl.program_id(1)
 
     def corner(k):
-        kp = j * KPT + k
+        kp = j * kpt + k
         y0 = ys_ref[b, kp]
         x0 = xs_ref[b, kp]
         # DMA offsets must be tile-aligned (sublane 8, lane 128); the
@@ -45,12 +51,12 @@ def _kernel(ys_ref, xs_ref, img_ref, out_ref, win, sem, *, H, W, P):
             img_ref.at[b, pl.ds(ya, WIN_H), pl.ds(xa, WIN_W)],
             win.at[k], sem.at[k])
 
-    # One window slot per keypoint: all KPT DMAs run concurrently and no
+    # One window slot per keypoint: all kpt DMAs run concurrently and no
     # slot is ever reused within a program (slot reuse raced with the
     # in-flight reads of the previous occupant).
-    for k in range(KPT):
+    for k in range(kpt):
         get_dma(k).start()
-    for k in range(KPT):
+    for k in range(kpt):
         get_dma(k).wait()
         y0, x0, ya, xa = corner(k)
         oy = y0 - ya                          # in [0, 8)
@@ -64,9 +70,11 @@ def _kernel(ys_ref, xs_ref, img_ref, out_ref, win, sem, *, H, W, P):
         out_ref[0, k] = rolled[:, :P]
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
-def gather_patches_pallas(img: jnp.ndarray, xy: jnp.ndarray, radius: int):
+@functools.partial(jax.jit, static_argnames=("radius", "kpt"))
+def gather_patches_pallas(img: jnp.ndarray, xy: jnp.ndarray, radius: int,
+                          kpt: int = 0):
     """img: f32[B,H,W]; xy: i32[B,N,2] (x,y) centers -> f32[B,N,P,P]."""
+    kpt = kpt or KPT
     B, H, W0 = img.shape
     N = xy.shape[1]
     P = 2 * radius + 1
@@ -83,24 +91,24 @@ def gather_patches_pallas(img: jnp.ndarray, xy: jnp.ndarray, radius: int):
                   min(W0 - P, W - WIN_W + 127)).astype(jnp.int32)
     y0 = jnp.clip(xy[..., 1] - radius, 0,
                   min(H - P, Hp - WIN_H + 7)).astype(jnp.int32)
-    n_pad = -(-N // KPT) * KPT
+    n_pad = -(-N // kpt) * kpt
     if n_pad != N:
         x0 = jnp.pad(x0, ((0, 0), (0, n_pad - N)))
         y0 = jnp.pad(y0, ((0, 0), (0, n_pad - N)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, n_pad // KPT),
+        grid=(B, n_pad // kpt),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (1, KPT, P, P), lambda b, j, ys, xs: (b, j, 0, 0),
+            (1, kpt, P, P), lambda b, j, ys, xs: (b, j, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((KPT, WIN_H, WIN_W), img.dtype),
-            pltpu.SemaphoreType.DMA((KPT,)),
+            pltpu.VMEM((kpt, WIN_H, WIN_W), img.dtype),
+            pltpu.SemaphoreType.DMA((kpt,)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, H=Hp, W=W, P=P),
+        functools.partial(_kernel, H=Hp, W=W, P=P, kpt=kpt),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_pad, P, P), img.dtype),
     )(y0, x0, x)
@@ -108,7 +116,7 @@ def gather_patches_pallas(img: jnp.ndarray, xy: jnp.ndarray, radius: int):
 
 
 def _kernel_fused(ys_ref, xs_ref, img_ref, wx_ref, wy_ref,
-                  blur_ref, mom_ref, win, sem, *, P, PB, PO, taps):
+                  blur_ref, mom_ref, win, sem, *, P, PB, PO, taps, kpt):
     """Fused gather + 7x7 separable blur + IC-angle moments.
 
     Per keypoint: extract the P x P patch exactly as _kernel, then
@@ -120,7 +128,7 @@ def _kernel_fused(ys_ref, xs_ref, img_ref, wx_ref, wy_ref,
     j = pl.program_id(1)
 
     def corner(k):
-        kp = j * KPT + k
+        kp = j * kpt + k
         y0 = ys_ref[b, kp]
         x0 = xs_ref[b, kp]
         ya = pl.multiple_of((y0 // 8) * 8, 8)
@@ -133,10 +141,10 @@ def _kernel_fused(ys_ref, xs_ref, img_ref, wx_ref, wy_ref,
             img_ref.at[b, pl.ds(ya, WIN_H), pl.ds(xa, WIN_W)],
             win.at[k], sem.at[k])
 
-    for k in range(KPT):
+    for k in range(kpt):
         get_dma(k).start()
     co = (P - PO) // 2                     # 31x31 orientation center
-    for k in range(KPT):
+    for k in range(kpt):
         get_dma(k).wait()
         y0, x0, ya, xa = corner(k)
         oy = y0 - ya
@@ -174,7 +182,7 @@ VMEM_CANVAS_BUDGET = 8 * 1024 * 1024
 def _kernel_fused_resident(ys_ref, xs_ref, img_ref, wx_ref, wy_ref,
                            arow_ref, bcol_ref, blur_ref, mom_ref,
                            canvas, csem, patches,
-                           *, P, PB, PO, taps):
+                           *, P, PB, PO, taps, kpt):
     """_kernel_fused with the whole (batch-item) canvas VMEM-resident:
     the canvas is DMA'd HBM->VMEM ONCE per batch index (single-buffered
     scratch, ~7 MB for the full 8-level 640x480 pyramid canvas), and the
@@ -202,8 +210,8 @@ def _kernel_fused_resident(ys_ref, xs_ref, img_ref, wx_ref, wy_ref,
         canvas_dma().wait()
 
     co = (P - PO) // 2
-    for k in range(KPT):
-        kp = j * KPT + k
+    for k in range(kpt):
+        kp = j * kpt + k
         y0 = ys_ref[b, kp]
         x0 = xs_ref[b, kp]
         ya = pl.multiple_of((y0 // 8) * 8, 8)
@@ -220,7 +228,7 @@ def _kernel_fused_resident(ys_ref, xs_ref, img_ref, wx_ref, wy_ref,
         w = canvas[pl.ds(ya, WIN_H), pl.ds(xa, WIN_W)]
         rows = pltpu.roll(w, WIN_H - oy, axis=0)[:P, :]
         patches[k] = pltpu.roll(rows, WIN_W - ox, axis=1)[:, :128]
-    pk = patches[...]                                   # [KPT, P, 128]
+    pk = patches[...]                                   # [kpt, P, 128]
     sub = pk[:, co:co + PO, co:co + PO]                 # [KPT, PO, PO]
     mom_ref[0, :, 0, :] = jnp.sum(sub * wx_ref[...][None], axis=1)
     mom_ref[0, :, 1, :] = jnp.sum(sub * wy_ref[...][None], axis=1)
@@ -237,13 +245,13 @@ def _kernel_fused_resident(ys_ref, xs_ref, img_ref, wx_ref, wy_ref,
         acc_v, bcol_ref[...], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)            # [PB, KPT, 128]
-    for k in range(KPT):
+    for k in range(kpt):
         blur_ref[0, k] = acc[:, k, :PB]
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
+@functools.partial(jax.jit, static_argnames=("radius", "kpt"))
 def gather_blur_moments_pallas(img: jnp.ndarray, xy: jnp.ndarray,
-                               radius: int = 21):
+                               radius: int = 21, kpt: int = 0):
     """img: f32[B,H,W] (already reflect-padded for the blur halo by the
     caller, like gather_patches callers); xy: i32[B,N,2] patch centers in
     the padded image. Returns (blurred f32[B,N,PB,PB] with PB=P-6 and the
@@ -252,6 +260,7 @@ def gather_blur_moments_pallas(img: jnp.ndarray, xy: jnp.ndarray,
     from orb_slam_system_tpu.ops.orientation import HALF_PATCH, moment_weights
     from orb_slam_system_tpu.ops.pyramid import gaussian_kernel_1d
 
+    kpt = kpt or KPT
     B, H, W0 = img.shape
     N = xy.shape[1]
     P = 2 * radius + 1
@@ -265,7 +274,7 @@ def gather_blur_moments_pallas(img: jnp.ndarray, xy: jnp.ndarray,
                   min(W0 - P, W - WIN_W + 127)).astype(jnp.int32)
     y0 = jnp.clip(xy[..., 1] - radius, 0,
                   min(H - P, Hp - WIN_H + 7)).astype(jnp.int32)
-    n_pad = -(-N // KPT) * KPT
+    n_pad = -(-N // kpt) * kpt
     if n_pad != N:
         x0 = jnp.pad(x0, ((0, 0), (0, n_pad - N)))
         y0 = jnp.pad(y0, ((0, 0), (0, n_pad - N)))
@@ -289,7 +298,7 @@ def gather_blur_moments_pallas(img: jnp.ndarray, xy: jnp.ndarray,
         # the vectorized (matmul) blur.
         scratch = [pltpu.VMEM((Hp, W), img.dtype),
                    pltpu.SemaphoreType.DMA,
-                   pltpu.VMEM((KPT, P, 128), img.dtype)]
+                   pltpu.VMEM((kpt, P, 128), img.dtype)]
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((PO, PO), lambda b, j, ys, xs: (0, 0)),
@@ -300,8 +309,8 @@ def gather_blur_moments_pallas(img: jnp.ndarray, xy: jnp.ndarray,
         extra_in = (jnp.asarray(arow), jnp.asarray(bcol))
     else:
         scratch = [
-            pltpu.VMEM((KPT, WIN_H, WIN_W), img.dtype),
-            pltpu.SemaphoreType.DMA((KPT,)),
+            pltpu.VMEM((kpt, WIN_H, WIN_W), img.dtype),
+            pltpu.SemaphoreType.DMA((kpt,)),
         ]
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -311,18 +320,18 @@ def gather_blur_moments_pallas(img: jnp.ndarray, xy: jnp.ndarray,
         extra_in = ()
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, n_pad // KPT),
+        grid=(B, n_pad // kpt),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, KPT, PB, PB), lambda b, j, ys, xs: (b, j, 0, 0),
+            pl.BlockSpec((1, kpt, PB, PB), lambda b, j, ys, xs: (b, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KPT, 2, PO), lambda b, j, ys, xs: (b, j, 0, 0),
+            pl.BlockSpec((1, kpt, 2, PO), lambda b, j, ys, xs: (b, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=scratch,
     )
     blur, mom = pl.pallas_call(
-        functools.partial(kern, P=P, PB=PB, PO=PO, taps=taps),
+        functools.partial(kern, P=P, PB=PB, PO=PO, taps=taps, kpt=kpt),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, n_pad, PB, PB), img.dtype),

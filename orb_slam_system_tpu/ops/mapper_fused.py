@@ -1,34 +1,38 @@
-"""Fused keyframe-insertion device program: triangulation + fusion.
+"""Fused keyframe-insertion device programs: triangulation + fusion.
 
 The local mapper's per-keyframe device work used to run as THREE separate
 programs (epipolar search + DLT, its host-side acceptance gates, then the
 neighbor-fusion projection search), each paying one ~27 ms tunnel round
-trip plus host gate time on the single-core host. This module fuses the
-whole tri+fuse pipeline into ONE jitted program with ONE packed fetch:
+trip plus host gate time on the single-core host. This module runs the
+whole tri+fuse pipeline with ONE packed fetch:
 
-  1. epipolar triangulation search against the M covisible neighbors
-     (reference LocalMapping::CreateNewMapPoints src/LocalMapping.cc:166-233
-     + ORBmatcher::SearchForTriangulation src/ORBmatcher.cc:368-467),
-  2. batched two-view DLT,
-  3. ALL acceptance gates on device (parallax, cheirality, reprojection
-     chi2, scale consistency — reference :219-233),
-  4. cross-neighbor winner per feature slot (the sequential reference
-     claims a slot at the first neighbor that triangulates it),
-  5. SearchInNeighbors fusion (reference :235-293 + ORBmatcher::Fuse
-     :504-568): direction A projects the current keyframe's map points —
-     INCLUDING the points just accepted by step 4, whose world positions,
-     normals and scale bands are computed in-program — into every fuse
-     target; direction B projects the targets' point union into the
-     current keyframe.
+  * `tri_step`: epipolar triangulation search against the M covisible
+    neighbors (reference LocalMapping::CreateNewMapPoints
+    src/LocalMapping.cc:166-233 + ORBmatcher::SearchForTriangulation
+    src/ORBmatcher.cc:368-467), batched two-view DLT, ALL acceptance
+    gates (parallax, cheirality, reprojection chi2, scale consistency —
+    reference :219-233) and the cross-neighbor winner per feature slot —
+    on device, returning a DEVICE-RESIDENT [N1, 6] block.
+  * `fuse_step`: SearchInNeighbors fusion (reference :235-293 +
+    ORBmatcher::Fuse :504-568) consuming `tri_step`'s block WITHOUT a
+    host round trip: direction A projects the current keyframe's map
+    points — including the just-accepted points, whose world positions,
+    normals and scale bands are computed in-program from the block —
+    into every fuse target; direction B projects the targets' point
+    union into the current keyframe. Its packed output carries the tri
+    block along, so the host fetches EVERYTHING in one array.
+
+Two chained programs instead of one deliberately: a single program keyed
+its compile on the PRODUCT of all size axes (neighbors x targets x
+union-size x slot counts), and every fresh combination cost a multi-
+second XLA compile in the frame loop; chaining keys each program on its
+own axes only (sum, not product).
 
 The host then creates the accepted points and applies the fuse merges
-from the single packed result (arena bookkeeping stays host-side and
-authoritative).
+(arena bookkeeping stays host-side and authoritative).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -123,37 +127,23 @@ def _tri_gates(xy1, oct1, nb_xy, nb_oct, idx2, X, okd,
     ratio_oct = scale_factors[oct1][None] / scale_factors[oct2]
     ok &= ~((ratio_dist * ratio_factor < ratio_oct)
             | (ratio_dist > ratio_oct * ratio_factor))
-    return ok, d1, d2
+    return ok
 
 
-@functools.partial(jax.jit, static_argnames=("do_fuse",))
-def tri_fuse_step(
-    # current keyframe (N1 feature slots)
-    xy1, desc1, avail1, valid1, oct1, ang1,
-    # triangulation neighbors [M]
+@jax.jit
+def tri_step(
+    xy1, desc1, avail1, oct1, ang1,
     nb_xy, nb_desc, nb_avail, nb_oct, nb_ang,
     F12, epipole, nb_valid, P1, P2,
     Tcw1, nb_Tcw, O1, nb_O,
-    # camera + pyramid constants
-    Kinv, fx, fy, cx, cy, w, h,
-    inv_sigma2, scale_factors, log_sf, ratio_factor,
-    # fuse targets [T]
-    tg_xy, tg_desc, tg_valid, tg_oct, tg_R, tg_t, tg_ctr, tg_mask,
-    # direction A: current KF's pre-existing bound points [PA0]
-    A_pos, A_desc, A_mind, A_maxd, A_normal, A_ok,
-    # direction B: target point union projected into the current KF [PB]
-    B_pos, B_desc, B_mind, B_maxd, B_normal, B_ok,
-    radius_th=3.0,
-    do_fuse: bool = True,
+    Kinv, fx, fy, cx, cy,
+    inv_sigma2, scale_factors, ratio_factor,
 ):
-    """Returns ONE packed f32 vector:
-    [N1*6 tri block | T*(PA0+N1) direction-A idx | PB direction-B idx].
-
-    Tri block rows: (accepted, winner_m, idx2, X, Y, Z) per slot."""
+    """Triangulation search + DLT + gates + first-neighbor-wins claims.
+    Returns a device-resident f32[N1, 6] block:
+    (accepted, winner_m, idx2, X, Y, Z) per feature slot."""
     N1 = xy1.shape[0]
     M = nb_xy.shape[0]
-    # 1-2. Epipolar search + DLT (one program with the gates below; the
-    # old standalone version returned to the host after this step).
     idx2 = matching.search_for_triangulation_batch(
         xy1, desc1, avail1, oct1, ang1,
         nb_xy, nb_desc, nb_avail, nb_oct, nb_ang,
@@ -162,13 +152,12 @@ def tri_fuse_step(
     uv2 = jnp.take_along_axis(nb_xy, sel[..., None], axis=1)    # [M,N1,2]
     X, okd = jax.vmap(triangulate_dlt, in_axes=(None, 0, None, 0))(
         xy1, uv2, P1, P2)
-    # 3. Acceptance gates.
-    ok, d1, _ = _tri_gates(xy1, oct1, nb_xy, nb_oct, idx2, X, okd,
-                           Tcw1, nb_Tcw, O1, nb_O, Kinv,
-                           fx, fy, cx, cy, inv_sigma2, scale_factors,
-                           ratio_factor)
+    ok = _tri_gates(xy1, oct1, nb_xy, nb_oct, idx2, X, okd,
+                    Tcw1, nb_Tcw, O1, nb_O, Kinv,
+                    fx, fy, cx, cy, inv_sigma2, scale_factors,
+                    ratio_factor)
     ok &= nb_valid[:, None]
-    # 4. First-neighbor-wins claim per slot (the sequential reference
+    # First-neighbor-wins claim per slot (the sequential reference
     # processes neighbors in covisibility order and skips slots already
     # claimed by an earlier neighbor).
     m_rank = jnp.where(ok, jnp.arange(M, dtype=jnp.int32)[:, None], M)
@@ -178,17 +167,40 @@ def tri_fuse_step(
     rows = jnp.arange(N1)
     Xn = X[mw, rows]                                            # [N1,3]
     idx2n = jnp.where(new_ok, idx2[mw, rows], -1)
-    tri_block = jnp.concatenate([
+    return jnp.concatenate([
         new_ok[:, None].astype(jnp.float32),
         mwin[:, None].astype(jnp.float32),
         idx2n[:, None].astype(jnp.float32),
         Xn.astype(jnp.float32)], axis=1)                        # [N1,6]
-    if not do_fuse:
-        return tri_block.reshape(-1)
-    # New-point attributes for the fusion pass, matching what the arena
-    # computes at creation (MapPoint ctor + UpdateNormalAndDepth,
-    # reference src/MapPoint.cc:301-351: band anchored at the creating
-    # keyframe's viewpoint/octave; normal = mean unit ray of the 2 obs).
+
+
+@jax.jit
+def fuse_step(
+    tri_block,                                   # f32[N1,6] from tri_step
+    xy1, desc1, valid1, oct1,
+    Tcw1, O1, nb_O,
+    fx, fy, cx, cy, w, h,
+    scale_factors, log_sf,
+    # fuse targets [T]
+    tg_xy, tg_desc, tg_valid, tg_oct, tg_R, tg_t, tg_ctr, tg_mask,
+    # direction A: the current KF's bound points, SLOT-ALIGNED [N1]
+    A_pos, A_desc, A_mind, A_maxd, A_normal, A_ok,
+    # direction B: target point union projected into the current KF [PB]
+    B_pos, B_desc, B_mind, B_maxd, B_normal, B_ok,
+    radius_th=3.0,
+):
+    """Both fusion directions, consuming tri_step's device block. Returns
+    ONE packed f32 vector [N1*6 tri | T*(2*N1) direction-A idx | PB
+    direction-B idx] — the single fetch of the whole insertion."""
+    N1 = xy1.shape[0]
+    T = tg_xy.shape[0]
+    new_ok = tri_block[:, 0] > 0.5
+    mw = jnp.where(new_ok, tri_block[:, 1], 0).astype(jnp.int32)
+    Xn = tri_block[:, 3:6]
+    # New-point attributes, matching what the arena computes at creation
+    # (MapPoint ctor + UpdateNormalAndDepth, reference
+    # src/MapPoint.cc:301-351: band anchored at the creating keyframe's
+    # viewpoint/octave; normal = mean unit ray of the 2 observations).
     L = scale_factors.shape[0]
     dist1 = jnp.maximum(jnp.linalg.norm(Xn - O1[None], axis=1), 1e-9)
     maxd_n = dist1 * scale_factors[oct1]
@@ -198,7 +210,7 @@ def tri_fuse_step(
     d2n = jnp.maximum(jnp.linalg.norm(Xn - O2n, axis=1), 1e-9)
     v2 = (Xn - O2n) / d2n[:, None]
     normal_n = 0.5 * (v1 + v2)
-    # 5a. Direction A: old bound points + the new points into T targets.
+    # Direction A: old bound points (slot-aligned) + the new points.
     posA = jnp.concatenate([A_pos, Xn.astype(jnp.float32)])
     descA = jnp.concatenate([A_desc, desc1])
     mindA = jnp.concatenate([A_mind, (0.8 * mind_n).astype(jnp.float32)])
@@ -210,14 +222,12 @@ def tri_fuse_step(
         tg_R, tg_t, tg_ctr, w, h, fx, fy, cx, cy,
         posA, normalA, mindA, maxdA, okA, log_sf, scale_factors, radius_th)
     goodA &= tg_mask[:, None]
-    T = tg_xy.shape[0]
-    PA = posA.shape[0]
     idxA = matching.search_by_projection_set_batch(
         projA, radA, lvlA, goodA,
         jnp.broadcast_to(descA[None], (T,) + descA.shape),
         tg_xy, tg_desc, tg_valid, tg_oct,
-        jnp.zeros((T, tg_xy.shape[1]), bool))                   # [T,PA]
-    # 5b. Direction B: target point union into the current keyframe.
+        jnp.zeros((T, tg_xy.shape[1]), bool))                   # [T,2*N1]
+    # Direction B: target point union into the current keyframe.
     projB, radB, lvlB, goodB = _project_for_fuse(
         Tcw1[None, :3, :3], Tcw1[None, :3, 3], O1[None], w, h,
         fx, fy, cx, cy, B_pos, B_normal, B_mind, B_maxd, B_ok,
@@ -234,7 +244,8 @@ def tri_fuse_step(
 
 def unpack_tri_fuse(buf, N1: int, T: int, PA: int, PB: int,
                     do_fuse: bool = True):
-    """Host split of tri_fuse_step's packed buffer. Returns
+    """Host split of the packed buffer (fuse_step's output, or tri_step's
+    block alone when fusion was skipped). Returns
     (tri [N1,6], idxA i64[T,PA] or None, idxB i64[PB] or None)."""
     tri = buf[:N1 * 6].reshape(N1, 6)
     if not do_fuse:

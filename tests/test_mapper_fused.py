@@ -16,12 +16,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def test_tri_fuse_step_shapes():
-    """Smoke: compile the fused program at tiny shapes, both variants."""
+    """Smoke: compile both chained programs at tiny shapes and check the
+    packed layout."""
     import jax.numpy as jnp
     from orb_slam_system_tpu.ops import mapper_fused
 
     rng = np.random.default_rng(0)
-    N1, M, T, PA0, PB, N2 = 16, 8, 8, 8, 8, 16
+    N1, M, T, PB, N2 = 16, 8, 8, 8, 16
     L = 4
     f = lambda *s: jnp.asarray(  # noqa: E731
         rng.normal(size=s).astype(np.float32))
@@ -30,38 +31,46 @@ def test_tri_fuse_step_shapes():
     b = lambda *s: jnp.asarray(np.ones(s, bool))  # noqa: E731
     o = lambda *s: jnp.asarray(  # noqa: E731
         rng.integers(0, L, size=s).astype(np.int32))
-    eye34 = jnp.asarray(np.tile(np.eye(3, 4, dtype=np.float32), (1, 1)))
     sf = jnp.asarray((1.2 ** np.arange(L)).astype(np.float32))
     is2 = jnp.asarray((1.0 / sf ** 2).astype(np.float32))
-    args = (
-        f(N1, 2) * 100, d(N1, 8), b(N1), b(N1), o(N1), f(N1),
+    xy1, desc1, oct1 = f(N1, 2) * 100, d(N1, 8), o(N1)
+    Tcw1 = jnp.asarray(np.eye(4, dtype=np.float32))
+    O1 = jnp.asarray(np.zeros(3, np.float32))
+    nb_O = f(M, 3)
+    tri_args = (
+        xy1, desc1, b(N1), oct1, f(N1),
         f(M, N2, 2) * 100, d(M, N2, 8), b(M, N2), o(M, N2), f(M, N2),
-        f(M, 3, 3), f(M, 2), b(M), eye34,
+        f(M, 3, 3), f(M, 2), b(M),
+        jnp.asarray(np.eye(3, 4, dtype=np.float32)),
         jnp.asarray(np.tile(np.eye(3, 4, dtype=np.float32), (M, 1, 1))),
-        jnp.asarray(np.eye(4, dtype=np.float32)),
-        jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (M, 1, 1))),
-        jnp.asarray(np.zeros(3, np.float32)), f(M, 3),
+        Tcw1, jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (M, 1, 1))),
+        O1, nb_O,
         jnp.asarray(np.eye(3, dtype=np.float32)),
+        100.0, 100.0, 80.0, 60.0,
+        is2, sf, 1.8,
+    )
+    tri = mapper_fused.tri_step(*tri_args)
+    assert tri.shape == (N1, 6)
+    fuse_args = (
+        xy1, desc1, b(N1), oct1, Tcw1, O1, nb_O,
         100.0, 100.0, 80.0, 60.0, 160.0, 120.0,
-        is2, sf, float(np.log(1.2)), 1.8,
+        sf, float(np.log(1.2)),
         f(T, N2, 2) * 100, d(T, N2, 8), b(T, N2), o(T, N2),
         jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (T, 1, 1))),
         f(T, 3), f(T, 3), b(T),
-        f(PA0, 3), d(PA0, 8), jnp.asarray(np.zeros(PA0, np.float32)),
-        jnp.asarray(np.full(PA0, 10.0, np.float32)), f(PA0, 3), b(PA0),
+        f(N1, 3), d(N1, 8), jnp.asarray(np.zeros(N1, np.float32)),
+        jnp.asarray(np.full(N1, 10.0, np.float32)), f(N1, 3), b(N1),
         f(PB, 3), d(PB, 8), jnp.asarray(np.zeros(PB, np.float32)),
         jnp.asarray(np.full(PB, 10.0, np.float32)), f(PB, 3), b(PB),
     )
-    out = np.asarray(mapper_fused.tri_fuse_step(*args, do_fuse=True))
-    assert out.shape == (N1 * 6 + T * (PA0 + N1) + PB,)
-    tri, idxA, idxB = mapper_fused.unpack_tri_fuse(
-        out, N1, T, PA0 + N1, PB, True)
-    assert tri.shape == (N1, 6)
-    assert idxA.shape == (T, PA0 + N1)
+    out = np.asarray(mapper_fused.fuse_step(tri, *fuse_args))
+    assert out.shape == (N1 * 6 + T * 2 * N1 + PB,)
+    tri_h, idxA, idxB = mapper_fused.unpack_tri_fuse(
+        out, N1, T, 2 * N1, PB, True)
+    assert tri_h.shape == (N1, 6)
+    np.testing.assert_allclose(tri_h, np.asarray(tri))
+    assert idxA.shape == (T, 2 * N1)
     assert idxB.shape == (PB,)
-    out2 = np.asarray(mapper_fused.tri_fuse_step(*args, do_fuse=False))
-    assert out2.shape == (N1 * 6,)
-    np.testing.assert_allclose(out2, out[:N1 * 6])
 
 
 @pytest.fixture(scope="module")
