@@ -22,8 +22,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Keypoints per grid step. Chunk width trades per-keypoint sequencing
 # overhead (the align loop) against VMEM scratch and matmul granularity;
-# override with ORB_SLAM_GATHER_KPT for A/B measurement (r3 landed 16;
-# r4 measures 32/64 per VERDICT #4).
+# override with ORB_SLAM_GATHER_KPT for A/B measurement. r4 same-window
+# v5e A/B (tools/tpu_gather_chunk.py): 16/32/64 -> 2.75/2.70/2.67 ms per
+# batch-8 level-0 call, bit-equal outputs — the kernel is NOT chunk-width
+# bound (<3% spread). 64 also VMEM-OOMs at the extractor's real patch
+# (P=37: scoped 18.89M > 16M limit on v5e), so 16 stays the default.
 import os as _os
 KPT = int(_os.environ.get("ORB_SLAM_GATHER_KPT", "16"))
 WIN_W = 256      # DMA window width: 128-aligned start + patch fits
