@@ -87,6 +87,9 @@ def run(n_frames=1000, out_json=None, verbose=True, n_features=400,
     if os.environ.get("ORB_SLAM_KF_ASYNC_QUEUE"):
         v = os.environ["ORB_SLAM_KF_ASYNC_QUEUE"]
         slam.tracker.kf_async_queue = None if v == "none" else int(v)
+    if os.environ.get("ORB_SLAM_KF_ASYNC_WAIT"):
+        slam.tracker.kf_async_wait_s = float(
+            os.environ["ORB_SLAM_KF_ASYNC_WAIT"])
     rng = np.random.default_rng(1)
     per = n_frames // leaves
     gt = {}
@@ -172,6 +175,7 @@ def run(n_frames=1000, out_json=None, verbose=True, n_features=400,
         "loop_stats": dict(slam.loop_closer.stats),
         "chain_stats": dict(slam.tracker.chain_stats),
         "reloc_stats": dict(slam.tracker.reloc_stats),
+        "kf_wait_stats": dict(slam.tracker.kf_wait_stats),
         # Median per-keyframe associated-point count (thin keyframes
         # starve the loop pipeline's KF-to-KF BoW matching).
         "kf_mp_median": float(np.median(

@@ -139,6 +139,21 @@ class Tracker:
         # see need_new_keyframe). 0/None disables (strict upstream
         # monocular behavior: drop the want when busy).
         self.kf_async_queue: Optional[int] = 3
+        # Backpressure companion to kf_async_queue: when a keyframe is
+        # demanded but the queue is already full, wait up to this many
+        # seconds (arena lock RELEASED so the worker can drain) for a
+        # slot instead of dropping the demand. On a mapper that keeps
+        # pace (the deploy target: TPU mapping ~0.36 s/KF vs demand
+        # ~1 KF per 10 frames) the queue never fills and this costs
+        # nothing; on a host where mapping cannot overlap tracking
+        # (this box's single core) it throttles tracking toward the
+        # sync rate instead of letting keyframe demand be silently
+        # suppressed — preserving map density and with it the loop
+        # pipeline, matching the reference's quality-neutral
+        # three-thread model (src/System.cc:63-82). 0 disables
+        # (round-3 drop-on-full behavior).
+        self.kf_async_wait_s: float = 10.0
+        self.kf_wait_stats = {"waits": 0, "wait_s": 0.0, "timeouts": 0}
         # Opt-in conservative mode: frames that will create a keyframe are
         # re-tracked through the exact classic path before insertion.
         # Default off — with the chain state held on SE(3) (lie.se3_project)
@@ -1265,11 +1280,32 @@ class Tracker:
             if mapper_idle:
                 return True
             self.local_mapper.interrupt_ba()
-            if (self.kf_async_queue
-                    and len(self.local_mapper.queue) < self.kf_async_queue):
-                return True
+            if self.kf_async_queue:
+                if len(self.local_mapper.queue) < self.kf_async_queue:
+                    return True
+                if self.kf_async_wait_s > 0 and self._wait_for_mapper_space():
+                    return True
             return False
         return False
+
+    def _wait_for_mapper_space(self) -> bool:
+        """Backpressure wait for a free async-mapper queue slot (see
+        kf_async_wait_s). Releases the arena lock while sleeping so the
+        worker's host phases can drain the queue; the caller re-enters
+        with the lock held. Returns True when a slot freed up."""
+        import time as _time
+        deadline = _time.monotonic() + self.kf_async_wait_s
+        t0 = _time.monotonic()
+        self.kf_wait_stats["waits"] += 1
+        with self.arena.unlocked():
+            while (len(self.local_mapper.queue) >= self.kf_async_queue
+                   and _time.monotonic() < deadline):
+                _time.sleep(0.002)
+        self.kf_wait_stats["wait_s"] += _time.monotonic() - t0
+        ok = len(self.local_mapper.queue) < self.kf_async_queue
+        if not ok:
+            self.kf_wait_stats["timeouts"] += 1
+        return ok
 
     def _close_point_counts(self):
         """Tracked / non-tracked close-depth features (reference :590-600).

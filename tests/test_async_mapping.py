@@ -129,6 +129,7 @@ def test_bounded_queue_keyframe_admission():
     # keyframe's tracked count.
     tr.n_inliers = 16
     tr.kf_async_queue = 3
+    tr.kf_async_wait_s = 0.0        # drop-on-full (no backpressure wait)
     admitted = []
     for _ in range(5):
         if tr.need_new_keyframe():
@@ -139,5 +140,47 @@ def test_bounded_queue_keyframe_admission():
     # Strict upstream monocular behavior when disabled: drop the want.
     tr.kf_async_queue = None
     assert tr.need_new_keyframe() is False
+
+    # Backpressure (kf_async_wait_s > 0): with the queue full, the
+    # decision WAITS — releasing arena.lock so the worker can drain —
+    # and admits once a slot frees instead of dropping the demand.
+    # This is what keeps async mapping quality-neutral when the mapper
+    # cannot keep pace with tracking (reference's three concurrent
+    # threads are quality-neutral by design, src/System.cc:63-82).
+    import threading
+    import time
+
+    tr.kf_async_queue = 3
+    tr.kf_async_wait_s = 10.0
+    busy.queue = [object()] * 3                # full
+
+    def drain():
+        time.sleep(0.25)
+        # The waiter must have RELEASED arena.lock: verify we can take
+        # it here (the worker's host phases need it to drain).
+        assert tr.arena.lock.acquire(timeout=5.0), \
+            "arena.lock held during backpressure wait"
+        tr.arena.lock.release()
+        busy.queue.pop()
+
+    th = threading.Thread(target=drain)
+    th.start()
+    t0 = time.monotonic()
+    with tr.arena.lock:                        # tracking-section context
+        got = tr.need_new_keyframe()
+    dt = time.monotonic() - t0
+    th.join()
+    assert got is True                         # admitted after the drain
+    assert 0.2 <= dt < 5.0, dt                 # waited, didn't time out
+    assert tr.kf_wait_stats["waits"] >= 1
+    assert tr.kf_wait_stats["timeouts"] == 0
+
+    # Timeout path: nothing drains -> demand dropped after the bound.
+    tr.kf_async_wait_s = 0.3
+    busy.queue = [object()] * 3
+    t0 = time.monotonic()
+    assert tr.need_new_keyframe() is False
+    assert time.monotonic() - t0 < 2.0
+    assert tr.kf_wait_stats["timeouts"] == 1
     tr.local_mapper = busy.inner
     slam.shutdown()
