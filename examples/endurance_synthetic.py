@@ -90,6 +90,9 @@ def run(n_frames=1000, out_json=None, verbose=True, n_features=400,
     if os.environ.get("ORB_SLAM_KF_ASYNC_WAIT"):
         slam.tracker.kf_async_wait_s = float(
             os.environ["ORB_SLAM_KF_ASYNC_WAIT"])
+    if os.environ.get("ORB_SLAM_KF_SYNC_FLUSH"):
+        slam.tracker.kf_sync_flush_ratio = float(
+            os.environ["ORB_SLAM_KF_SYNC_FLUSH"])
     rng = np.random.default_rng(1)
     per = n_frames // leaves
     gt = {}

@@ -122,6 +122,11 @@ class LocalMapper:
     def accepting(self) -> bool:
         return self._accepting and len(self.queue) == 0 and not self._busy
 
+    @property
+    def is_async(self) -> bool:
+        """True while the worker thread is running (async mapping mode)."""
+        return self._thread is not None
+
     def interrupt_ba(self):
         self._abort_ba = True
 

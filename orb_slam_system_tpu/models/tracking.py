@@ -153,6 +153,11 @@ class Tracker:
         # three-thread model (src/System.cc:63-82). 0 disables
         # (round-3 drop-on-full behavior).
         self.kf_async_wait_s: float = 10.0
+        # Health-aware sync: a keyframe created while n_inliers has
+        # dropped below this fraction of the OK-frame inlier EMA drains
+        # the async mapper before tracking continues (see
+        # create_new_keyframe). 0 disables.
+        self.kf_sync_flush_ratio: float = 0.6
         self.kf_wait_stats = {"waits": 0, "wait_s": 0.0, "timeouts": 0}
         # Opt-in conservative mode: frames that will create a keyframe are
         # re-tracked through the exact classic path before insertion.
@@ -1334,6 +1339,26 @@ class Tracker:
         if self.cfg.sensor != Sensor.MONOCULAR:
             self._seed_depth_points(kf)
         self.local_mapper.insert_keyframe(kf.id)
+        # Health-aware mapping synchronization: a keyframe created while
+        # tracking is FRAGILE (inliers well below the scene-relative EMA
+        # — e.g. inside a blurred/degraded segment) exists precisely to
+        # replenish the local map, and its triangulations must land
+        # before the next frames or tracking starves and goes LOST. An
+        # async mapper that lags even a few frames here loses the race
+        # (sync mapping survives the same segments; see docs/ROADMAP.md
+        # 'Async-mapping quality at map scale'). Drain the worker
+        # synchronously for THIS keyframe only — healthy-tracking
+        # keyframes stay fully asynchronous. arena.lock is released
+        # around the drain (the worker's host phases need it); flush
+        # itself asserts the level is not held.
+        if (self.kf_sync_flush_ratio > 0
+                and self.local_mapper.is_async
+                and self.n_inliers < self.kf_sync_flush_ratio
+                * self._inl_ema):
+            self.kf_wait_stats["fragile_flushes"] = (
+                self.kf_wait_stats.get("fragile_flushes", 0) + 1)
+            with self.arena.unlocked():
+                self.local_mapper.flush(timeout=60.0)
 
     def _seed_depth_points(self, kf):
         """Stereo/RGBD keyframes seed map points from depth for unmatched
