@@ -1294,20 +1294,29 @@ class Tracker:
         return False
 
     def _wait_for_mapper_space(self) -> bool:
-        """Backpressure wait for a free async-mapper queue slot (see
-        kf_async_wait_s). Releases the arena lock while sleeping so the
-        worker's host phases can drain the queue; the caller re-enters
-        with the lock held. Returns True when a slot freed up."""
+        """Backpressure: the queue is full at a keyframe demand — the
+        mapper is NOT keeping pace with tracking. Drain it completely
+        (bounded by kf_async_wait_s, arena lock released so the worker
+        can run) rather than freeing one slot: a one-slot wait leaves
+        mapping perpetually kf_async_queue keyframes stale, which the
+        scale-fragile early map and degraded segments cannot tolerate
+        (tracking went LOST at map scale this way; docs/ROADMAP.md
+        round-4 endurance). Draining converges to synchronous quality
+        exactly when resources demand it and costs nothing when the
+        mapper keeps pace (the deploy target: TPU mapping ~0.36 s/KF vs
+        demand ~1 KF/10 frames). Returns True when at least one slot is
+        free; never raises."""
         import time as _time
+        mapper = self.local_mapper
         deadline = _time.monotonic() + self.kf_async_wait_s
         t0 = _time.monotonic()
         self.kf_wait_stats["waits"] += 1
         with self.arena.unlocked():
-            while (len(self.local_mapper.queue) >= self.kf_async_queue
+            while ((mapper.queue or mapper._busy)
                    and _time.monotonic() < deadline):
                 _time.sleep(0.002)
         self.kf_wait_stats["wait_s"] += _time.monotonic() - t0
-        ok = len(self.local_mapper.queue) < self.kf_async_queue
+        ok = len(mapper.queue) < self.kf_async_queue
         if not ok:
             self.kf_wait_stats["timeouts"] += 1
         return ok

@@ -114,6 +114,7 @@ def test_bounded_queue_keyframe_admission():
 
     class BusyMapper:
         """Stand-in exposing the surface need_new_keyframe touches."""
+        _busy = False
         def __init__(self, inner):
             self.inner = inner
             self.queue = []
@@ -142,8 +143,9 @@ def test_bounded_queue_keyframe_admission():
     assert tr.need_new_keyframe() is False
 
     # Backpressure (kf_async_wait_s > 0): with the queue full, the
-    # decision WAITS — releasing arena.lock so the worker can drain —
-    # and admits once a slot frees instead of dropping the demand.
+    # decision DRAINS the backlog — releasing arena.lock so the worker
+    # can run — and admits once the mapper caught up, instead of
+    # dropping the demand (or topping up a perpetually-stale queue).
     # This is what keeps async mapping quality-neutral when the mapper
     # cannot keep pace with tracking (reference's three concurrent
     # threads are quality-neutral by design, src/System.cc:63-82).
@@ -161,7 +163,7 @@ def test_bounded_queue_keyframe_admission():
         assert tr.arena.lock.acquire(timeout=5.0), \
             "arena.lock held during backpressure wait"
         tr.arena.lock.release()
-        busy.queue.pop()
+        busy.queue.clear()
 
     th = threading.Thread(target=drain)
     th.start()
