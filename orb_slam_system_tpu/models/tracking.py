@@ -1367,7 +1367,14 @@ class Tracker:
             self.kf_wait_stats["fragile_flushes"] = (
                 self.kf_wait_stats.get("fragile_flushes", 0) + 1)
             with self.arena.unlocked():
-                self.local_mapper.flush(timeout=60.0)
+                try:
+                    self.local_mapper.flush(timeout=60.0)
+                except RuntimeError:
+                    # A wedged worker must degrade tracking, not kill it
+                    # (flush raises loudly for reset's sake; here the
+                    # keyframe is already queued and tracking can go on).
+                    self.kf_wait_stats["flush_timeouts"] = (
+                        self.kf_wait_stats.get("flush_timeouts", 0) + 1)
 
     def _seed_depth_points(self, kf):
         """Stereo/RGBD keyframes seed map points from depth for unmatched
