@@ -61,8 +61,11 @@ def drive_trajectory(n_frames: int, width: float = 36.0,
             a = t / c
             ctr = np.array([x1, y1 - c])
             return ctr + c * np.array([np.cos(a), np.sin(a)]), np.pi / 2 + a
-        if i == 4:    # top, -x
-            return np.array([x1 - t, y1 + c]), np.pi
+        if i == 4:    # top, -x (y = y1: the TR arc ends at (x1, y1) and
+            # the TL arc starts at (x0, y1) — anchoring at y1 + c
+            # teleported the camera 3 m at both boundaries, an instant
+            # kidnap that killed tracking at the same arclength every lap)
+            return np.array([x1 - t, y1]), np.pi
         if i == 5:
             a = t / c
             ctr = np.array([x0, y1 - c])
