@@ -143,6 +143,16 @@ class MapArena:
         # arrays between keyframes (rebuilding them each frame was a major
         # host cost at device-speed frame rates).
         self.version = 0
+        # Global-correction counter: bumped when keyframe POSES are
+        # rewritten wholesale (loop correction / essential graph / global
+        # BA apply). `version` tracks point-state mutations (it bumps
+        # constantly during normal mapping); pose_epoch only moves when a
+        # map-wide pose jump invalidates any free-running tracker pose —
+        # the pipelined chain drops its device state and re-anchors, and
+        # results enqueued before the bump are discarded (the upstream
+        # analogue is UpdateLastFrame's per-frame re-anchor to the
+        # reference keyframe, src/Tracking.cc:475-481).
+        self.pose_epoch = 0
         # Map mutex (reference Map::mMutexMapUpdate, src/Map.cc): taken by
         # the tracker for the frame's arena-touching section and by the
         # async local-mapping worker around each stage's host phases. Both

@@ -55,6 +55,13 @@ class Frame:
     # Tracking.cc:590-600) — lets need_new_keyframe avoid fetching the
     # packed frame just for its depth column.
     chain_close_counts: Optional[tuple] = None
+    # Pose relative to ref_kf_id at the time this frame was finalized
+    # (upstream Tracking.cc:239 mlRelativeFramePoses entry). Used by
+    # UpdateLastFrame's pose re-anchor (src/Tracking.cc:475-481): map
+    # mutations between frames (local BA, loop correction, global BA)
+    # move the reference keyframe, and the motion model must follow —
+    # Tcw_last := Tcr_ref @ Tcw_ref(now).
+    Tcr_ref: Optional[np.ndarray] = None
 
     def __post_init__(self):
         n = self.n_slots

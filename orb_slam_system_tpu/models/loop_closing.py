@@ -581,6 +581,11 @@ class LoopCloser:
         kf.not_erase = True
         matched_kf.not_erase = True
         self.last_loop_kf_id = kf.id
+        # The correction + essential graph rewrote every keyframe pose:
+        # free-running tracker poses (pipelined chain device state,
+        # in-flight chain results) are now in a stale frame. The tracker
+        # re-anchors via pose_epoch (arena doc) + UpdateLastFrame.
+        arena.pose_epoch += 1
         # 7. Global BA (upstream RunGlobalBundleAdjustment :340-410):
         # dense Schur for small maps, implicit Schur-CG for large ones;
         # runs on a side thread in interruptible chunks (a newer loop
@@ -880,6 +885,9 @@ class LoopCloser:
                     mp, T_new[:3, :3].T @ (pc - T_new[:3, 3]))
             moved.append(mp)
         arena.update_normals_many(moved, self.scale_factors)
+        # Map-wide pose rewrite: invalidate free-running tracker poses
+        # (see correct_loop / arena.pose_epoch).
+        arena.pose_epoch += 1
         return True
 
 

@@ -356,6 +356,7 @@ class System:
         depth = max(1, int(depth))
         pendq: deque = deque()   # (frame, ids, item) in flight, oldest first
         state = None     # (T_prev_dev, T_last_dev, assoc_dev)
+        state_epoch = -1  # arena.pose_epoch the device state was built in
         prev_ids = None
         prev_packed = None
 
@@ -445,7 +446,14 @@ class System:
             with self._lock:
                 t0 = time.perf_counter()
                 with tr.arena.lock:
-                    ok = tr.chain_process(frame, ids, host_buf)
+                    # A loop correction / GBA apply rewrote the map's
+                    # poses since this step was enqueued: its result is
+                    # in the pre-correction frame — discard it and
+                    # re-track classically (the classic path re-anchors
+                    # via UpdateLastFrame semantics).
+                    stale = tr.arena.pose_epoch != state_epoch
+                    ok = (None if stale
+                          else tr.chain_process(frame, ids, host_buf))
                 if ok is None or ok == "kf":
                     # Classic re-track of this frame (its packed buffer is
                     # retained). ok is None = weak result: also drop the
@@ -542,6 +550,7 @@ class System:
                         (T_prev, T_last, assoc, prev_ids,
                          _blk) = tr.chain_bootstrap()
                         state = (T_prev, T_last, assoc)
+                        state_epoch = tr.arena.pose_epoch
                         prev_packed = tr.last_frame.packed_dev
                     ids, state, packed_out = tr.chain_enqueue(
                         frame, state, prev_packed, prev_ids)

@@ -239,6 +239,7 @@ class Tracker:
         ok = False
         fused_done = False
         if self.state == TrackingState.OK:
+            self._reanchor_last_frame()
             with self.stage_ms.stage("replace_updated"):
                 self._replace_updated_points(self.last_frame)
             if not self.only_tracking or not self.mb_vo:
@@ -541,6 +542,26 @@ class Tracker:
         if ok.any():
             pos[ok] = self.arena.point_columns()[1][rows[ok]]
         return pos, ok
+
+    def _reanchor_last_frame(self):
+        """Upstream UpdateLastFrame's pose re-anchor (src/Tracking.cc:
+        475-481): mLastFrame.SetPose(Tlr * pRef->GetPose()). Between two
+        frames the map can move under the tracker — local BA nudges the
+        reference keyframe every insertion, and a loop correction /
+        essential graph / global-BA apply rewrites EVERY pose (measured:
+        the KITTI-scale drive's async GBA landed ~300 frames after the
+        lap-2 closure and the un-re-anchored motion model lost tracking
+        for the rest of the run). Recomputing the last frame's pose from
+        its stored relative pose keeps the prediction in the map's
+        CURRENT frame; when nothing moved this is an exact no-op."""
+        last = self.last_frame
+        if (last is None or last.Tcw is None or last.Tcr_ref is None
+                or last.ref_kf_id < 0):
+            return
+        ref = self.arena.kfs.get(last.ref_kf_id)
+        if ref is None:
+            return
+        last.Tcw = (last.Tcr_ref @ ref.Tcw).astype(np.float32)
 
     def _vo_augment_last_frame(self, last, pos, ok):
         """Upstream UpdateLastFrame (src/Tracking.cc:475-508): in
@@ -1036,6 +1057,12 @@ class Tracker:
         """Build the device tracking state from the host state (entry into
         pipelined mode, or resync after a fallback): returns
         (T_prev_dev, T_last_dev, assoc_dev, ids, block)."""
+        # Re-anchor first (upstream UpdateLastFrame semantics): a loop
+        # correction / GBA apply between frames moved the map, and the
+        # device state must start from the CORRECTED last pose or every
+        # chained projection misses. The velocity stays valid: it is a
+        # camera-relative motion, invariant to a rigid map move.
+        self._reanchor_last_frame()
         ids, block = self.chain_block()
         last = self.last_frame
         # Exact (SVD) SE(3) projection: chain-accepted poses stored in the
@@ -1637,6 +1664,7 @@ class Tracker:
         ref = self.arena.kfs.get(cur.ref_kf_id)
         if ref is None:
             return
-        Tcr = cur.Tcw @ np.linalg.inv(ref.Tcw)
+        Tcr = (cur.Tcw @ np.linalg.inv(ref.Tcw)).astype(np.float32)
+        cur.Tcr_ref = Tcr
         self.trajectory.append(TrajectoryEntry(
-            Tcr.astype(np.float32), cur.ref_kf_id, cur.timestamp, False))
+            Tcr, cur.ref_kf_id, cur.timestamp, False))
