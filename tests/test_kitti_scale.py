@@ -53,9 +53,13 @@ def test_kitti_scale_drive(tmp_path):
     # --- Export parity vs the reference artifact's format -------------
     rows = [ln.split() for ln in open(
         os.path.join(out, "CameraTrajectory.txt")).read().splitlines()]
-    # One row per frame, 12 floats each (3x4 row-major), like the
-    # reference's 4541-row artifact.
-    assert len(rows) == n
+    # One row per frame from initialization on, 12 floats each (3x4
+    # row-major), like the reference's 4541-row artifact. The artifact is
+    # a stereo/RGB-D run (init on frame 0 -> one row per image); upstream
+    # MONOCULAR stores no trajectory entry until initialization succeeds
+    # (Track() returns before the bookkeeping, src/Tracking.cc:226-249),
+    # so a mono drive legitimately emits n-1..n-2 rows.
+    assert n - 2 <= len(rows) <= n, len(rows)
     assert all(len(r) == 12 for r in rows)
     M = np.asarray([float(v) for v in rows[len(rows) // 2]]).reshape(3, 4)
     np.testing.assert_allclose(M[:, :3] @ M[:, :3].T, np.eye(3), atol=1e-4)
