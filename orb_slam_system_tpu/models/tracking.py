@@ -128,12 +128,6 @@ class Tracker:
         self.chain_stats = {"accept": 0, "reject": 0, "kf": 0}
         self._remap_identity_dev = None  # cached device arange (chain_enqueue)
         self._chain_valid_cache = None   # (block pos id, device valid)
-        # Sorted id array of the local-map block the CURRENT frame's chain
-        # step matched against (None for classically tracked frames):
-        # need_new_keyframe restricts its reference-KF denominator to it
-        # so the chain's block-restricted inlier count is compared against
-        # a consistently restricted reference count.
-        self._chain_seen_ids = None
         # Relocalization funnel (attempts / db hits / viable PnP
         # candidates / accepts) — diagnoses LOST-and-never-recovers runs.
         from collections import Counter
@@ -228,10 +222,6 @@ class Tracker:
             self._track_locked()
 
     def _track_locked(self):
-        # Classic tracking sees the full local map: the keyframe
-        # decision's denominator must not stay restricted to a previous
-        # chain frame's block.
-        self._chain_seen_ids = None
         if self.state == TrackingState.NO_IMAGES_YET:
             self.state = TrackingState.NOT_INITIALIZED
 
@@ -901,13 +891,6 @@ class Tracker:
             if out[slot]:
                 del cur.vo_points[slot]
         self.n_inliers = n_in
-        # The block this frame's inliers were counted against (for the
-        # keyframe decision's consistent-denominator restriction: when the
-        # LOCAL_MAP_SLOTS cap binds, its strongest-observed retention
-        # preferentially evicts the reference KF's newest points, so the
-        # unrestricted n_ref_matches over-counts what this search could
-        # possibly match).
-        self._chain_seen_ids = np.asarray(ids, np.int64)
         # IncreaseFound for inlier points (reference :567-571).
         for k, mid in enumerate(cur.mp_ids):
             if mid >= 0 and not cur.outlier[k]:
@@ -998,9 +981,6 @@ class Tracker:
             cur.outlier = out
             cur.mp_ids[out] = -1
             self.n_inliers = n_in2
-            # Block the inliers were counted against (keyframe decision's
-            # consistent-denominator restriction; see track_local_map).
-            self._chain_seen_ids = np.asarray(ids, np.int64)
             mps = self.arena.mps
             for mid in cur.mp_ids[(cur.mp_ids >= 0) & ~cur.outlier]:
                 mp = mps.get(int(mid))
@@ -1186,10 +1166,6 @@ class Tracker:
         cur = frame
         self.current = frame   # update_local_keyframes/need_new_keyframe
         self.n_inliers = n_in2
-        # The block this step's inliers were counted against (sorted by
-        # construction, _gather_local_points) — consumed by
-        # need_new_keyframe's consistent-denominator restriction.
-        self._chain_seen_ids = np.asarray(ids, np.int64)
         # Stereo/RGB-D keyframe decisions read the close-point counts the
         # chain program computed on device (the depth column never comes
         # to the host for non-keyframe frames). Set ONLY once the result
@@ -1298,30 +1274,6 @@ class Tracker:
         ref = self.arena.kfs.get(self.ref_kf_id)
         n_ref_matches = (ref.n_tracked_points(self.arena, min_obs)
                          if ref is not None else 0)
-        # Chain frames: restrict the denominator to the block the chain
-        # step actually SAW. The chain matches only against its (one-
-        # frame-stale, LOCAL_MAP_SLOTS-capped) local block, so its
-        # inlier count structurally misses reference-KF points outside
-        # that block; comparing the restricted numerator against the
-        # full n_ref_matches biases c2 ~10-15% low — and since every
-        # keyframe invalidates the block for `depth` frames, KF churn
-        # keeps the block permanently stale, the bias keeps firing c2,
-        # and the loop self-sustains at ~1 KF/frame (measured: 3970
-        # insertions / 265 kept over the 4000-frame KITTI drive).
-        # Upstream computes both sides on the same frame's full map view
-        # (src/Tracking.cc:586-606); counting only chain-visible points
-        # in BOTH restores that consistency.
-        if (ref is not None and self._chain_seen_ids is not None
-                and len(self._chain_seen_ids)):
-            rows, found = self.arena.lookup_points(ref.mp_ids)
-            n_obs = self.arena.point_columns()[5]
-            tracked = found & (n_obs[rows] >= min_obs) if len(n_obs) \
-                else np.zeros(len(ref.mp_ids), bool)
-            ids_arr = self._chain_seen_ids
-            pos = np.clip(np.searchsorted(ids_arr, ref.mp_ids), 0,
-                          len(ids_arr) - 1)
-            in_block = ids_arr[pos] == ref.mp_ids
-            n_ref_matches = int((tracked & in_block).sum())
         frames_since_kf = self.current.id - self.last_kf_frame_id
         mapper_idle = self.local_mapper.accepting()
         c1a = frames_since_kf >= self.max_frames
