@@ -1315,6 +1315,25 @@ class Tracker:
             if self.kf_async_queue:
                 if len(self.local_mapper.queue) < self.kf_async_queue:
                     return True
+                # Queue full: DRAIN the backlog (backpressure), for every
+                # demand. Two measured negative results stand behind the
+                # unconditional policy (do not re-litigate without new
+                # evidence; details in docs/ROADMAP.md "Admission-policy
+                # A/B"): (a) dropping healthy-frame demands — upstream's
+                # own busy-mapper monocular behavior — collapses the
+                # 1250-frame endurance at every NEW-TERRITORY transition:
+                # the frame still looks healthy (inliers ride the old
+                # segment's map) while the demanded keyframes are the
+                # ones that must map the territory ahead, and once LOST
+                # the post-reloc keyframe block window turns it into a
+                # death spiral (keyframes froze at 31/69 of ~300 in two
+                # gate runs); (b) a brief GIL yield before the drop does
+                # not change (a). c2 fires near-continuously by
+                # construction, so this admits keyframes at sync-mapping
+                # quality and throttles tracking toward the sync rate
+                # exactly when the host cannot overlap mapping — on the
+                # deploy target the queue never fills and the policy
+                # costs nothing.
                 if self.kf_async_wait_s > 0 and self._wait_for_mapper_space():
                     return True
             return False
