@@ -160,6 +160,26 @@ class MapArena:
         # overlap (the point of running mapping on its own thread).
         import threading
         self.lock = threading.RLock()
+        # Correction-exclusion lock, ordered OUTSIDE self.lock (always
+        # acquire correction_lock first, or release self.lock before
+        # taking it). The tracker holds it for each FRAME's full span;
+        # map-wide pose rewrites (loop correction, essential graph,
+        # global-BA apply) hold it for the rewrite — reproducing
+        # upstream's semantics where Track() and CorrectLoop both hold
+        # mMutexMapUpdate end-to-end (src/Tracking.cc:179,
+        # src/LoopClosing.cc:253). Our arena.lock alone cannot provide
+        # that: both sides deliberately release it around device fetches
+        # (unlocked()) so mapping overlaps tracking, which lets a
+        # correction land MID-FRAME — the tracker then commits a
+        # pre-correction pose and stores a relative pose against the
+        # corrected reference, a silently poisoned Tcr_ref that the
+        # UpdateLastFrame re-anchor faithfully reproduces (measured: the
+        # async endurance gate lost tracking at a loop correction in 3
+        # of 5 same-day runs). Ordinary mapping stages do NOT take this
+        # lock, so the tracking/mapping RTT overlap is preserved;
+        # corrections are rare and SHOULD stall tracking for their
+        # duration, exactly like upstream.
+        self.correction_lock = threading.RLock()
         # Callbacks fired when a keyframe is erased (e.g. keyframe-database
         # index maintenance, reference KeyFrameDatabase::erase).
         self.erase_hooks = []
@@ -183,6 +203,37 @@ class MapArena:
             finally:
                 if released:
                     self.lock.acquire()
+        return _cm()
+
+    def correction_unlocked(self):
+        """Release ALL held levels of correction_lock (no-op when not
+        held) — for tracker-side waits on the mapping worker
+        (_wait_for_mapper_space, fragile-keyframe flush, reset flush):
+        the worker must be able to run a loop correction while the
+        tracker sleeps, or a correction demanded mid-drain stalls
+        against the waiting frame. All levels, not one: the classic
+        re-track of a discarded chain frame nests track() inside
+        process_oldest's span (re-entrant RLock), and a single-level
+        release would leave the lock held through the wait. ORDERING:
+        nest this INSIDE unlocked() — `with unlocked(),
+        correction_unlocked():` — so re-acquisition on exit takes
+        correction_lock (outer) before arena.lock (inner)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            n = 0
+            try:
+                while True:
+                    self.correction_lock.release()
+                    n += 1
+            except RuntimeError:
+                pass
+            try:
+                yield
+            finally:
+                for _ in range(n):
+                    self.correction_lock.acquire()
         return _cm()
 
     # ----- creation -------------------------------------------------------

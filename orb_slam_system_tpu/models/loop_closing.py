@@ -81,7 +81,21 @@ class LoopCloser:
             kf, candidates)
         if not ok:
             return False
-        self.correct_loop(kf, matched_kf, Scw, loop_points, cur_matches)
+        # Correction-exclusion (arena.correction_lock doc): no tracking
+        # frame may interleave a map-wide pose rewrite. Lock ORDER is
+        # correction_lock > arena.lock, and the caller (mapping worker
+        # stage / sync pump) holds arena.lock — release it while
+        # acquiring the outer lock, like upstream's CorrectLoop taking
+        # mMutexMapUpdate after stopping local mapping
+        # (src/LoopClosing.cc:227-253). Re-entrant when the tracker's
+        # own thread runs sync mapping inside its frame span.
+        with self.arena.unlocked():
+            self.arena.correction_lock.acquire()
+        try:
+            self.correct_loop(kf, matched_kf, Scw, loop_points,
+                              cur_matches)
+        finally:
+            self.arena.correction_lock.release()
         self.n_loops_closed += 1
         return True
 
@@ -485,6 +499,14 @@ class LoopCloser:
         """Reference CorrectLoop (:225-300) + upstream loop-edge insertion
         and global BA (:340-410)."""
         arena = self.arena
+        # Bump the pose epoch at START as well as end: the fuse stages
+        # below release arena.lock around their device fetches, so a
+        # concurrent reader holding only arena.lock (chain bootstrap)
+        # can observe a HALF-corrected map — a start bump guarantees any
+        # state built across any part of the rewrite is recognizably
+        # stale. (Tracking frames themselves are excluded wholesale by
+        # correction_lock.)
+        arena.pose_epoch += 1
         # 1. Corrected Sim3 for current KF + covisible group (:246-270).
         Twc = np.linalg.inv(kf.Tcw)
         group = [kf.id] + arena.covisible_ordered(kf)
@@ -823,8 +845,17 @@ class LoopCloser:
         result = self.gba.take_result()
         if result is None:
             return False
-        with self.arena.lock:
-            return self._apply_gba(result)
+        # Correction-exclusion, same ordering discipline as correct_loop:
+        # outer correction_lock before arena.lock (release arena first if
+        # the caller holds it). Re-entrant from a tracker thread that
+        # already holds its frame's correction_lock (_pump_mapping).
+        with self.arena.unlocked():
+            self.arena.correction_lock.acquire()
+        try:
+            with self.arena.lock:
+                return self._apply_gba(result)
+        finally:
+            self.arena.correction_lock.release()
 
     def _apply_gba(self, result):
         kf_ids, mp_ids, old_poses, Tcw_n, X_n = result

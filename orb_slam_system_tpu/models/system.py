@@ -443,7 +443,15 @@ class System:
             broke = False
             with tr.stage_ms.stage("chain_fetch_wait"):
                 host_buf = _fetch_get(frame.id)
-            with self._lock:
+            # correction_lock held for this frame's whole commit span
+            # (upstream's whole-frame mMutexMapUpdate semantics): without
+            # it, chain_process's unlocked decode window lets a
+            # correction land MID-FRAME — the stale pose is committed
+            # and the Tcr_ref stored against the corrected reference is
+            # poisoned, which the UpdateLastFrame re-anchor then
+            # faithfully reproduces. Lock order: self._lock >
+            # correction_lock > arena.lock.
+            with self._lock, tr.arena.correction_lock:
                 t0 = time.perf_counter()
                 with tr.arena.lock:
                     # A loop correction / GBA apply rewrote the map's
@@ -454,6 +462,12 @@ class System:
                     stale = tr.arena.pose_epoch != state_epoch
                     ok = (None if stale
                           else tr.chain_process(frame, ids, host_buf))
+                    # Belt-and-braces: chain_finish's keyframe path can
+                    # release the correction lock (backpressure wait /
+                    # fragile flush) — re-validate before committing a
+                    # chain result if the epoch moved mid-process.
+                    if ok is True and tr.arena.pose_epoch != state_epoch:
+                        ok = None
                 if ok is None or ok == "kf":
                     # Classic re-track of this frame (its packed buffer is
                     # retained). ok is None = weak result: also drop the
@@ -545,7 +559,10 @@ class System:
                     vupdate(item)
                     yield Tcw
                     continue
-                with self._lock, tr.arena.lock:
+                # correction_lock: a bootstrap/enqueue must not read a
+                # HALF-corrected map (a correction's internal fuse
+                # stages release arena.lock around device fetches).
+                with self._lock, tr.arena.correction_lock, tr.arena.lock:
                     if state is None:
                         (T_prev, T_last, assoc, prev_ids,
                          _blk) = tr.chain_bootstrap()

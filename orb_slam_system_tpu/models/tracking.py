@@ -218,7 +218,12 @@ class Tracker:
         # the whole per-frame arena-touching section is serialized against
         # the async local-mapping worker; track_fused RELEASES it around
         # the fused device fetch so mapping stages overlap the tunnel RTT.
-        with self.arena.lock:
+        # The OUTER correction_lock stays held across those windows:
+        # ordinary mapping stages may interleave a frame, a map-wide pose
+        # rewrite (loop correction / GBA apply) may not — upstream's
+        # whole-frame mMutexMapUpdate semantics (see arena.correction_lock
+        # doc; lock order: correction_lock > arena.lock).
+        with self.arena.correction_lock, self.arena.lock:
             self._track_locked()
 
     def _track_locked(self):
@@ -560,6 +565,19 @@ class Tracker:
             return
         ref = self.arena.kfs.get(last.ref_kf_id)
         if ref is None:
+            # Culled between frames (classic mode can churn keyframes
+            # every few frames): walk the spanning tree past dead
+            # keyframes via Tcp, exactly like trajectory export
+            # (reference src/System.cc:341-345) — a silent no-op here
+            # would leave the motion model in the pre-correction frame
+            # after a GBA, the very bug this re-anchor fixes.
+            from orb_slam_system_tpu.dataio.trajectory import \
+                _resolve_ref_pose
+            T_extra, live = _resolve_ref_pose(self.arena, last.ref_kf_id)
+            if live is None:
+                return
+            last.Tcw = (last.Tcr_ref @ T_extra @ live.Tcw).astype(
+                np.float32)
             return
         last.Tcw = (last.Tcr_ref @ ref.Tcw).astype(np.float32)
 
@@ -1357,10 +1375,28 @@ class Tracker:
         deadline = _time.monotonic() + self.kf_async_wait_s
         t0 = _time.monotonic()
         self.kf_wait_stats["waits"] += 1
-        with self.arena.unlocked():
+        # The backlog being drained can itself contain a loop closure:
+        # release the correction lock (held for this frame's span) along
+        # with arena.lock so the worker can run the correction instead of
+        # deadlocking against this wait. If one lands, re-anchor the
+        # current frame's pose through its pre-wait relative pose to the
+        # reference keyframe — otherwise the keyframe about to be created
+        # (and the Tcr_ref stored at frame end) would carry a
+        # pre-correction pose into the corrected map.
+        cur = self.current
+        epoch0 = self.arena.pose_epoch
+        ref0 = self.arena.kfs.get(self.ref_kf_id)
+        Tcr_pre = None
+        if (cur is not None and cur.Tcw is not None and ref0 is not None):
+            Tcr_pre = cur.Tcw @ np.linalg.inv(ref0.Tcw)
+        with self.arena.unlocked(), self.arena.correction_unlocked():
             while ((mapper.queue or mapper._busy)
                    and _time.monotonic() < deadline):
                 _time.sleep(0.002)
+        if self.arena.pose_epoch != epoch0 and Tcr_pre is not None:
+            ref = self.arena.kfs.get(self.ref_kf_id)
+            if ref is not None:
+                cur.Tcw = (Tcr_pre @ ref.Tcw).astype(np.float32)
         self.kf_wait_stats["wait_s"] += _time.monotonic() - t0
         ok = len(mapper.queue) < self.kf_async_queue
         if not ok:
@@ -1412,7 +1448,8 @@ class Tracker:
                 * self._inl_ema):
             self.kf_wait_stats["fragile_flushes"] = (
                 self.kf_wait_stats.get("fragile_flushes", 0) + 1)
-            with self.arena.unlocked():
+            epoch0 = self.arena.pose_epoch
+            with self.arena.unlocked(), self.arena.correction_unlocked():
                 try:
                     self.local_mapper.flush(timeout=60.0)
                 except RuntimeError:
@@ -1421,6 +1458,14 @@ class Tracker:
                     # keyframe is already queued and tracking can go on).
                     self.kf_wait_stats["flush_timeouts"] = (
                         self.kf_wait_stats.get("flush_timeouts", 0) + 1)
+            if self.arena.pose_epoch != epoch0 and kf.id in self.arena.kfs:
+                # A map-wide correction landed during the flush (the
+                # correction lock is released above so the worker can
+                # run one). The keyframe — already in the map — was
+                # corrected with it; the frame is the same camera, so
+                # adopting the keyframe's corrected pose keeps cur (and
+                # the Tcr_ref stored at frame end) in the map's frame.
+                cur.Tcw = self.arena.kfs[kf.id].Tcw.copy()
 
     def _seed_depth_points(self, kf):
         """Stereo/RGBD keyframes seed map points from depth for unmatched
@@ -1651,7 +1696,10 @@ class Tracker:
         # full flush timeout and then race a keyframe mid-stage.
         # arena.unlocked() releases the level held by track() and is a
         # no-op when the caller doesn't hold the lock (external reset).
-        with self.arena.unlocked():
+        # correction_unlocked likewise: a worker mid-drain may need the
+        # correction lock (held by this frame's span) to finish a loop
+        # correction before the flush can complete.
+        with self.arena.unlocked(), self.arena.correction_unlocked():
             self.local_mapper.reset()
         with self.arena.lock:
             self._reset_map()

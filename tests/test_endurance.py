@@ -95,37 +95,37 @@ def test_endurance_pipelined_async():
     1249/1250 tracked, 5 closures, ATE 5.9 cm, kf_mp_median 264, zero
     LOST frames — matching the sync gate.
 
-    OUTCOME IS TIMING-SENSITIVE on this 1-core host (late round 4,
-    5 gate runs same-day on identical code states): thread
-    interleaving decides whether a loop correction lands while the
-    chain is deep in a degraded segment — three runs lost tracking
-    mid-run (725/726/1118 of 1250) and two passed cleanly
-    (1249, 1248 / 5 closures / ~5 cm), one of the passes under per-
-    event instrumentation proving the correction/GBA pose-epoch
-    machinery re-tracks classically with healthy inliers after every
-    map rewrite. The property asserted is ACHIEVABILITY of sync-grade
-    quality in the async config (the deterministic quality bar is
-    test_endurance_pipelined, sync mapping); one retry absorbs the
-    scheduler lottery."""
+    History (late round 4): outcome was a same-day timing lottery —
+    3 of 5 gate runs lost tracking mid-run (725/726/1118 of 1250),
+    2 passed cleanly (1249, 1248 / 5 closures / ~5 cm). Root cause
+    found by review: corrections could land MID-FRAME through the
+    tracker's unlocked device-fetch windows, committing a stale pose
+    and poisoning the stored relative pose (arena.correction_lock doc).
+    With the correction-exclusion lock the known race is closed; one
+    retry remains as insurance against undiscovered interleavings on
+    this 1-core host (the deterministic quality bar is
+    test_endurance_pipelined, sync mapping)."""
     from examples.endurance_synthetic import run
 
     n = int(os.environ.get("ORB_SLAM_ENDURANCE_FRAMES", "1250"))
-    last = None
+
+    def gates(s):
+        m1, _, m3 = s["host_ms_median_thirds"]
+        return (s["n_tracked"] >= 0.9 * n
+                and s["n_keyframes_peak"] >= 150
+                and s["loops_closed"] >= 2
+                and s["ate_rmse_m"] < 0.12
+                and s["chain_stats"]["accept"] >= 0.8 * n
+                # Backpressure never abandoned a demanded keyframe.
+                and s["kf_wait_stats"]["timeouts"] == 0
+                and m3 <= 2.5 * max(m1, 1.0))
+
     for attempt in range(2):
         slam, s = run(n_frames=n, verbose=True, leaves=max(n // 250, 1),
                       pipelined=True, async_mapping=True)
-        last = s
-        if s["n_tracked"] >= 0.9 * n and s["ate_rmse_m"] < 0.12:
+        if gates(s):
             break
         print(f"attempt {attempt} below gate (timing lottery): "
-              f"tracked={s['n_tracked']} ate={s['ate_rmse_m']:.3f}")
-    s = last
-    assert s["n_tracked"] >= 0.9 * n, s
-    assert s["n_keyframes_peak"] >= 150, s
-    assert s["loops_closed"] >= 2, s
-    assert s["ate_rmse_m"] < 0.12, s
-    assert s["chain_stats"]["accept"] >= 0.8 * n, s
-    # The backpressure policy never abandoned a demanded keyframe.
-    assert s["kf_wait_stats"]["timeouts"] == 0, s["kf_wait_stats"]
-    m1, _, m3 = s["host_ms_median_thirds"]
-    assert m3 <= 2.5 * max(m1, 1.0), s
+              f"tracked={s['n_tracked']} ate={s['ate_rmse_m']:.3f} "
+              f"loops={s['loops_closed']}")
+    assert gates(s), s
