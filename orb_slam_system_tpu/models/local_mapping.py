@@ -106,6 +106,16 @@ class LocalMapper:
         self._cv = None
         self._stop = False
         self._busy = False
+        # True while some admitted keyframe has NOT yet expanded the map
+        # (its triangulation+fusion stage hasn't run). The tracker's
+        # backpressure drain waits on THIS, not _busy: once every queued
+        # keyframe's new points are in the arena, the remaining work
+        # (local BA, culling, loop detection) is refinement the reference
+        # runs concurrently with tracking anyway (src/LocalMapping.cc
+        # Run :43-49 + mbAbortBA), so tracking may resume and overlap it.
+        # flush()/accepting() keep full _busy semantics (fragile-segment
+        # sync and shutdown still wait for everything).
+        self._expanding = False
         self.worker_errors = 0
         self.stats_fuse_truncated = 0
 
@@ -190,6 +200,7 @@ class LocalMapper:
                 return
             try:
                 self._busy = True
+                self._expanding = True
                 self.process_pending()
             except Exception:  # noqa: BLE001
                 # A dead worker thread would silently stop draining the
@@ -205,6 +216,7 @@ class LocalMapper:
                 traceback.print_exc()
             finally:
                 self._busy = False
+                self._expanding = False
 
     # ----- main stage ------------------------------------------------------
 
@@ -217,6 +229,11 @@ class LocalMapper:
         t = self.stage_ms
         lk = self.arena.lock
         while self.queue:
+            # Raised BEFORE the pop: from the pop until this keyframe's
+            # triangulation lands, the queue alone no longer witnesses
+            # the unexpanded keyframe, and the tracker's backpressure
+            # drain must keep waiting (it waits on queue OR _expanding).
+            self._expanding = True
             kf_id = self.queue.popleft()
             kf = self.arena.kfs.get(kf_id)
             if kf is None:
@@ -241,6 +258,13 @@ class LocalMapper:
                 if not self.queue:
                     with t.stage("fuse_neighbors"), lk:
                         self.search_in_neighbors(kf)
+            # Every admitted keyframe has now grown the map: release the
+            # tracker's backpressure drain (it waits on _expanding, not
+            # _busy) so the new frames track against the expanded map
+            # while local BA / culling / loop detection run behind them —
+            # the reference's concurrent-BA thread model.
+            if not self.queue:
+                self._expanding = False
             # Local BA and keyframe culling only with an EMPTY queue
             # (reference Run :43-49: both run iff !CheckNewKeyFrames()):
             # with a backlog — e.g. a bounded-queue admission burst — the
@@ -261,6 +285,9 @@ class LocalMapper:
             if self.loop_closer is not None and kf.id in self.arena.kfs:
                 with t.stage("loop_closer"), lk:
                     self.loop_closer.process(kf.id)
+        # Covers sync-mode callers and the dead-keyframe exit (async mode
+        # normally clears it right after the last triangulation above).
+        self._expanding = False
 
     def process_new_keyframe(self, kf: KeyFrameRec):
         """Reference ProcessNewKeyFrame (:105-132): bind tracked map points,

@@ -1389,8 +1389,16 @@ class Tracker:
         Tcr_pre = None
         if (cur is not None and cur.Tcw is not None and ref0 is not None):
             Tcr_pre = cur.Tcw @ np.linalg.inv(ref0.Tcw)
+        # Wait for map EXPANSION, not the full per-keyframe pipeline: once
+        # every queued keyframe's triangulation+fusion has landed, the
+        # territory ahead is mapped and tracking can resume; the worker's
+        # remaining local BA / culling / loop detection overlap the next
+        # frames exactly as the reference's concurrent LocalMapping thread
+        # does (src/LocalMapping.cc Run :43-75 runs them while Tracking
+        # proceeds; mbAbortBA exists for that overlap). Corrections that
+        # land later are fenced per frame by arena.correction_lock.
         with self.arena.unlocked(), self.arena.correction_unlocked():
-            while ((mapper.queue or mapper._busy)
+            while ((mapper.queue or mapper._expanding)
                    and _time.monotonic() < deadline):
                 _time.sleep(0.002)
         if self.arena.pose_epoch != epoch0 and Tcr_pre is not None:

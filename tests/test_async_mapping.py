@@ -115,6 +115,7 @@ def test_bounded_queue_keyframe_admission():
     class BusyMapper:
         """Stand-in exposing the surface need_new_keyframe touches."""
         _busy = False
+        _expanding = False
         def __init__(self, inner):
             self.inner = inner
             self.queue = []
@@ -155,6 +156,13 @@ def test_bounded_queue_keyframe_admission():
     tr.kf_async_queue = 3
     tr.kf_async_wait_s = 10.0
     busy.queue = [object()] * 3                # full
+
+    # The worker stays _busy past the drain: the wait releases on map
+    # EXPANSION (queue drained + last triangulation landed), NOT on the
+    # full per-keyframe pipeline — local BA / culling / loop detection
+    # overlap the next tracking frames (reference's concurrent
+    # LocalMapping thread, src/LocalMapping.cc Run :43-75 + mbAbortBA).
+    busy._busy = True
 
     def drain():
         time.sleep(0.25)
