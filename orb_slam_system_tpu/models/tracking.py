@@ -153,6 +153,19 @@ class Tracker:
         # three-thread model (src/System.cc:63-82). 0 disables
         # (round-3 drop-on-full behavior).
         self.kf_async_wait_s: float = 10.0
+        # If True, the backpressure drain releases as soon as every
+        # queued keyframe's triangulation+fusion has landed (the
+        # mapper's _expanding flag) instead of waiting for local BA /
+        # culling / loop detection too. Default OFF: measured NEGATIVE
+        # at map scale on this host (1250-frame endurance: 1024/1250
+        # tracked, ATE 2.2 m vs 1249/1250 / ~5 cm with the full drain).
+        # Mechanism: process_pending runs BA and culling only with an
+        # empty queue; a tracker released at expansion refills the
+        # queue immediately under ~1 KF/frame structural demand, so BA
+        # and culling STARVE and the map is never polished or pruned.
+        # The full drain is what guarantees one BA/cull pass per
+        # backlog. (docs/ROADMAP.md "Drain-release-on-expansion A/B".)
+        self.kf_drain_release_on_expansion: bool = False
         # Health-aware sync: a keyframe created while n_inliers has
         # dropped below this fraction of the OK-frame inlier EMA drains
         # the async mapper before tracking continues (see
@@ -1389,16 +1402,17 @@ class Tracker:
         Tcr_pre = None
         if (cur is not None and cur.Tcw is not None and ref0 is not None):
             Tcr_pre = cur.Tcw @ np.linalg.inv(ref0.Tcw)
-        # Wait for map EXPANSION, not the full per-keyframe pipeline: once
-        # every queued keyframe's triangulation+fusion has landed, the
-        # territory ahead is mapped and tracking can resume; the worker's
-        # remaining local BA / culling / loop detection overlap the next
-        # frames exactly as the reference's concurrent LocalMapping thread
-        # does (src/LocalMapping.cc Run :43-75 runs them while Tracking
-        # proceeds; mbAbortBA exists for that overlap). Corrections that
-        # land later are fenced per frame by arena.correction_lock.
+        # Default: wait for the worker's FULL per-keyframe pipeline
+        # (_busy), i.e. including local BA / culling / loop detection.
+        # Releasing at map expansion (_expanding) sounds like upstream's
+        # concurrent-BA overlap, but measured NEGATIVE at map scale —
+        # see kf_drain_release_on_expansion above for the starvation
+        # mechanism and numbers.
         with self.arena.unlocked(), self.arena.correction_unlocked():
-            while ((mapper.queue or mapper._expanding)
+            while ((mapper.queue
+                    or (mapper._expanding
+                        if self.kf_drain_release_on_expansion
+                        else mapper._busy))
                    and _time.monotonic() < deadline):
                 _time.sleep(0.002)
         if self.arena.pose_epoch != epoch0 and Tcr_pre is not None:

@@ -157,12 +157,14 @@ def test_bounded_queue_keyframe_admission():
     tr.kf_async_wait_s = 10.0
     busy.queue = [object()] * 3                # full
 
-    # The worker stays _busy past the drain: the wait releases on map
-    # EXPANSION (queue drained + last triangulation landed), NOT on the
-    # full per-keyframe pipeline — local BA / culling / loop detection
-    # overlap the next tracking frames (reference's concurrent
-    # LocalMapping thread, src/LocalMapping.cc Run :43-75 + mbAbortBA).
+    # Default drain waits for the worker's FULL pipeline (_busy), not
+    # just map expansion: releasing at expansion starves BA/culling
+    # under continuous keyframe demand (the worker only runs them with
+    # an empty queue, which the released tracker immediately refills) —
+    # measured meter-class at map scale. kf_drain_release_on_expansion
+    # exists as an opt-in for hosts where the mapper keeps pace.
     busy._busy = True
+    busy._expanding = True
 
     def drain():
         time.sleep(0.25)
@@ -172,6 +174,9 @@ def test_bounded_queue_keyframe_admission():
             "arena.lock held during backpressure wait"
         tr.arena.lock.release()
         busy.queue.clear()
+        busy._expanding = False       # last triangulation landed ...
+        time.sleep(0.25)              # ... but the default drain waits
+        busy._busy = False            # for BA/cull/loop to finish too
 
     th = threading.Thread(target=drain)
     th.start()
@@ -181,7 +186,9 @@ def test_bounded_queue_keyframe_admission():
     dt = time.monotonic() - t0
     th.join()
     assert got is True                         # admitted after the drain
-    assert 0.2 <= dt < 5.0, dt                 # waited, didn't time out
+    # >=0.45: proves the wait spanned BOTH sleeps — it held through
+    # queue-empty + expansion-done until _busy cleared (full pipeline).
+    assert 0.45 <= dt < 5.0, dt                # waited, didn't time out
     assert tr.kf_wait_stats["waits"] >= 1
     assert tr.kf_wait_stats["timeouts"] == 0
 
