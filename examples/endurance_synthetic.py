@@ -93,6 +93,9 @@ def run(n_frames=1000, out_json=None, verbose=True, n_features=400,
     if os.environ.get("ORB_SLAM_KF_SYNC_FLUSH"):
         slam.tracker.kf_sync_flush_ratio = float(
             os.environ["ORB_SLAM_KF_SYNC_FLUSH"])
+    if os.environ.get("ORB_SLAM_KF_DRAIN_RELEASE"):
+        slam.tracker.kf_drain_release_on_expansion = (
+            os.environ["ORB_SLAM_KF_DRAIN_RELEASE"] == "1")
     rng = np.random.default_rng(1)
     per = n_frames // leaves
     gt = {}

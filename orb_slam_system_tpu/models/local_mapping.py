@@ -226,68 +226,93 @@ class LocalMapper:
         Per-stage wall time is recorded in self.stage_ms (SURVEY.md §5
         observability: keyframe insertion is the system-throughput spike,
         so each stage is attributable)."""
+        # _expanding must not survive an exception: sync-mode callers
+        # (system.py invokes this directly, outside the worker's finally)
+        # would otherwise leave it stuck True and every later backpressure
+        # drain would wait out the full kf_async_wait_s timeout per frame.
+        try:
+            self._process_pending_inner()
+        finally:
+            self._expanding = False
+
+    def _process_pending_inner(self):
         t = self.stage_ms
         lk = self.arena.lock
         while self.queue:
-            # Raised BEFORE the pop: from the pop until this keyframe's
-            # triangulation lands, the queue alone no longer witnesses
-            # the unexpanded keyframe, and the tracker's backpressure
-            # drain must keep waiting (it waits on queue OR _expanding).
+            # Phase 1 — EXPANSION: drain every queued keyframe's
+            # triangulation+fusion first. _expanding is raised before the
+            # pop (from the pop until the triangulation lands, the queue
+            # alone no longer witnesses the unexpanded keyframe; the
+            # tracker's backpressure drain waits on queue OR _expanding).
             self._expanding = True
-            kf_id = self.queue.popleft()
-            kf = self.arena.kfs.get(kf_id)
-            if kf is None:
-                continue
-            # Each stage holds the map mutex; the heavy stages release it
-            # internally around their device fetches (arena.unlocked) so
-            # the tracker's host phases overlap the tunnel round trips.
-            with t.stage("process_new_kf"), lk:
-                self.process_new_keyframe(kf)
-            with t.stage("cull_points"), lk:
-                self.cull_map_points(kf)
-            # Triangulation + fusion ride ONE fused device program with
-            # ONE packed fetch (ops/mapper_fused.py); fusion joins only
-            # with an empty queue (reference Run :43-49 runs
-            # SearchInNeighbors iff !CheckNewKeyFrames()).
-            if self.use_fused_tri:
-                with t.stage("tri_fuse"), lk:
-                    self.tri_and_fuse(kf, do_fuse=not self.queue)
-            else:
-                with t.stage("triangulate"), lk:
-                    self.create_new_map_points(kf)
-                if not self.queue:
-                    with t.stage("fuse_neighbors"), lk:
-                        self.search_in_neighbors(kf)
+            batch: list[KeyFrameRec] = []
+            while self.queue:
+                kf_id = self.queue.popleft()
+                kf = self.arena.kfs.get(kf_id)
+                if kf is None:
+                    continue
+                # Each stage holds the map mutex; the heavy stages release
+                # it internally around their device fetches (arena.unlocked)
+                # so the tracker's host phases overlap the tunnel round
+                # trips.
+                with t.stage("process_new_kf"), lk:
+                    self.process_new_keyframe(kf)
+                with t.stage("cull_points"), lk:
+                    self.cull_map_points(kf)
+                # Triangulation + fusion ride ONE fused device program with
+                # ONE packed fetch (ops/mapper_fused.py); fusion joins only
+                # for the backlog's last keyframe (reference Run :43-49
+                # runs SearchInNeighbors iff !CheckNewKeyFrames()).
+                if self.use_fused_tri:
+                    with t.stage("tri_fuse"), lk:
+                        self.tri_and_fuse(kf, do_fuse=not self.queue)
+                else:
+                    with t.stage("triangulate"), lk:
+                        self.create_new_map_points(kf)
+                    if not self.queue:
+                        with t.stage("fuse_neighbors"), lk:
+                            self.search_in_neighbors(kf)
+                batch.append(kf)
             # Every admitted keyframe has now grown the map: release the
-            # tracker's backpressure drain (it waits on _expanding, not
-            # _busy) so the new frames track against the expanded map
-            # while local BA / culling / loop detection run behind them —
-            # the reference's concurrent-BA thread model.
-            if not self.queue:
-                self._expanding = False
-            # Local BA and keyframe culling only with an EMPTY queue
-            # (reference Run :43-49: both run iff !CheckNewKeyFrames()):
-            # with a backlog — e.g. a bounded-queue admission burst — the
-            # worker catches up first and runs ONE BA/cull pass on the
-            # newest keyframe instead of paying a full device solve per
-            # queued entry. (_abort_ba mirrors upstream's mbAbortBA
-            # intent; the batched LM solve is a single jitted program and
-            # cannot stop mid-flight, so queue-gating does the catching
-            # up instead.)
-            if (not self.queue and self.arena.n_keyframes() > 2
-                    and self.enable_local_ba):
+            # tracker's backpressure drain (with kf_drain_release_on_
+            # expansion it waits on _expanding, not _busy) so new frames
+            # track against the expanded map while local BA / culling /
+            # loop detection run behind them — the reference's
+            # concurrent-BA thread model (src/LocalMapping.cc:28-53).
+            self._expanding = False
+            if not batch:
+                continue
+            kf = batch[-1]
+            # Phase 2 — REFINEMENT: one local-BA + keyframe-culling pass
+            # per expansion batch, on the newest keyframe, GUARANTEED to
+            # run even if the tracker refilled the queue meanwhile. The
+            # round-4 drain-release A/B failed precisely because these
+            # were gated on an empty queue: a tracker released at
+            # expansion refills the queue before the worker reaches BA
+            # under ~1 KF/frame structural demand, so BA and culling
+            # starved and the map was never polished or pruned
+            # (docs/ROADMAP.md "Drain-release-on-expansion A/B"). The
+            # queue-empty gate's purpose — ONE device solve per backlog
+            # instead of one per queued entry — is preserved by the
+            # batch structure itself. (_abort_ba mirrors upstream's
+            # mbAbortBA intent; the batched LM solve is a single jitted
+            # program and cannot stop mid-flight, so batch-gating does
+            # the catching up instead.)
+            if (self.arena.n_keyframes() > 2 and self.enable_local_ba
+                    and kf.id in self.arena.kfs):
                 with t.stage("local_ba"), lk:
                     self.local_ba(kf)
-            if not self.queue and self.enable_kf_culling:
+            if self.enable_kf_culling and kf.id in self.arena.kfs:
                 with t.stage("cull_kfs"), lk:
                     self.cull_keyframes(kf)
-            # Hand off to loop closing (reference :72, the thread boundary).
-            if self.loop_closer is not None and kf.id in self.arena.kfs:
-                with t.stage("loop_closer"), lk:
-                    self.loop_closer.process(kf.id)
-        # Covers sync-mode callers and the dead-keyframe exit (async mode
-        # normally clears it right after the last triangulation above).
-        self._expanding = False
+            # Hand off to loop closing (reference :72, the thread
+            # boundary) — every batch keyframe still alive is processed
+            # (BoW-indexed + loop-detected), in insertion order.
+            if self.loop_closer is not None:
+                for bkf in batch:
+                    if bkf.id in self.arena.kfs:
+                        with t.stage("loop_closer"), lk:
+                            self.loop_closer.process(bkf.id)
 
     def process_new_keyframe(self, kf: KeyFrameRec):
         """Reference ProcessNewKeyFrame (:105-132): bind tracked map points,

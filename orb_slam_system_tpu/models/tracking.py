@@ -156,16 +156,21 @@ class Tracker:
         # If True, the backpressure drain releases as soon as every
         # queued keyframe's triangulation+fusion has landed (the
         # mapper's _expanding flag) instead of waiting for local BA /
-        # culling / loop detection too. Default OFF: measured NEGATIVE
-        # at map scale on this host (1250-frame endurance: 1024/1250
-        # tracked, ATE 2.2 m vs 1249/1250 / ~5 cm with the full drain).
-        # Mechanism: process_pending runs BA and culling only with an
-        # empty queue; a tracker released at expansion refills the
-        # queue immediately under ~1 KF/frame structural demand, so BA
-        # and culling STARVE and the map is never polished or pruned.
-        # The full drain is what guarantees one BA/cull pass per
-        # backlog. (docs/ROADMAP.md "Drain-release-on-expansion A/B".)
-        self.kf_drain_release_on_expansion: bool = False
+        # culling / loop detection too — local BA then overlaps the next
+        # tracking frames like the reference's concurrent LocalMapping
+        # thread (src/LocalMapping.cc:28-53 + mbAbortBA). The round-4
+        # attempt at this was measured NEGATIVE (1250-frame endurance:
+        # 1024/1250 tracked, ATE 2.2 m) because process_pending gated BA
+        # and culling on an EMPTY queue: a tracker released at expansion
+        # refills the queue immediately under ~1 KF/frame structural
+        # demand, so BA and culling STARVED and the map was never
+        # polished or pruned (docs/ROADMAP.md "Drain-release-on-
+        # expansion A/B"). The round-5 worker restructure removed that
+        # gate — one BA/cull pass per expansion batch is GUARANTEED
+        # regardless of queue refill — which fixes the starvation
+        # mechanism, so the default is now ON (validated by the
+        # 1250-frame pipelined+async endurance gate).
+        self.kf_drain_release_on_expansion: bool = True
         # Health-aware sync: a keyframe created while n_inliers has
         # dropped below this fraction of the OK-frame inlier EMA drains
         # the async mapper before tracking continues (see
@@ -1402,12 +1407,13 @@ class Tracker:
         Tcr_pre = None
         if (cur is not None and cur.Tcw is not None and ref0 is not None):
             Tcr_pre = cur.Tcw @ np.linalg.inv(ref0.Tcw)
-        # Default: wait for the worker's FULL per-keyframe pipeline
-        # (_busy), i.e. including local BA / culling / loop detection.
-        # Releasing at map expansion (_expanding) sounds like upstream's
-        # concurrent-BA overlap, but measured NEGATIVE at map scale —
-        # see kf_drain_release_on_expansion above for the starvation
-        # mechanism and numbers.
+        # Default: release as soon as the backlog's EXPANSIONS land
+        # (_expanding) — the worker's refinement phase (local BA /
+        # culling / loop detection, guaranteed once per expansion batch
+        # by the round-5 worker restructure) then overlaps the next
+        # tracking frames, matching upstream's concurrent LocalMapping
+        # thread. kf_drain_release_on_expansion=False restores the full
+        # drain (_busy), the deterministic round-4 behavior.
         with self.arena.unlocked(), self.arena.correction_unlocked():
             while ((mapper.queue
                     or (mapper._expanding

@@ -63,6 +63,66 @@ def test_async_quality_matches_sync():
     assert rmse_sync < 0.03 and rmse_async < 0.03
 
 
+def test_worker_batch_guarantees_ba_per_batch():
+    """The round-5 worker restructure: local BA + keyframe culling run
+    once per EXPANSION BATCH, guaranteed, even when the tracker refills
+    the queue before the refinement phase. The round-4 drain-release A/B
+    failed precisely because BA/culling were gated on an empty queue and
+    starved under ~1 KF/frame demand (docs/ROADMAP.md
+    'Drain-release-on-expansion A/B')."""
+    slam, _ = _run(async_mapping=False, n_frames=14)
+    mapper = slam.local_mapper
+    kf_ids = list(slam.arena.kfs)
+    assert len(kf_ids) >= 2 and slam.arena.n_keyframes() > 2
+    calls = {"ba": 0, "cull": 0, "tri": 0}
+
+    def fake_tri(kf, do_fuse=True):
+        calls["tri"] += 1
+
+    def fake_ba(kf):
+        calls["ba"] += 1
+        if calls["ba"] == 1:
+            # Tracker refills the queue mid-refinement: the next batch
+            # must STILL get its own BA pass.
+            mapper.queue.append(kf_ids[1])
+
+    mapper.tri_and_fuse = fake_tri
+    mapper.local_ba = fake_ba
+    mapper.cull_keyframes = lambda kf: calls.__setitem__(
+        "cull", calls["cull"] + 1)
+    mapper.queue.clear()
+    mapper.queue.append(kf_ids[0])
+    mapper.process_pending()
+    assert not mapper.queue
+    assert calls["tri"] == 2          # both keyframes expanded
+    assert calls["ba"] == 2           # one BA per batch, refill included
+    assert calls["cull"] == 2
+    assert mapper._expanding is False
+    slam.shutdown()
+
+
+def test_expanding_cleared_on_exception():
+    """Advisor r4: an exception inside a sync-mode process_pending call
+    must not leave _expanding stuck True (every later backpressure drain
+    would wait out the full kf_async_wait_s timeout per frame)."""
+    slam, _ = _run(async_mapping=False, n_frames=14)
+    mapper = slam.local_mapper
+    kf_ids = list(slam.arena.kfs)
+
+    def boom(kf):
+        raise RuntimeError("injected")
+
+    mapper.process_new_keyframe = boom
+    mapper.queue.append(kf_ids[0])
+    try:
+        mapper.process_pending()
+    except RuntimeError:
+        pass
+    assert mapper._expanding is False
+    mapper.queue.clear()
+    slam.shutdown()
+
+
 def test_internal_reset_under_lock_does_not_deadlock():
     """Tracker.reset() fired from inside the locked tracking section
     (the ≤5-KF lost path, tracking.py _track_locked) must release
@@ -157,12 +217,12 @@ def test_bounded_queue_keyframe_admission():
     tr.kf_async_wait_s = 10.0
     busy.queue = [object()] * 3                # full
 
-    # Default drain waits for the worker's FULL pipeline (_busy), not
-    # just map expansion: releasing at expansion starves BA/culling
-    # under continuous keyframe demand (the worker only runs them with
-    # an empty queue, which the released tracker immediately refills) —
-    # measured meter-class at map scale. kf_drain_release_on_expansion
-    # exists as an opt-in for hosts where the mapper keeps pace.
+    # Default (round 5): the drain releases once every queued keyframe's
+    # EXPANSION has landed (_expanding cleared) — the worker's
+    # refinement phase (local BA / culling / loop detection, guaranteed
+    # once per expansion batch by the worker restructure) then overlaps
+    # the next tracking frames. kf_drain_release_on_expansion=False
+    # restores the deterministic full drain (_busy).
     busy._busy = True
     busy._expanding = True
 
@@ -174,9 +234,9 @@ def test_bounded_queue_keyframe_admission():
             "arena.lock held during backpressure wait"
         tr.arena.lock.release()
         busy.queue.clear()
-        busy._expanding = False       # last triangulation landed ...
-        time.sleep(0.25)              # ... but the default drain waits
-        busy._busy = False            # for BA/cull/loop to finish too
+        busy._expanding = False       # last triangulation landed:
+        time.sleep(0.25)              # default drain releases HERE; the
+        busy._busy = False            # full-drain mode waits for _busy
 
     th = threading.Thread(target=drain)
     th.start()
@@ -186,11 +246,28 @@ def test_bounded_queue_keyframe_admission():
     dt = time.monotonic() - t0
     th.join()
     assert got is True                         # admitted after the drain
-    # >=0.45: proves the wait spanned BOTH sleeps — it held through
-    # queue-empty + expansion-done until _busy cleared (full pipeline).
-    assert 0.45 <= dt < 5.0, dt                # waited, didn't time out
+    # In [0.2, 0.45): released at expansion (first sleep), did NOT span
+    # the second sleep waiting for _busy.
+    assert 0.2 <= dt < 0.45, dt
     assert tr.kf_wait_stats["waits"] >= 1
     assert tr.kf_wait_stats["timeouts"] == 0
+
+    # Full-drain opt-out: waits for the worker's whole pipeline (_busy),
+    # spanning BOTH sleeps.
+    tr.kf_drain_release_on_expansion = False
+    busy.queue = [object()] * 3
+    busy._busy = True
+    busy._expanding = True
+    th = threading.Thread(target=drain)
+    th.start()
+    t0 = time.monotonic()
+    with tr.arena.lock:
+        got = tr.need_new_keyframe()
+    dt = time.monotonic() - t0
+    th.join()
+    assert got is True
+    assert 0.45 <= dt < 5.0, dt
+    tr.kf_drain_release_on_expansion = True
 
     # Timeout path: nothing drains -> demand dropped after the bound.
     tr.kf_async_wait_s = 0.3
