@@ -24,7 +24,7 @@ import numpy as np
 
 
 def bench_system_fps(n_frames: int = 72, warmup: int = 24,
-                     mode: str = "pipelined"):
+                     mode: str = "pipelined", admission: str = "drain"):
     """End-to-end tracking FPS (BASELINE.md primary metric): a real System
     tracking pre-rendered 640x480 synthetic frames at the reference's 1000
     features/frame. Frames are rendered up front so the loop measures the
@@ -58,6 +58,16 @@ def bench_system_fps(n_frames: int = 72, warmup: int = 24,
     # async_mapping = the reference's own thread model (tracking + local
     # mapping on separate threads); device round trips overlap.
     slam = System(None, cfg, Sensor.MONOCULAR, async_mapping=True)
+    if admission == "drop":
+        # r3-style drop-on-full admission: a demanded keyframe is
+        # dropped when the mapper queue is full instead of draining the
+        # backlog. Faster on a host whose mapper cannot keep pace, but
+        # collapses endurance quality at new-territory transitions
+        # (docs/ROADMAP.md "Admission-policy A/B") — reported as a
+        # LABELED secondary number so admission-policy changes never
+        # masquerade as kernel regressions (VERDICT r4 #6).
+        slam.tracker.kf_async_wait_s = 0.0
+        slam.tracker.kf_sync_flush_ratio = 0.0
     depth = int(os.environ.get("ORB_SLAM_BENCH_DEPTH", "2"))
     n_chain_warm = 8 if mode == "pipelined" else 0
     for i in range(warmup - n_chain_warm):
@@ -243,8 +253,18 @@ def main():
         _ = float(np.asarray(out[0]))  # scalar fetch = real synchronization
         dt = time.perf_counter() - t0
         rep_kps.append(B * iters / dt * n_valid)
-    kps_per_sec = float(np.median(rep_kps))
+    # Outlier-rep rejection (VERDICT r4 #6): the tunnel occasionally
+    # stalls one rep by 30-50% (r4's artifact carried a 0.62x outlier
+    # into value_min); reps beyond 2x the scaled MAD from the median are
+    # dropped before aggregating, with the rejection counted in the line.
+    med = float(np.median(rep_kps))
+    mad = 1.4826 * float(np.median(np.abs(np.asarray(rep_kps) - med)))
+    tol = max(2.0 * mad, 0.10 * med)
+    kept = [x for x in rep_kps if abs(x - med) <= tol]
+    n_rejected = len(rep_kps) - len(kept)
+    kps_per_sec = float(np.median(kept))
     frames_per_sec = kps_per_sec / max(n_valid, 1.0)
+    rep_kps = kept
 
     # Baseline: MEASURED cv2.ORB+BFMatcher throughput on this host,
     # taken at main() entry (fallback: the ~15 ms/frame literature
@@ -262,6 +282,7 @@ def main():
         "value_min": round(min(rep_kps), 1),
         "value_max": round(max(rep_kps), 1),
         "n_reps": len(rep_kps),
+        "n_reps_rejected": n_rejected,
     }
     # Second metric: end-to-end tracking FPS (system throughput, not a
     # kernel benchmark) vs the 30 fps real-time dataset rate. Run under a
@@ -303,6 +324,20 @@ def main():
                     out["n"] = reps[0][1]
                     out["n_reps"] = len(reps)
                     out["mode"] = used
+                # Secondary LABELED number: the r3-style drop-on-full
+                # admission config (fast on a mapper-bound host, known to
+                # collapse endurance quality — docs/ROADMAP.md "Admission-
+                # policy A/B"). Reported alongside the quality-holding
+                # headline so admission-policy changes never masquerade
+                # as kernel regressions (VERDICT r4 #6).
+                for attempt in range(2):
+                    sysres = bench_system_fps(mode="pipelined",
+                                              admission="drop")
+                    if sysres is not None:
+                        out["fps_drop"] = sysres[0]
+                        break
+                    print(f"# drop-admission attempt {attempt} rejected",
+                          file=sys.stderr)
             except Exception as e:  # noqa: BLE001 — bench must never fail
                 print(f"# system bench failed: {type(e).__name__}: {e}",
                       file=sys.stderr)
@@ -324,6 +359,9 @@ def main():
             record["system_fps_min"] = round(out["fps_min"], 1)
             record["system_fps_max"] = round(out["fps_max"], 1)
             record["system_n_reps"] = out["n_reps"]
+            record["system_admission"] = "drain_on_full"
+            if "fps_drop" in out:
+                record["system_fps_drop_on_full"] = round(out["fps_drop"], 1)
             print(f"# system_fps median={fps:.1f} "
                   f"[{out['fps_min']:.1f}, {out['fps_max']:.1f}] over "
                   f"{n_timed} frames x{out['n_reps']} ({out['mode']})",

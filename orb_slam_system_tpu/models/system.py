@@ -35,11 +35,21 @@ class System:
                  use_viewer: bool = False,
                  metrics_jsonl: Optional[str] = None,
                  async_mapping: bool = False,
-                 viewer_port: Optional[int] = None):
+                 viewer_port: Optional[int] = None,
+                 prewarm: bool = False):
         if isinstance(settings, str):
             self.cfg = load_settings(settings, sensor)
         else:
             self.cfg = settings
+        # Opt-in compile-cache pre-warm (VERDICT r4 #1): runs a short
+        # synthetic pass through both mapping modes BEFORE this System's
+        # first real frame, filling the in-process jit caches and the
+        # persistent XLA cache so serving never hits the multi-second
+        # per-bucket cold-compile cliff (ROADMAP round-4 TPU profiles:
+        # cold 0.2 fps vs warm 19.2 fps). Re-entrancy guarded inside.
+        if prewarm:
+            from orb_slam_system_tpu.utils.warmup import warm
+            warm(verbose=False, n_features=self.cfg.orb.n_features)
         self.sensor = Sensor(sensor)
         self.vocabulary = None
         if vocabulary_path:

@@ -88,6 +88,9 @@ class Tracker:
         self.last_frame: Optional[Frame] = None
         self.current: Optional[Frame] = None
         self.init_ref: Optional[Frame] = None
+        # (ref_xy, cur_xy) matched pairs of the latest mono-init attempt
+        # (FrameDrawer init-line overlay, src/FrameDrawer.cc:27-48).
+        self.init_vis = None
         self.prev_matched: Optional[np.ndarray] = None
         self.ref_kf_id = -1
         self.last_kf_frame_id = -1
@@ -177,6 +180,25 @@ class Tracker:
         # create_new_keyframe). 0 disables.
         self.kf_sync_flush_ratio: float = 0.6
         self.kf_wait_stats = {"waits": 0, "wait_s": 0.0, "timeouts": 0}
+        # MACHINE-CHECKED correction-exclusion invariant (round 5): a
+        # frame that observes arena.pose_epoch advance inside one of its
+        # correction_unlocked() wait windows MUST re-anchor its pose
+        # before committing — otherwise the Tcr_ref stored at frame end
+        # marries a pre-correction pose to a corrected reference
+        # keyframe, a silently poisoned relative pose the UpdateLastFrame
+        # re-anchor reproduces every later frame (the round-4 "timing
+        # lottery" race class). _frame_epoch records the epoch the
+        # current frame's pose was last derived/re-anchored under; every
+        # wait window refreshes it after handling an epoch move, and
+        # _store_trajectory crashes loudly on a mismatch instead of
+        # letting the poison propagate. Reference bar: upstream holds
+        # Map::mMutexMapUpdate for the whole frame (src/Tracking.cc:179)
+        # so this cannot happen there by construction.
+        self._frame_epoch = -1
+        self.epoch_violations = 0
+        import os as _os
+        self.epoch_assert = _os.environ.get(
+            "ORB_SLAM_EPOCH_ASSERT", "1") != "0"
         # Opt-in conservative mode: frames that will create a keyframe are
         # re-tracked through the exact classic path before insertion.
         # Default off — with the chain state held on SE(3) (lie.se3_project)
@@ -242,6 +264,10 @@ class Tracker:
         # whole-frame mMutexMapUpdate semantics (see arena.correction_lock
         # doc; lock order: correction_lock > arena.lock).
         with self.arena.correction_lock, self.arena.lock:
+            # Frame-span epoch anchor: the pose about to be computed
+            # derives from map state read under THIS epoch (see the
+            # _frame_epoch invariant doc in __init__).
+            self._frame_epoch = self.arena.pose_epoch
             self._track_locked()
 
     def _track_locked(self):
@@ -378,8 +404,14 @@ class Tracker:
         idx2 = np.asarray(res.idx2)
         matched = idx2 >= 0
         n_matches = int(matched.sum())
+        # FrameDrawer init overlay state (reference FrameDrawer keeps
+        # mvIniKeys + mvIniMatches and DrawFrame :27-48 draws the match
+        # lines while NOT_INITIALIZED): matched (ref_xy, cur_xy) pairs.
+        self.init_vis = (ref.feats.xy_und[matched].copy(),
+                         cur.feats.xy_und[idx2[matched]].copy())
         if n_matches < 100:           # reference :316-321
             self.init_ref = None
+            self.init_vis = None
             return
         # Update prev_matched for drift tolerance (reference :323).
         self.prev_matched[matched] = cur.feats.xy_und[idx2[matched]]
@@ -478,6 +510,7 @@ class Tracker:
         self.local_mapper.insert_keyframe(kf1.id)
         self.local_mapper.insert_keyframe(kf2.id)
         self.init_ref = None
+        self.init_vis = None
         self.state = TrackingState.OK
 
     def stereo_initialization(self):
@@ -523,6 +556,7 @@ class Tracker:
         self.arena.dead_kfs.clear()
         self.arena.kf_origin_id = -1
         self.init_ref = None
+        self.init_vis = None
         self.state = TrackingState.NOT_INITIALIZED
 
     # ------------------------------------------------------------------
@@ -703,8 +737,21 @@ class Tracker:
         has_mp = kf.mp_ids >= 0
         node_kf = np.where(has_mp, 0, -1).astype(np.int32)
         node_cur = np.zeros(cur.feats.n_slots, np.int32)
-        if kf.node_ids is not None:
-            node_kf = np.where(has_mp, kf.node_ids, -1).astype(np.int32)
+        if (kf.node_ids is not None and self.place_rec is not None
+                and self.place_rec.ready):
+            # The node constraint is meaningful only when BOTH sides carry
+            # real direct-index nodes (upstream SearchByBoW walks the two
+            # FeatureVectors in lock-step, src/ORBmatcher.cc:278-366):
+            # compute the frame's nodes as Frame::ComputeBoW does
+            # (src/Frame.cc:375-382). Round-5 bug fix: the keyframe's real
+            # node ids were paired with all-zero frame nodes, so with a
+            # loaded vocabulary this search matched (almost) nothing and
+            # the post-init fallback chain collapsed into reset loops.
+            _, node_cur_ids = self.place_rec.frame_bow(cur.feats.desc,
+                                                       cur.feats.valid)
+            if node_cur_ids is not None:
+                node_kf = np.where(has_mp, kf.node_ids, -1).astype(np.int32)
+                node_cur = np.asarray(node_cur_ids, np.int32)
         res = matching.search_by_node_id(
             jnp.asarray(kf.feats.desc), jnp.asarray(kf.feats.valid & has_mp),
             jnp.asarray(kf.feats.angle), jnp.asarray(node_kf),
@@ -1161,6 +1208,11 @@ class Tracker:
         success or None when the result is weak — the caller then re-runs
         this frame through the exact classic path and resyncs."""
         t = self.stage_ms
+        # Frame-span epoch anchor for the chain commit path (the caller
+        # holds correction_lock and has already discarded results whose
+        # enqueue-time epoch went stale; from here the _frame_epoch
+        # invariant takes over — see __init__).
+        self._frame_epoch = self.arena.pose_epoch
         # The async copy normally landed a frame ago; if not, the blocking
         # decode releases the map mutex so the mapper keeps working.
         with t.stage("chain_decode"), self.arena.unlocked():
@@ -1421,10 +1473,19 @@ class Tracker:
                         else mapper._busy))
                    and _time.monotonic() < deadline):
                 _time.sleep(0.002)
-        if self.arena.pose_epoch != epoch0 and Tcr_pre is not None:
-            ref = self.arena.kfs.get(self.ref_kf_id)
-            if ref is not None:
-                cur.Tcw = (Tcr_pre @ ref.Tcw).astype(np.float32)
+        if self.arena.pose_epoch != epoch0:
+            if Tcr_pre is not None:
+                ref = self.arena.kfs.get(self.ref_kf_id)
+                if ref is not None:
+                    cur.Tcw = (Tcr_pre @ ref.Tcw).astype(np.float32)
+                    self._frame_epoch = self.arena.pose_epoch
+            elif cur is None or cur.Tcw is None:
+                # No pose existed before the wait: nothing to poison.
+                self._frame_epoch = self.arena.pose_epoch
+            # else: pose exists but could not be re-anchored (no valid
+            # reference) — leave _frame_epoch stale so _store_trajectory's
+            # invariant check fires rather than committing a poisoned
+            # relative pose.
         self.kf_wait_stats["wait_s"] += _time.monotonic() - t0
         ok = len(mapper.queue) < self.kf_async_queue
         if not ok:
@@ -1494,6 +1555,10 @@ class Tracker:
                 # adopting the keyframe's corrected pose keeps cur (and
                 # the Tcr_ref stored at frame end) in the map's frame.
                 cur.Tcw = self.arena.kfs[kf.id].Tcw.copy()
+                self._frame_epoch = self.arena.pose_epoch
+            # (kf erased during the flush + epoch moved: _frame_epoch
+            # stays stale; _store_trajectory skips the store when the
+            # reference keyframe is gone, so no poison can land.)
 
     def _seed_depth_points(self, kf):
         """Stereo/RGBD keyframes seed map points from depth for unmatched
@@ -1739,6 +1804,7 @@ class Tracker:
         self.local_kf_ids = []
         self._chain_ninl_hist.clear()
         self._inl_ema = 0.0
+        self._frame_epoch = self.arena.pose_epoch
         self.state = TrackingState.NOT_INITIALIZED
 
     # ------------------------------------------------------------------
@@ -1759,6 +1825,22 @@ class Tracker:
         ref = self.arena.kfs.get(cur.ref_kf_id)
         if ref is None:
             return
+        if self._frame_epoch not in (-1, self.arena.pose_epoch):
+            # Enforced correction-exclusion invariant (__init__ doc): the
+            # map's poses were rewritten inside this frame's span through
+            # a wait window whose handler did NOT re-anchor the frame.
+            # Storing Tcr_ref now would poison the trajectory and the
+            # motion model permanently (round-4 race class).
+            self.epoch_violations += 1
+            msg = (f"correction-exclusion invariant violated: pose_epoch "
+                   f"advanced {self._frame_epoch}->{self.arena.pose_epoch} "
+                   f"inside frame {cur.id}'s span without a re-anchor; "
+                   f"refusing to store a poisoned Tcr_ref "
+                   f"(arena.correction_lock doc)")
+            if self.epoch_assert:
+                raise RuntimeError(msg)
+            import sys as _sys
+            print("[tracking] WARNING:", msg, file=_sys.stderr)
         Tcr = (cur.Tcw @ np.linalg.inv(ref.Tcw)).astype(np.float32)
         cur.Tcr_ref = Tcr
         self.trajectory.append(TrajectoryEntry(

@@ -19,27 +19,66 @@ from typing import Optional
 import numpy as np
 
 
+GREEN = (80, 235, 80)    # tracked MAP points (reference :55-58)
+BLUE = (90, 140, 255)    # tracked VO points, localization mode (:59-62)
+INIT = (80, 235, 80)     # init match lines (:41-46, green in upstream)
+
+
+def _box(out: np.ndarray, x: int, y: int, box: int, color):
+    H, W = out.shape[:2]
+    x0, x1 = max(x - box, 0), min(x + box, W - 1)
+    y0, y1 = max(y - box, 0), min(y + box, H - 1)
+    out[y0, x0:x1 + 1] = color
+    out[y1, x0:x1 + 1] = color
+    out[y0:y1 + 1, x0] = color
+    out[y0:y1 + 1, x1] = color
+
+
+def _line(out: np.ndarray, p0, p1, color):
+    """Plain sampled line segment (no cv2 in the serving path)."""
+    H, W = out.shape[:2]
+    n = int(max(abs(p1[0] - p0[0]), abs(p1[1] - p0[1]), 1))
+    t = np.linspace(0.0, 1.0, n + 1)
+    xs = np.clip(np.round(p0[0] + (p1[0] - p0[0]) * t), 0, W - 1).astype(int)
+    ys = np.clip(np.round(p0[1] + (p1[1] - p0[1]) * t), 0, H - 1).astype(int)
+    out[ys, xs] = color
+
+
 def annotate_frame(img: np.ndarray, xy: np.ndarray, tracked_mask: np.ndarray,
-                   box: int = 3) -> np.ndarray:
-    """Draw white boxes around tracked keypoints (reference
-    FrameDrawer::DrawFrame :16-90). img f32[H,W] -> u8[H,W]."""
-    out = np.clip(img, 0, 255).astype(np.uint8).copy()
-    H, W = out.shape
+                   box: int = 3, vo_mask: Optional[np.ndarray] = None,
+                   init_vis=None) -> np.ndarray:
+    """The reference FrameDrawer::DrawFrame overlay (src/FrameDrawer.cc:
+    16-90): while NOT_INITIALIZED, green lines between the init reference
+    keypoints and their current matches (:27-48); while tracking, GREEN
+    boxes on tracked MAP points and BLUE boxes on tracked VO points
+    (localization mode's temporary depth points, :49-66).
+    img f32[H,W] -> u8[H,W,3]."""
+    g = np.clip(img, 0, 255).astype(np.uint8)
+    out = np.repeat(g[..., None], 3, axis=2).copy()
+    if init_vis is not None:
+        ref_xy, cur_xy = init_vis
+        for p0, p1 in zip(np.asarray(ref_xy), np.asarray(cur_xy)):
+            _line(out, p0, p1, INIT)
+        return out
+    vo = (np.zeros(len(tracked_mask), bool) if vo_mask is None
+          else np.asarray(vo_mask, bool))
     for k in np.nonzero(tracked_mask)[0]:
-        x, y = int(xy[k, 0]), int(xy[k, 1])
-        x0, x1 = max(x - box, 0), min(x + box, W - 1)
-        y0, y1 = max(y - box, 0), min(y + box, H - 1)
-        out[y0, x0:x1 + 1] = 255
-        out[y1, x0:x1 + 1] = 255
-        out[y0:y1 + 1, x0] = 255
-        out[y0:y1 + 1, x1] = 255
+        _box(out, int(xy[k, 0]), int(xy[k, 1]), box,
+             BLUE if vo[k] else GREEN)
     return out
 
 
-def status_text(state, n_kfs: int, n_mps: int, n_tracked: int) -> str:
-    """Reference FrameDrawer status line (:49-66)."""
-    return (f"SLAM MODE | state: {state.name} | KFs: {n_kfs} | "
+def status_text(state, n_kfs: int, n_mps: int, n_tracked: int,
+                n_vo: int = 0, localization: bool = False) -> str:
+    """Reference FrameDrawer status line (:49-66): mode, map sizes, match
+    count; localization mode reports map matches + VO matches separately
+    (upstream DrawTextInfo semantics)."""
+    mode = "LOCALIZATION MODE" if localization else "SLAM MODE"
+    line = (f"{mode} | state: {state.name} | KFs: {n_kfs} | "
             f"MPs: {n_mps} | Matches: {n_tracked}")
+    if localization or n_vo:
+        line += f" | VO matches: {n_vo}"
+    return line
 
 
 def export_map_ply(path: str, arena, draw_graph: bool = True):
@@ -86,6 +125,23 @@ def _export_map_ply_locked(path: str, arena, draw_graph: bool = True):
             f.write(f"{a} {b}\n")
 
 
+def _point_classes(cur):
+    """(tracked, vo) masks for the current frame: tracked = bound,
+    non-outlier keypoints; vo = the subset riding temporary VO depth
+    points (localization mode, reference FrameDrawer :59-62 draws these
+    as the second point class)."""
+    if cur is None:
+        z = np.zeros(0, bool)
+        return z, z
+    tracked = (cur.mp_ids >= 0) & ~cur.outlier
+    vo = np.zeros_like(tracked)
+    for slot in (cur.vo_points or {}):
+        if 0 <= slot < len(vo):
+            vo[slot] = True
+    vo &= tracked
+    return tracked, vo
+
+
 def write_pgm(path: str, img: np.ndarray):
     """Write a u8 grayscale image as binary PGM (no external codecs)."""
     img = np.clip(img, 0, 255).astype(np.uint8)
@@ -95,20 +151,21 @@ def write_pgm(path: str, img: np.ndarray):
 
 
 def encode_png(img: np.ndarray) -> bytes:
-    """Encode a u8 grayscale image as PNG with stdlib zlib only (no image
-    codec dependencies in the serving path)."""
+    """Encode a u8 grayscale [H,W] or RGB [H,W,3] image as PNG with
+    stdlib zlib only (no image codec dependencies in the serving path)."""
     import struct
     import zlib
 
     img = np.clip(img, 0, 255).astype(np.uint8)
-    H, W = img.shape
+    H, W = img.shape[:2]
+    color_type = 2 if img.ndim == 3 else 0   # truecolor / grayscale
     raw = b"".join(b"\x00" + img[i].tobytes() for i in range(H))
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + tag + data
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", W, H, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    ihdr = struct.pack(">IIBBBBB", W, H, 8, color_type, 0, 0, 0)
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
 
@@ -131,6 +188,8 @@ button.on{background:#265f26}
  <button id="follow" class="on" onclick="toggleFollow()">follow camera</button>
  <button id="loc" onclick="cmd('toggle_localization')">localization mode</button>
  <button onclick="cmd('reset')">reset</button>
+ <button onclick="cmd('insert_cube')">insert cube</button>
+ <button onclick="cmd('clear_cubes')">clear cubes</button>
  <a href="/map.ply" download><button>download map.ply</button></a>
 </div>
 <script>
@@ -213,6 +272,15 @@ function draw(m){
   for(const fr of m.frusta){frustum(g, fr);}
   if(m.cur_frustum){g.strokeStyle='#4e4'; g.lineWidth=2;
     frustum(g, m.cur_frustum);}
+  // AR cubes (ViewerAR parity: user-inserted, world-anchored).
+  const CE = [[0,1],[1,3],[3,2],[2,0],[4,5],[5,7],[7,6],[6,4],
+              [0,4],[1,5],[2,6],[3,7]];
+  g.strokeStyle='#e4e'; g.lineWidth=2;
+  for(const cube of (m.cubes||[])){
+    g.beginPath();
+    for(const e of CE) seg(g, cube[e[0]], cube[e[1]]);
+    g.stroke();
+  }
 }
 tick();
 </script></body></html>"""
@@ -246,6 +314,13 @@ class LiveViewer:
         # has fetched /frame.png recently. The first poll returns a
         # placeholder and arms the gate.
         self._frame_wanted_until = 0.0
+        # User-inserted AR cubes: (center f32[3], normal f32[3], size)
+        # anchored in WORLD coordinates — the ViewerAR insert-cube flow
+        # (Examples/ROS/ORB_SLAM2/src/AR/ViewerAR.cc: menu command ->
+        # DetectPlane on the tracked points -> cube persists and is
+        # redrawn from every new camera pose). Rendered in both panes.
+        self.cubes: list = []
+        self.cube_size = 0.1
         viewer = self
 
         class Handler(http.server.BaseHTTPRequestHandler):
@@ -324,6 +399,13 @@ class LiveViewer:
                             sys_.activate_localization_mode()
                     elif action == "reset":
                         sys_.reset()
+                    elif action == "insert_cube":
+                        ok = viewer.insert_cube()
+                        self._send(200 if ok else 409, "text/plain",
+                                   b"ok" if ok else b"no plane")
+                        return
+                    elif action == "clear_cubes":
+                        viewer.cubes.clear()
                     self._send(200, "text/plain", b"ok")
                 except (BrokenPipeError, ConnectionResetError):
                     pass
@@ -340,10 +422,13 @@ class LiveViewer:
     def update(self, img: Optional[np.ndarray] = None):
         import time as _time
         sys_ = self.system
-        cur = sys_.tracker.current
+        tr = sys_.tracker
+        cur = tr.current
+        tracked, vo = _point_classes(cur)
         self._line = status_text(
             sys_.get_tracking_state(), sys_.arena.n_keyframes(),
-            sys_.arena.n_points(), len(sys_.get_tracked_map_points()))
+            sys_.arena.n_points(), int((tracked & ~vo).sum()),
+            n_vo=int(vo.sum()), localization=tr.only_tracking)
         # Poll-gated: cur.feats.xy forces a packed-frame fetch (one full
         # tunnel round trip) and PNG encode burns the single host core —
         # skip all of it unless a browser asked for frames recently.
@@ -352,14 +437,69 @@ class LiveViewer:
             try:
                 if img.ndim == 3:
                     img = img.mean(axis=2)
-                tracked = (cur.mp_ids >= 0) & ~cur.outlier
-                ann = annotate_frame(img, cur.feats.xy, tracked)
+                ann = annotate_frame(img, cur.feats.xy, tracked,
+                                     vo_mask=vo,
+                                     init_vis=getattr(tr, "init_vis", None))
+                if self.cubes and cur.Tcw is not None:
+                    self._draw_cubes_rgb(ann, cur.Tcw)
                 png = encode_png(ann)
                 with self._mlock:
                     self._png = png
             except Exception:  # noqa: BLE001 — viewer must never kill SLAM
                 pass
         self.n += 1
+
+    def insert_cube(self) -> bool:
+        """ViewerAR's insert-cube command: RANSAC-fit a plane on the
+        CURRENT frame's tracked map points (ViewerAR.cc DetectPlane runs
+        on vMPs of the latest tracked frame) and anchor a cube on it,
+        persisted in world coordinates. Returns False when no plane is
+        found (too few tracked points / degenerate geometry)."""
+        from orb_slam_system_tpu.models.ar import fit_plane
+        arena = self.system.arena
+        tr = self.system.tracker
+        with arena.lock:
+            cur = tr.current
+            if cur is None:
+                return False
+            pts = []
+            for k in np.nonzero((cur.mp_ids >= 0) & ~cur.outlier)[0]:
+                mp = arena.mps.get(int(cur.mp_ids[k]))
+                if mp is not None and not mp.bad:
+                    pts.append(mp.pos)
+            if len(pts) < 30:
+                return False
+            pts = np.stack(pts)
+            fit = fit_plane(pts)
+            if fit is None:
+                return False
+            n, d, mask = fit
+            center = pts[mask].mean(0)
+            # Orient the cube toward the camera side of the plane (the
+            # reference draws it "up" out of the observed surface).
+            if cur.Tcw is not None:
+                C = cur.camera_center()
+                if n @ (C - center) < 0:
+                    n = -n
+            self.cubes.append((center.astype(np.float32),
+                               n.astype(np.float32), self.cube_size))
+        return True
+
+    def _draw_cubes_rgb(self, out: np.ndarray, Tcw: np.ndarray):
+        """Project every inserted cube into the annotated frame
+        (ViewerAR's GL cube render, headless)."""
+        from orb_slam_system_tpu.models.ar import CUBE_EDGES, cube_vertices
+        K = self.system.cfg.camera.K
+        for center, n, size in self.cubes:
+            V = cube_vertices(center, n, size)
+            Xc = V @ Tcw[:3, :3].T + Tcw[:3, 3]
+            if (Xc[:, 2] <= 0.05).any():
+                continue
+            uv = ((Xc[:, :2] / Xc[:, 2:3])
+                  @ np.diag([K[0, 0], K[1, 1]]) + [K[0, 2], K[1, 2]])
+            for a, b in CUBE_EDGES:
+                _line(out, uv[a], uv[b], (230, 70, 230))
+        return out
 
     @staticmethod
     def _frustum(Tcw: np.ndarray, size: float):
@@ -410,6 +550,10 @@ class LiveViewer:
             if cur is not None and cur.Tcw is not None:
                 cur_c = cur.camera_center().tolist()
                 cur_fr = self._frustum(cur.Tcw, vw.camera_size)
+        from orb_slam_system_tpu.models.ar import cube_vertices
+        cubes = [[[round(float(v), 4) for v in p]
+                  for p in cube_vertices(c, n, s)]
+                 for c, n, s in self.cubes]
         return json.dumps({
             "pts": [[round(float(v), 4) for v in p] for p in pts],
             "kfs": [[round(float(v), 4) for v in p] for p in kfs],
@@ -417,6 +561,7 @@ class LiveViewer:
             "edges": edges,
             "cur": cur_c,
             "cur_frustum": cur_fr,
+            "cubes": cubes,
         }).encode()
 
     def snapshot_map(self, path: str):
@@ -440,17 +585,20 @@ class StatsViewer:
 
     def update(self, img: Optional[np.ndarray] = None):
         sys_ = self.system
-        cur = sys_.tracker.current
+        tr = sys_.tracker
+        cur = tr.current
+        tracked, vo = _point_classes(cur)
         line = status_text(sys_.get_tracking_state(),
                            sys_.arena.n_keyframes(), sys_.arena.n_points(),
-                           len(sys_.get_tracked_map_points()))
+                           int((tracked & ~vo).sum()), n_vo=int(vo.sum()),
+                           localization=tr.only_tracking)
         print(line, flush=True)
         if (self.out_dir and img is not None and self.every_n
                 and self.n % self.every_n == 0 and cur is not None):
-            tracked = (cur.mp_ids >= 0) & ~cur.outlier
-            ann = annotate_frame(img, cur.feats.xy, tracked)
+            ann = annotate_frame(img, cur.feats.xy, tracked, vo_mask=vo,
+                                 init_vis=getattr(tr, "init_vis", None))
             write_pgm(os.path.join(self.out_dir, f"frame_{self.n:05d}.pgm"),
-                      ann)
+                      ann[..., 1])  # PGM stays grayscale: green channel
         self.n += 1
 
     def snapshot_map(self, path: str):

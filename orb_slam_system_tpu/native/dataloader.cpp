@@ -236,6 +236,15 @@ struct Loader {
   std::vector<std::thread> workers;
   std::atomic<bool> stop{false};
   std::atomic<size_t> claim{0};
+  // Index the consumer is currently blocked on (SIZE_MAX = none). A
+  // worker holding this index may push past the capacity gate: workers
+  // claim an index BEFORE decoding, so with a slow consumer the ready
+  // queue can fill with later indices while the needed one is stranded
+  // in a capacity-blocked worker's hand -- consumer waits for the index,
+  // workers wait for space, deadlock. (Found by the runbook stand-in
+  // test: tracking at seconds/frame on cold compiles consumed slower
+  // than 4 decode threads filled the ring.)
+  size_t wanted = (size_t)-1;
 
   Loader(std::vector<std::string> p, int d, bool r)
       : paths(std::move(p)), raw16(r), depth(d) {
@@ -252,7 +261,8 @@ struct Loader {
       decode_file(paths[idx], im, raw16);
       std::unique_lock<std::mutex> lk(mu);
       cv_space.wait(lk, [&]() {
-        return stop.load() || ready.size() < (size_t)depth + workers.size();
+        return stop.load() || idx == wanted ||
+               ready.size() < (size_t)depth + workers.size();
       });
       if (stop.load()) {
         delete im;
@@ -266,11 +276,14 @@ struct Loader {
   // Blocking fetch of frame `idx` (frames arrive out of order from workers).
   Image* get(size_t idx) {
     std::unique_lock<std::mutex> lk(mu);
+    wanted = idx;
+    cv_space.notify_all();  // release a worker stranded holding `idx`
     while (!stop.load()) {
       for (auto it = ready.begin(); it != ready.end(); ++it) {
         if (it->first == idx) {
           Image* im = it->second;
           ready.erase(it);
+          wanted = (size_t)-1;
           cv_space.notify_all();
           return im;
         }

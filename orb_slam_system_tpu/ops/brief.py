@@ -180,21 +180,30 @@ def compute_descriptors(patches: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarra
     n_chunks = -(-M // CHUNK) + N_ANGLE_BINS
     bins = _angle_bins(angles).reshape(M)
     padded_idx, chunk_bin, slot_of = _chunk_layout(bins, n_chunks)
-    flat = patches.reshape(M, P * P).astype(jnp.bfloat16)
-    flat = jnp.concatenate(
-        [flat, jnp.zeros((1, P * P), jnp.bfloat16)], axis=0)   # dummy row M
-    p_sorted = flat[padded_idx]                      # [S, PP] row gather
     from orb_slam_system_tpu.ops import brief_pallas
+    # Row width padded to the lane-aligned 1408 BEFORE the bin-sort row
+    # gather (the padding columns are zero and the test matrices carry
+    # zero rows there, so the contraction is unchanged): the gather then
+    # moves 128-multiple rows, the layout Mosaic/XLA transfer vector
+    # units want, and the pallas path needs no second padding pass.
+    flat = patches.reshape(M, P * P).astype(jnp.bfloat16)
+    flat = jnp.pad(flat, ((0, 1), (0, brief_pallas.PP_PAD - P * P)))
+    p_sorted = flat[padded_idx]                 # [S, PP_PAD] row gather
     if brief_pallas.use_pallas():
         diffs = brief_pallas.binned_diffs_pallas(p_sorted, chunk_bin)
     else:
-        E = jnp.asarray(_E_BINNED, jnp.bfloat16)               # [A,PP,256]
+        E = jnp.asarray(brief_pallas._e_padded())  # [A,PP_PAD,256] bf16
         diffs = jnp.einsum(
             "kcp,kpq->kcq",
-            p_sorted.reshape(n_chunks, CHUNK, P * P), E[chunk_bin],
+            p_sorted.reshape(n_chunks, CHUNK, brief_pallas.PP_PAD),
+            E[chunk_bin],
             preferred_element_type=jnp.float32).reshape(-1, N_BITS)
-    bits = (diffs[slot_of] > 0).astype(jnp.uint32)             # [M,256]
-    return pack_bits(bits).reshape(B, N, 8)
+    # Pack BEFORE unsorting: the bit-pack commutes with the row
+    # permutation, so the unsort gather moves [M,8] u32 words instead of
+    # [M,256] bit columns (32x less data through the gather).
+    bits_sorted = (diffs > 0).astype(jnp.uint32)               # [S,256]
+    packed_sorted = pack_bits(bits_sorted)                     # [S,8]
+    return packed_sorted[slot_of].reshape(B, N, 8)
 
 
 def pack_bits(bits: jnp.ndarray) -> jnp.ndarray:

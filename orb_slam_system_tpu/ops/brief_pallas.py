@@ -46,12 +46,14 @@ def _kernel(cb_ref, p_ref, e_ref, o_ref):
 
 def binned_diffs_pallas(p_sorted: jnp.ndarray,
                         chunk_bin: jnp.ndarray) -> jnp.ndarray:
-    """p_sorted: bf16[K*CHUNK, PP] bin-sorted padded patches;
-    chunk_bin: i32[K]. Returns f32[K*CHUNK, 256] intensity differences."""
+    """p_sorted: bf16[K*CHUNK, PP or PP_PAD] bin-sorted padded patches
+    (callers pre-pad the row width to PP_PAD so the bin-sort gather moves
+    lane-aligned rows); chunk_bin: i32[K]. Returns f32[K*CHUNK, 256]."""
     S, pp = p_sorted.shape
-    assert pp == PP and S % _brief.CHUNK == 0
+    assert pp in (PP, PP_PAD) and S % _brief.CHUNK == 0
     K = S // _brief.CHUNK
-    p = jnp.pad(p_sorted, ((0, 0), (0, PP_PAD - PP)))
+    p = (p_sorted if pp == PP_PAD
+         else jnp.pad(p_sorted, ((0, 0), (0, PP_PAD - PP))))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(K,),

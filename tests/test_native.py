@@ -75,3 +75,44 @@ def test_dataset_loader_uses_native(tmp_path, rng, have_native):
     write_pgm(str(p), img)
     out = load_image_gray(str(p))
     assert out.shape == (9, 11)
+
+
+def test_prefetcher_slow_consumer_no_deadlock(tmp_path, have_native):
+    """Regression (round 5): workers claim an index BEFORE decoding, so a
+    slow consumer let the ready ring fill with later indices while the
+    needed one was stranded in a capacity-blocked worker's hand —
+    consumer waited for the index, workers waited for space, deadlock
+    (hit by the runbook stand-in: cold-compile tracking consumed at
+    seconds/frame against 4 decode threads). The `wanted` bypass lets
+    the stranded worker push the consumer's index past the gate.
+
+    Frame 0 is much larger (slowest decode), so with an idle consumer
+    the other workers deterministically fill the ring before worker 0
+    finishes — the old code then deadlocked on the very first fetch."""
+    import threading
+    import time
+
+    paths = []
+    big = np.zeros((400, 500), np.float32)
+    write_pgm(str(tmp_path / "f000.pgm"), big)
+    paths.append(str(tmp_path / "f000.pgm"))
+    for i in range(1, 30):
+        p = tmp_path / f"f{i:03d}.pgm"
+        write_pgm(str(p), np.full((6, 8), i, np.float32))
+        paths.append(str(p))
+    pl = native.PrefetchLoader(paths, depth=8)
+    time.sleep(0.3)          # let the ring fill while the consumer idles
+    done = {"ok": False}
+
+    def consume():
+        for i in range(30):
+            f = pl.fetch(i)
+            assert f is not None
+            time.sleep(0.01)  # slow consumer
+        done["ok"] = True
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(timeout=30.0)
+    assert done["ok"], "prefetch ring deadlocked with a slow consumer"
+    pl.close()

@@ -37,14 +37,34 @@ def test_draw_cube_renders_lines(rng):
 
 
 def test_annotate_and_status(rng):
+    from orb_slam_system_tpu.models.viewer import BLUE, GREEN, encode_png
     img = rng.uniform(0, 255, size=(120, 160)).astype(np.float32)
     xy = rng.uniform(10, 100, size=(20, 2)).astype(np.float32)
     mask = np.ones(20, bool)
     out = annotate_frame(img, xy, mask)
-    assert out.dtype == np.uint8
-    assert (out == 255).sum() >= 20 * 4  # box borders drawn
+    assert out.dtype == np.uint8 and out.shape == (120, 160, 3)
+    # Map points draw GREEN boxes (reference FrameDrawer :55-58).
+    assert (np.all(out == GREEN, axis=2)).sum() >= 20 * 4
+    # VO-point class draws BLUE (:59-62).
+    vo = np.zeros(20, bool)
+    vo[:8] = True
+    out2 = annotate_frame(img, xy, mask, vo_mask=vo)
+    assert (np.all(out2 == BLUE, axis=2)).sum() > 0
+    assert (np.all(out2 == GREEN, axis=2)).sum() > 0
+    # Init overlay: match LINES between ref and current keypoints
+    # (:27-48) instead of boxes.
+    ref_xy = xy + rng.uniform(-15, 15, size=xy.shape).astype(np.float32)
+    out3 = annotate_frame(img, xy, mask, init_vis=(ref_xy, xy))
+    n_colored = (~np.all(out3 == out3[..., :1], axis=2)).sum()
+    assert n_colored > 100  # line pixels, not just box corners
+    # RGB PNG round-trips through the stdlib encoder.
+    png = encode_png(out2)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
     s = status_text(TrackingState.OK, 5, 100, 42)
-    assert "OK" in s and "42" in s
+    assert "OK" in s and "42" in s and "SLAM MODE" in s
+    s2 = status_text(TrackingState.OK, 5, 100, 42, n_vo=7,
+                     localization=True)
+    assert "LOCALIZATION MODE" in s2 and "VO matches: 7" in s2
 
 
 def test_export_map_ply(tmp_path, rng):
@@ -141,6 +161,21 @@ def test_live_viewer_serves_and_toggles():
     assert json.loads(get("/status"))["localization"] is True
     post("toggle_localization")
     assert slam.tracker.only_tracking is False
+
+    # AR insert-cube flow (ViewerAR parity): menu command fits a plane
+    # on the current tracked points and anchors a persistent cube,
+    # served in map.json and drawn into the frame pane.
+    post("insert_cube")
+    assert len(slam.viewer.cubes) == 1
+    m = json.loads(get("/map.json"))
+    assert len(m["cubes"]) == 1 and len(m["cubes"][0]) == 8
+    get("/frame.png")
+    slam.track_monocular(r.render(poses[-1]), (len(poses) + 9) / 30.0)
+    png_cube = get("/frame.png")
+    assert png_cube[:8] == b"\x89PNG\r\n\x1a\n"
+    post("clear_cubes")
+    assert len(slam.viewer.cubes) == 0
+
     post("reset")
     assert slam.arena.n_keyframes() == 0
     slam.shutdown()
