@@ -334,6 +334,25 @@ def select_keypoints_multi(
     """
     B = scores[0].shape[0]
     K = topk_per_cell
+    if TOPK_SELECT:
+        # Per-level lax.top_k over UNPADDED candidate widths (all inside
+        # the one jitted program, so there is no per-level dispatch cost):
+        # the fused-row formulation pads every level's candidates to the
+        # level-0 cell count, so its single top_k sorts ~3x more keys,
+        # ~90% of them padding on the upper levels — a same-window round-5
+        # A/B measured per-level ~0.5 ms faster at the real shapes. The
+        # fused rows remain the radix path's layout below.
+        out = []
+        for s, n_max in zip(scores, budgets):
+            vals, idx, hc, wc = _cell_candidates(s, ini_th, min_th, cell,
+                                                 K, pre_nms)
+            flat_key = _order_key(vals, K).reshape(B, -1)
+            top_vals, flat_idx = jax.lax.top_k(flat_key, n_max)
+            filled = jnp.ones_like(flat_idx, bool)
+            wc_rows = jnp.full((B,), wc, jnp.int32)
+            out.append(_decode_selection(flat_idx, top_vals, filled, vals,
+                                         idx, wc_rows, cell, K))
+        return out
     per = [_cell_candidates(s, ini_th, min_th, cell, K, pre_nms)
            for s in scores]
     C_max = max(v.shape[1] for v, _, _, _ in per)
