@@ -172,8 +172,15 @@ class Tracker:
         # gate — one BA/cull pass per expansion batch is GUARANTEED
         # regardless of queue refill — which fixes the starvation
         # mechanism, so the default is now ON (validated by the
-        # 1250-frame pipelined+async endurance gate).
+        # 1250-frame pipelined+async endurance gate). The release is
+        # HEALTH-ADAPTIVE: frames under kf_drain_full_ratio x the
+        # OK-frame inlier EMA wait for the full pipeline (see
+        # _wait_for_mapper_space).
         self.kf_drain_release_on_expansion: bool = True
+        # Inlier-vs-EMA ratio below which a backpressure drain waits for
+        # the worker's FULL pipeline (BA/cull included) instead of
+        # releasing at map expansion. 0 disables the adaptive fallback.
+        self.kf_drain_full_ratio: float = 0.8
         # Health-aware sync: a keyframe created while n_inliers has
         # dropped below this fraction of the OK-frame inlier EMA drains
         # the async mapper before tracking continues (see
@@ -1464,12 +1471,26 @@ class Tracker:
         # culling / loop detection, guaranteed once per expansion batch
         # by the round-5 worker restructure) then overlaps the next
         # tracking frames, matching upstream's concurrent LocalMapping
-        # thread. kf_drain_release_on_expansion=False restores the full
+        # thread. HEALTH-ADAPTIVE: a frame whose inliers sit below
+        # kf_drain_full_ratio x the OK-frame EMA waits for the FULL
+        # pipeline instead — in degraded segments the next frames must
+        # track a POLISHED map, not one-batch-stale raw triangulations
+        # (a round-5 endurance run lost tracking entering a degraded
+        # segment with expansion-release unconditional; the chain margin
+        # gate already re-routes such frames to classic tracking, so on
+        # healthy stretches this almost never fires and the fps win
+        # stands). kf_drain_release_on_expansion=False restores the full
         # drain (_busy), the deterministic round-4 behavior.
+        fragile = self.n_inliers < self.kf_drain_full_ratio * max(
+            self._inl_ema, 1.0)
+        release_at_expansion = (self.kf_drain_release_on_expansion
+                                and not fragile)
+        if fragile:
+            self.kf_wait_stats["full_drains"] = (
+                self.kf_wait_stats.get("full_drains", 0) + 1)
         with self.arena.unlocked(), self.arena.correction_unlocked():
             while ((mapper.queue
-                    or (mapper._expanding
-                        if self.kf_drain_release_on_expansion
+                    or (mapper._expanding if release_at_expansion
                         else mapper._busy))
                    and _time.monotonic() < deadline):
                 _time.sleep(0.002)

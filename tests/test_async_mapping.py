@@ -222,7 +222,10 @@ def test_bounded_queue_keyframe_admission():
     # refinement phase (local BA / culling / loop detection, guaranteed
     # once per expansion batch by the worker restructure) then overlaps
     # the next tracking frames. kf_drain_release_on_expansion=False
-    # restores the deterministic full drain (_busy).
+    # restores the deterministic full drain (_busy). The release is
+    # health-adaptive (kf_drain_full_ratio): keep this drain "healthy"
+    # by pinning the EMA below the forced inlier count.
+    tr._inl_ema = 10.0            # 16 inliers >= 0.8 x 10 -> healthy
     busy._busy = True
     busy._expanding = True
 
@@ -251,6 +254,27 @@ def test_bounded_queue_keyframe_admission():
     assert 0.2 <= dt < 0.45, dt
     assert tr.kf_wait_stats["waits"] >= 1
     assert tr.kf_wait_stats["timeouts"] == 0
+
+    # Health-adaptive fallback: a FRAGILE frame (inliers below
+    # kf_drain_full_ratio x the OK-frame EMA) waits for the worker's
+    # whole pipeline (_busy) even with expansion-release on — in
+    # degraded segments the next frames must track a polished map, not
+    # one-batch-stale raw triangulations.
+    tr._inl_ema = 100.0           # 16 inliers < 0.8 x 100 -> fragile
+    busy.queue = [object()] * 3
+    busy._busy = True
+    busy._expanding = True
+    th = threading.Thread(target=drain)
+    th.start()
+    t0 = time.monotonic()
+    with tr.arena.lock:
+        got = tr.need_new_keyframe()
+    dt = time.monotonic() - t0
+    th.join()
+    assert got is True
+    assert 0.45 <= dt < 5.0, dt
+    assert tr.kf_wait_stats.get("full_drains", 0) >= 1
+    tr._inl_ema = 10.0
 
     # Full-drain opt-out: waits for the worker's whole pipeline (_busy),
     # spanning BOTH sleeps.
