@@ -75,12 +75,34 @@ class MultiSystem:
             # cost far less than one recompile.
             packed = self.shared_builder._extract_packed_batch(
                 jnp.asarray(imgs))
-            for s in steady:
+
+            def _track_one(s):
                 tr = self.systems[s].tracker
                 f = Frame(id=tr.builder._next_id, timestamp=timestamp,
                           packed_dev=packed[s])
                 tr.builder._next_id += 1
-                poses[s] = self.systems[s].track_monocular_prebuilt(f)
+                return self.systems[s].track_monocular_prebuilt(f)
+
+            # The S systems are fully independent (separate arenas,
+            # mappers, locks), so their tracking steps run CONCURRENTLY
+            # on a thread pool: each step's device fetches block its own
+            # thread while the others' round trips overlap on the wire
+            # (measured on the tunnel: 2 threads ≈ 60 blocking
+            # fetch-cycles/s, 4 ≈ 116 — CLAUDE.md round-3 findings), and
+            # jitted dispatch is thread-safe. Sequentially the S steps
+            # paid S x (tracking RTTs + per-KF mapping) per frame.
+            from concurrent.futures import ThreadPoolExecutor
+            if len(steady) > 1:
+                if not hasattr(self, "_pool") or self._pool is None:
+                    self._pool = ThreadPoolExecutor(
+                        max_workers=min(8, len(self.systems)),
+                        thread_name_prefix="multiseq")
+                for s, T in zip(steady,
+                                self._pool.map(_track_one, steady)):
+                    poses[s] = T
+            else:
+                for s in steady:
+                    poses[s] = _track_one(s)
         for s in range(S):
             if s not in steady:
                 poses[s] = self.systems[s].track_monocular(
@@ -89,6 +111,10 @@ class MultiSystem:
         return poses
 
     def shutdown(self):
+        pool = getattr(self, "_pool", None)
+        if pool is not None:
+            pool.shutdown(wait=True)
+            self._pool = None
         for s in self.systems:
             s.shutdown()
 
